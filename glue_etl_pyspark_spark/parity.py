@@ -1,0 +1,129 @@
+"""Local mirror of the driver's t2 correctness check (SURVEY.md §5.3).
+
+Runs a registered query on Spark and its oracle SQL on DuckDB over the
+same parquet tables, then compares row count + order-insensitive
+values. Lets parity failures be debugged locally before driver runs.
+
+Float policy: round to 6 dp before comparison (SURVEY.md §5.3 —
+absorbs float32-accumulation differences like the array-cosine case).
+Timestamps are compared as naive datetimes (both engines are NTZ here).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+from .io import TABLE_NAMES
+
+FLOAT_DP = 6
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, FLOAT_DP)
+    if isinstance(v, _dt.datetime):
+        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm_cell(x)) for k, x in v.items()))
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def _sort_key(row):
+    # None sorts first; everything else by (type-name, repr) to avoid
+    # cross-type comparison errors.
+    return tuple((v is not None, type(v).__name__, repr(v)) for v in row)
+
+
+def _normalize(rows: list[tuple], colnames: list[str]) -> list[tuple]:
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=_sort_key)
+    return out
+
+
+@dataclass
+class ParityResult:
+    name: str
+    ok: bool
+    spark_rows: int
+    oracle_rows: int
+    detail: str = ""
+
+    def __bool__(self) -> bool:
+        return self.ok
+
+
+def duckdb_connect(sf_dir: str):
+    """A DuckDB connection with the driver's table views pre-registered."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def check_query(
+    spark: SparkSession, sf_dir: str, name: str, con=None
+) -> ParityResult:
+    """Run one registered query against its oracle; compare."""
+    from .registry import load_all
+
+    spec = load_all()[name]
+    sdf = spec.fn(spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = list(sdf.columns)
+
+    if spec.oracle is None:
+        return ParityResult(name, len(srows) >= 0, len(srows), -1, "rows-only (no oracle)")
+
+    own_con = con is None
+    if own_con:
+        con = duckdb_connect(sf_dir)
+    try:
+        res = con.execute(spec.oracle)
+        ocols = [d[0] for d in res.description]
+        orows = [tuple(r) for r in res.fetchall()]
+    finally:
+        if own_con:
+            con.close()
+
+    if sorted(scols) != sorted(ocols):
+        return ParityResult(
+            name, False, len(srows), len(orows),
+            f"column mismatch: spark={sorted(scols)} oracle={sorted(ocols)}",
+        )
+    if len(srows) != len(orows):
+        return ParityResult(
+            name, False, len(srows), len(orows),
+            f"row count mismatch: {len(srows)} vs {len(orows)}",
+        )
+    sn = _normalize(srows, scols)
+    on = _normalize(orows, ocols)
+    if sn != on:
+        diffs = [
+            f"  row {i}: spark={a} oracle={b}"
+            for i, (a, b) in enumerate(zip(sn, on))
+            if a != b
+        ][:5]
+        return ParityResult(
+            name, False, len(srows), len(orows),
+            "value mismatch (first 5 normalized diffs):\n" + "\n".join(diffs),
+        )
+    return ParityResult(name, True, len(srows), len(orows))

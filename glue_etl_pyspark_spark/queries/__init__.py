@@ -1,0 +1,7 @@
+"""Named queries. Importing this package populates the registry.
+
+Modules register queries via ``glue_etl_pyspark_spark.registry.query``;
+each module covers one SURVEY.md §2 area.
+"""
+
+from . import relational  # noqa: F401

@@ -1,0 +1,38 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from glue_etl_pyspark_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+SMOKE_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="tests", shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def smoke_dir() -> str:
+    return SMOKE_DIR
+
+
+@pytest.fixture(scope="session")
+def oracle_con(sf_dir):
+    from glue_etl_pyspark_spark.parity import duckdb_connect
+
+    con = duckdb_connect(sf_dir)
+    yield con
+    con.close()
