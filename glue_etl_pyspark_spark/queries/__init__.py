@@ -4,4 +4,12 @@ Modules register queries via ``glue_etl_pyspark_spark.registry.query``;
 each module covers one SURVEY.md §2 area.
 """
 
-from . import relational  # noqa: F401
+from . import (  # noqa: F401
+    aggregates,
+    filters,
+    joins_q,
+    projection,
+    relational,
+    setops,
+    windows,
+)

@@ -1,0 +1,195 @@
+"""Aggregation queries (SURVEY.md §2.5): distinct aggs, stats,
+collect, rollup/cube/grouping sets, pivot, having, quantiles."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import query
+
+DISTINCT_ORACLE = """
+SELECT l_returnflag,
+  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supp_cnt,
+  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS part_cnt,
+  CAST(COUNT(*) AS BIGINT) AS row_cnt
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("agg_distinct", oracle=DISTINCT_ORACLE, category="agg")
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(DISTINCT ...) — planned as a two-phase expand+agg, still
+    fully shuffle-partitioned (no driver-side dedup)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("supp_cnt"),
+        F.countDistinct("l_partkey").alias("part_cnt"),
+        F.count(F.lit(1)).alias("row_cnt"),
+    )
+
+
+STATS_ORACLE = """
+SELECT l_returnflag,
+  ROUND(STDDEV_SAMP(l_extendedprice), 4) AS std_price,
+  ROUND(VAR_SAMP(l_quantity), 4) AS var_qty,
+  ROUND(CORR(l_extendedprice, l_quantity), 6) AS corr_price_qty,
+  ROUND(COVAR_SAMP(l_extendedprice, l_quantity), 4) AS covar_price_qty,
+  ROUND(SKEWNESS(l_quantity), 4) AS skew_qty,
+  ROUND(KURTOSIS(l_quantity), 4) AS kurt_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("agg_stats", oracle=STATS_ORACLE, category="agg")
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates; rounded before comparison per the
+    float-parity policy (SURVEY.md §5.3)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_price_qty"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias("covar_price_qty"),
+        F.round(F.skewness("l_quantity"), 4).alias("skew_qty"),
+        F.round(F.kurtosis("l_quantity"), 4).alias("kurt_qty"),
+    )
+
+
+COLLECT_ORACLE = """
+SELECT o_orderstatus,
+  list(DISTINCT o_orderpriority ORDER BY o_orderpriority) AS priorities,
+  CAST(COUNT(*) AS BIGINT) AS cnt
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@query("agg_collect_set", oracle=COLLECT_ORACLE, category="agg")
+def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set + sort_array — sorted for cross-engine determinism."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+ROLLUP_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+  CAST(COUNT(*) AS BIGINT) AS cnt,
+  SUM(o_totalprice) AS sum_total
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
+@query("agg_rollup", oracle=ROLLUP_ORACLE, category="agg")
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping_id — subtotal rows carry NULL keys."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("o_totalprice").alias("sum_total"),
+    )
+
+
+CUBE_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+  ROUND(AVG(o_totalprice), 4) AS avg_total,
+  CAST(COUNT(*) AS BIGINT) AS cnt
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
+@query("agg_cube", oracle=CUBE_ORACLE, category="agg")
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 4 grouping-set combinations in one pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.round(F.avg("o_totalprice"), 4).alias("avg_total"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+PIVOT_ORACLE = """
+SELECT o_orderpriority,
+  CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS cnt_f,
+  CAST(COUNT(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS cnt_o,
+  CAST(COUNT(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS cnt_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@query("agg_pivot", oracle=PIVOT_ORACLE, category="agg")
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (never leave the list
+    implicit at scale — discovery is an extra distinct scan). Empty
+    cells coalesced to 0 to match SQL FILTER counts."""
+    orders = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("cnt_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("cnt_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("cnt_p"),
+    )
+
+
+QUANTILES_ORACLE = """
+SELECT l_returnflag,
+  MEDIAN(l_quantity) AS median_qty,
+  QUANTILE_CONT(l_quantity, 0.25) AS q1_qty,
+  QUANTILE_CONT(l_quantity, 0.75) AS q3_qty,
+  MIN(l_quantity) AS min_qty,
+  MAX(l_quantity) AS max_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("agg_quantiles", oracle=QUANTILES_ORACLE, category="agg")
+def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median/percentiles (the oracle-checkable twins of
+    percentile_approx, which is the 100 TB path)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("median_qty"),
+        F.percentile("l_quantity", F.lit(0.25)).alias("q1_qty"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("q3_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+HAVING_ORACLE = """
+SELECT l_suppkey, SUM(l_quantity) AS sum_qty, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM lineitem GROUP BY l_suppkey HAVING SUM(l_quantity) > 14000
+"""
+
+
+@query("agg_having", oracle=HAVING_ORACLE, category="agg")
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING = post-aggregation filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("sum_qty") > 14000)
+    )
+
+
+@query("agg_approx_distinct", oracle=None, category="agg")
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL) — the 100 TB path for cardinality;
+    not hash-comparable across engines, so rows-only here with a
+    tolerance test in tests/ against the exact count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )

@@ -1,0 +1,278 @@
+"""Join queries (SURVEY.md §2.4): every join type, plus the as-of and
+range time-joins built from scale-safe plans."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..io import load_table
+from ..operators import asof_join, glue_join, range_join
+from ..registry import query
+
+# ---------------------------------------------------------------------------
+
+INNER_ORACLE = """
+SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS order_cnt, SUM(o.o_totalprice) AS sum_total
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@query("join_inner_equi", oracle=INNER_ORACLE, category="join")
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join (Glue Join.apply), customer side broadcast —
+    at 100 TB the fact side never shuffles for dims under the
+    broadcast threshold."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        glue_join(orders, broadcast(customer), keys1=["o_custkey"], keys2=["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("order_cnt"), F.sum("o_totalprice").alias("sum_total"))
+    )
+
+
+SEMI_ORACLE = """
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+"""
+
+
+@query("join_left_semi", oracle=SEMI_ORACLE, category="join")
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: existence filter, emits left columns only."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return glue_join(
+        customer.select("c_custkey", "c_mktsegment"), urgent,
+        keys1=["c_custkey"], keys2=["o_custkey"], how="semi",
+    )
+
+
+ANTI_ORACLE = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+"""
+
+
+@query("join_left_anti", oracle=ANTI_ORACLE, category="join")
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no urgent orders (non-empty at
+    every scale factor, unlike no-orders-at-all)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return glue_join(
+        customer.select("c_custkey", "c_name"), urgent,
+        keys1=["c_custkey"], keys2=["o_custkey"], how="anti",
+    )
+
+
+FULL_OUTER_ORACLE = """
+SELECT
+  COALESCE(s.nk, c.nk) AS nationkey,
+  s.supp_cnt,
+  c.cust_cnt
+FROM
+  (SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS supp_cnt
+   FROM supplier WHERE s_acctbal > 5000 GROUP BY s_nationkey) s
+FULL OUTER JOIN
+  (SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS cust_cnt
+   FROM customer WHERE c_acctbal < 0 GROUP BY c_nationkey) c
+ON s.nk = c.nk
+"""
+
+
+@query("join_full_outer", oracle=FULL_OUTER_ORACLE, category="join")
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two filtered per-nation aggregates; the
+    filters make the key sets disjoint enough to null-extend both ways."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    s = (
+        supplier.filter(F.col("s_acctbal") > 5000)
+        .groupBy(F.col("s_nationkey").alias("s_nk"))
+        .agg(F.count(F.lit(1)).alias("supp_cnt"))
+    )
+    c = (
+        customer.filter(F.col("c_acctbal") < 0)
+        .groupBy(F.col("c_nationkey").alias("c_nk"))
+        .agg(F.count(F.lit(1)).alias("cust_cnt"))
+    )
+    return s.join(c, s["s_nk"] == c["c_nk"], "full").select(
+        F.coalesce(F.col("s_nk"), F.col("c_nk")).alias("nationkey"),
+        "supp_cnt",
+        "cust_cnt",
+    )
+
+
+CROSS_ORACLE = """
+SELECT r.r_name, s.o_orderstatus
+FROM region r CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+"""
+
+
+@query("join_cross", oracle=CROSS_ORACLE, category="join")
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two tiny relations (the only sane cross
+    join: both sides provably bounded)."""
+    region = load_table(spark, sf_dir, "region")
+    orders = load_table(spark, sf_dir, "orders")
+    statuses = orders.select("o_orderstatus").distinct()
+    return region.select("r_name").crossJoin(statuses)
+
+
+NON_EQUI_ORACLE = """
+SELECT n1.n_name AS nation_a, n2.n_name AS nation_b, n1.n_regionkey AS regionkey
+FROM nation n1 JOIN nation n2
+  ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
+"""
+
+
+@query("join_non_equi_pairs", oracle=NON_EQUI_ORACLE, category="join")
+def join_non_equi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join: same-region nation pairs via an equi key plus a
+    `<` residual — planner gets a hash join with residual filter, not
+    a nested loop."""
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.alias("n1")
+    n2 = nation.alias("n2")
+    return n1.join(
+        n2,
+        (F.col("n1.n_regionkey") == F.col("n2.n_regionkey"))
+        & (F.col("n1.n_nationkey") < F.col("n2.n_nationkey")),
+    ).select(
+        F.col("n1.n_name").alias("nation_a"),
+        F.col("n2.n_name").alias("nation_b"),
+        F.col("n1.n_regionkey").alias("regionkey"),
+    )
+
+
+MULTIWAY_ORACLE = """
+SELECT n.n_name, SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA' AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+"""
+
+
+@query("join_multiway_revenue", oracle=MULTIWAY_ORACLE, category="join")
+def join_multiway_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-style 5-way join. All dimension sides broadcast; the
+    only shuffle left is the final small groupBy — the shape that
+    survives a 100x fact-table scale-up."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    r = region.filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        .join(broadcast(customer), o["o_custkey"] == customer["c_custkey"])
+        .join(broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .join(broadcast(r), nation["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+ASOF_ORACLE = """
+WITH clicks AS (
+  SELECT user_id, ts, MAX(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+),
+u AS (
+  SELECT user_id, ts, 1 AS side, event_id, value,
+         CAST(NULL AS TIMESTAMP) AS click_ts, CAST(NULL AS DOUBLE) AS click_value
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, 0 AS side, NULL, NULL, ts, click_value FROM clicks
+),
+f AS (
+  SELECT user_id, ts, side, event_id, value,
+    last_value(click_ts IGNORE NULLS) OVER w AS click_ts,
+    last_value(click_value IGNORE NULLS) OVER w AS click_value
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, side
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, ts, value, click_ts, click_value
+FROM f WHERE side = 1
+"""
+
+
+@query("join_asof_purchase_click", oracle=ASOF_ORACLE, category="join")
+def join_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase gets the user's most recent click at
+    or before it. Union+window plan — one shuffle on user_id, no
+    quadratic candidate pairs. Right side pre-aggregated per (user,
+    ts) so ties are deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+        .withColumn("click_ts", F.col("ts"))
+    )
+    return asof_join(
+        purchases,
+        clicks.select("user_id", "ts", "click_ts", "click_value"),
+        on="ts",
+        by=["user_id"],
+        value_cols=["click_ts", "click_value"],
+    )
+
+
+RANGE_ORACLE = """
+WITH w AS (
+  SELECT gs AS week_start, gs + INTERVAL 7 DAY AS week_end
+  FROM generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-28', INTERVAL 7 DAY) t(gs)
+)
+SELECT w.week_start, CAST(COUNT(*) AS BIGINT) AS event_cnt, SUM(e.value) AS sum_value
+FROM events e JOIN w ON e.ts >= w.week_start AND e.ts < w.week_end
+GROUP BY w.week_start
+"""
+
+
+@query("join_range_weekly", oracle=RANGE_ORACLE, category="join")
+def join_range_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join via coarse-bucket equi-join prefilter (the
+    scale path — candidate pairs stay near-linear instead of |L|x|R|)."""
+    ev = load_table(spark, sf_dir, "events")
+    weeks = spark.sql(
+        """
+        SELECT week_start, week_start + INTERVAL 7 DAYS AS week_end
+        FROM (SELECT explode(sequence(
+                 TIMESTAMP_NTZ '2024-01-01', TIMESTAMP_NTZ '2024-01-28',
+                 INTERVAL 7 DAYS)) AS week_start)
+        """
+    )
+    joined = range_join(
+        ev, weeks, point="ts", start="week_start", end="week_end", bucket_seconds=7 * 86400
+    )
+    return joined.groupBy("week_start").agg(
+        F.count(F.lit(1)).alias("event_cnt"), F.sum("value").alias("sum_value")
+    )

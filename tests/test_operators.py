@@ -1,0 +1,119 @@
+"""Unit tests for the Glue-shaped operators on tiny inline frames
+(FIXTURES.md 'dirty input' guidance)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from glue_etl_pyspark_spark.operators import (
+    apply_mapping,
+    asof_join,
+    drop_null_fields,
+    fill_missing,
+    range_join,
+    resolve_choice,
+    split_fields,
+    split_rows,
+)
+
+
+def test_apply_mapping(spark):
+    df = spark.createDataFrame([(1, "2.5")], "a int, b string")
+    out = apply_mapping(df, [("a", "int", "x", "bigint"), ("b", "string", "y", "double")])
+    assert out.columns == ["x", "y"]
+    row = out.collect()[0]
+    assert row.x == 1 and row.y == 2.5
+
+
+def test_resolve_choice_cast_and_make_cols(spark):
+    df = spark.createDataFrame([("123",), ("abc",), (None,)], "v string")
+    casted = resolve_choice(df, [("v", "cast:int")]).collect()
+    assert [r.v for r in casted] == [123, None, None]
+
+    mc = resolve_choice(df, [("v", "make_cols:int")])
+    rows = {(r.v_int, r.v_string) for r in mc.collect()}
+    assert rows == {(123, None), (None, "abc"), (None, None)}
+
+    proj = resolve_choice(df, [("v", "project:int")]).collect()
+    assert sorted([r.v for r in proj], key=lambda x: (x is None, x)) == [123, None]
+
+
+def test_drop_null_fields_and_fill(spark):
+    df = spark.createDataFrame(
+        [(1, None, None), (2, "x", None)], "a int, b string, c string"
+    )
+    out = drop_null_fields(df)
+    assert out.columns == ["a", "b"]
+    filled = fill_missing(out, {"b": "?"})
+    assert {r.b for r in filled.collect()} == {"?", "x"}
+
+
+def test_split_rows_partitions_exactly(spark):
+    df = spark.createDataFrame([(1,), (2,), (None,)], "a int")
+    yes, no = split_rows(df, F.col("a") > 1)
+    # NULL predicate rows land in the 'no' side: outputs partition input
+    assert yes.count() + no.count() == df.count()
+    assert [r.a for r in yes.collect()] == [2]
+
+
+def test_split_fields(spark):
+    df = spark.createDataFrame([(1, "a", True)], "x int, y string, z boolean")
+    left, right = split_fields(df, ["x"])
+    assert left.columns == ["x"] and right.columns == ["y", "z"]
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_backward_and_forward(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00"), "p1"), (1, _ts("2024-01-01T12:00"), "p2"),
+         (2, _ts("2024-01-01T09:00"), "p3")],
+        "user_id int, ts timestamp_ntz, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00"), 5.0), (1, _ts("2024-01-01T11:00"), 7.0),
+         (3, _ts("2024-01-01T01:00"), 9.0)],
+        "user_id int, ts timestamp_ntz, score double",
+    )
+    back = asof_join(left, right, on="ts", by=["user_id"], value_cols=["score"])
+    got = {r.tag: r.score for r in back.collect()}
+    # p1: right row at exactly 10:00 is visible (inclusive); p2 takes 11:00;
+    # p3: user 2 has no right rows -> NULL
+    assert got == {"p1": 5.0, "p2": 7.0, "p3": None}
+
+    fwd = asof_join(left, right, on="ts", by=["user_id"], value_cols=["score"],
+                    direction="forward")
+    got_f = {r.tag: r.score for r in fwd.collect()}
+    assert got_f == {"p1": 5.0, "p2": None, "p3": None}
+
+
+def test_range_join_bucket_boundaries(spark):
+    points = spark.createDataFrame(
+        [(1, _ts("2024-01-01T00:00")), (2, _ts("2024-01-03T12:00")),
+         (3, _ts("2024-01-08T00:00"))],
+        "id int, ts timestamp_ntz",
+    )
+    intervals = spark.createDataFrame(
+        [(_ts("2024-01-01T00:00"), _ts("2024-01-08T00:00"), "w1"),
+         (_ts("2024-01-08T00:00"), _ts("2024-01-15T00:00"), "w2")],
+        "start timestamp_ntz, end timestamp_ntz, label string",
+    )
+    out = range_join(points, intervals, point="ts", start="start", end="end",
+                     bucket_seconds=86400)
+    got = {(r.id, r.label) for r in out.collect()}
+    # end bound exclusive: id=3 falls in w2, not w1; no duplicates from
+    # intervals spanning multiple buckets
+    assert got == {(1, "w1"), (2, "w1"), (3, "w2")}
+    assert out.count() == 3
+
+
+def test_approx_count_distinct_tolerance(spark, sf_dir):
+    from glue_etl_pyspark_spark.registry import load_all
+
+    df = load_all()["agg_approx_distinct"].fn(spark, sf_dir)
+    for r in df.collect():
+        assert abs(r.approx_orders - r.exact_orders) / r.exact_orders < 0.06
