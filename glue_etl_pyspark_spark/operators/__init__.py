@@ -16,6 +16,7 @@ from .columns import (
     select_fields,
 )
 from .joins import asof_join, glue_join, range_join
+from .restructure import relationalize, unbox, unnest_frame
 from .splits import spigot, split_fields, split_rows
 
 __all__ = [
@@ -32,4 +33,7 @@ __all__ = [
     "split_fields",
     "split_rows",
     "spigot",
+    "relationalize",
+    "unnest_frame",
+    "unbox",
 ]

@@ -8,8 +8,10 @@ from . import (  # noqa: F401
     aggregates,
     filters,
     joins_q,
+    nested,
     projection,
     relational,
+    scalars,
     setops,
     windows,
 )

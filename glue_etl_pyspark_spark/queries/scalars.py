@@ -1,0 +1,253 @@
+"""Scalar-function surface queries (SURVEY.md §2.9): string, date,
+math, conditional, array, map/json, hash families. Implemented by
+*using* the builtins in named queries — all JVM-side expressions
+inside whole-stage codegen, no UDFs.
+
+Cross-engine notes baked into the oracles: DuckDB ``log`` is log10
+(Spark's one-arg ``log`` is ln → DuckDB ``ln``); DuckDB ``dayofweek``
+is 0-based (Spark 1-based); DuckDB ``ceil(double)`` returns DOUBLE
+(Spark returns BIGINT); DuckDB lacks ``initcap``/``months_between``
+(left un-oracled rather than approximated)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import query
+
+STRING_ORACLE = """
+SELECT doc_id,
+  upper(substring(text, 1, 12)) AS head_upper,
+  lower(source) AS src_lower,
+  CAST(length(text) AS BIGINT) AS text_len,
+  concat_ws('|', lang, source) AS lang_src,
+  replace(substring(text, 1, 20), ' ', '_') AS head_snake,
+  lpad(lang, 5, '*') AS lang_pad,
+  CAST(instr(text, 'query') AS BIGINT) AS query_pos,
+  regexp_extract(text, '([a-z]+)', 1) AS first_word,
+  regexp_replace(substring(text, 1, 30), '[aeiou]', '', 'g') AS head_novowel,
+  trim(concat('  ', lang, '  ')) AS lang_trim
+FROM documents
+"""
+
+
+@query("func_string", oracle=STRING_ORACLE, category="function")
+def func_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family over documents.text."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.upper(F.substring("text", 1, 12)).alias("head_upper"),
+        F.lower("source").alias("src_lower"),
+        F.length("text").cast("bigint").alias("text_len"),
+        F.concat_ws("|", "lang", "source").alias("lang_src"),
+        F.replace(F.substring("text", 1, 20), F.lit(" "), F.lit("_")).alias("head_snake"),
+        F.lpad("lang", 5, "*").alias("lang_pad"),
+        F.instr("text", "query").cast("bigint").alias("query_pos"),
+        F.regexp_extract("text", "([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace(F.substring("text", 1, 30), "[aeiou]", "").alias("head_novowel"),
+        F.trim(F.concat(F.lit("  "), F.col("lang"), F.lit("  "))).alias("lang_trim"),
+    )
+
+
+DATE_ORACLE = """
+SELECT o_orderkey,
+  CAST(year(o_orderdate) AS INTEGER) AS order_year,
+  CAST(month(o_orderdate) AS INTEGER) AS order_month,
+  CAST(day(o_orderdate) AS INTEGER) AS order_day,
+  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS order_dow,
+  CAST(weekofyear(o_orderdate) AS INTEGER) AS order_week,
+  CAST(quarter(o_orderdate) AS INTEGER) AS order_quarter,
+  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+  CAST(o_orderdate AS DATE) + 30 AS ship_by,
+  CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INTEGER) AS days_since_95,
+  CAST(epoch(o_orderdate) AS BIGINT) AS unix_ts,
+  last_day(CAST(o_orderdate AS DATE)) AS month_end
+FROM orders
+"""
+
+
+@query("func_date", oracle=DATE_ORACLE, category="function")
+def func_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family over orders.o_orderdate (timestamp_ntz
+    end-to-end for oracle parity)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.dayofweek("o_orderdate").alias("order_dow"),
+        F.weekofyear("o_orderdate").alias("order_week"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        # date_trunc re-types ntz input as ltz; cast back so the result
+        # is timezone-independent (oracle compares naive timestamps)
+        F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias("month_start"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("ship_by"),
+        F.datediff("o_orderdate", F.lit("1995-01-01").cast("timestamp_ntz")).alias(
+            "days_since_95"
+        ),
+        F.unix_timestamp("o_orderdate").alias("unix_ts"),
+        F.last_day(F.to_date("o_orderdate")).alias("month_end"),
+    )
+
+
+MATH_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+  abs(l_discount - 0.05) AS abs_disc,
+  floor(l_extendedprice / l_quantity * 100) / 100 AS unit_price,
+  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+  round(sqrt(l_quantity), 6) AS qty_sqrt,
+  round(exp(l_discount), 6) AS disc_exp,
+  round(ln(l_extendedprice), 6) AS price_ln,
+  round(log(l_extendedprice), 6) AS price_log10,
+  round(pow(l_quantity, 2), 1) AS qty_sq,
+  CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
+  CAST(((l_orderkey % 7) + 7) % 7 AS BIGINT) AS key_mod7,
+  greatest(l_quantity, 25.0) AS qty_hi,
+  least(l_quantity, 25.0) AS qty_lo
+FROM lineitem
+"""
+
+
+@query("func_math", oracle=MATH_ORACLE, category="function")
+def func_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family over lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_disc"),
+        (F.floor(F.col("l_extendedprice") / F.col("l_quantity") * 100) / 100).alias("unit_price"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.log10("l_extendedprice"), 6).alias("price_log10"),
+        F.round(F.pow("l_quantity", F.lit(2)), 1).alias("qty_sq"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.pmod("l_orderkey", F.lit(7)).cast("bigint").alias("key_mod7"),
+        F.greatest("l_quantity", F.lit(25.0)).alias("qty_hi"),
+        F.least("l_quantity", F.lit(25.0)).alias("qty_lo"),
+    )
+
+
+COND_ORACLE = """
+SELECT o_orderkey,
+  CASE WHEN o_totalprice >= 300000 THEN 'large'
+       WHEN o_totalprice >= 100000 THEN 'medium'
+       ELSE 'small' END AS size_class,
+  COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_label,
+  CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS is_hot,
+  NULLIF(o_orderstatus, o_orderstatus) AS always_null
+FROM orders
+"""
+
+
+@query("func_conditional", oracle=COND_ORACLE, category="function")
+def func_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """when/otherwise chains, coalesce, nullif."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 300000, "large")
+        .when(F.col("o_totalprice") >= 100000, "medium")
+        .otherwise("small")
+        .alias("size_class"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias(
+            "status_label"
+        ),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("is_hot"),
+        F.nullif("o_orderstatus", "o_orderstatus").alias("always_null"),
+    )
+
+
+ARRAY_ORACLE = """
+SELECT vec_id, label,
+  CAST(len(embedding) AS INTEGER) AS dim,
+  round(CAST(embedding[1] AS DOUBLE), 6) AS first_comp,
+  round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS max_comp,
+  round(CAST(list_aggregate(embedding, 'min') AS DOUBLE), 6) AS min_comp,
+  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS sq_norm,
+  CAST(len(list_filter(embedding, x -> x > 0.1)) AS INTEGER) AS n_big,
+  len(list_filter(embedding, x -> x > 0.25)) > 0 AS has_huge
+FROM embeddings
+"""
+
+
+@query("func_array", oracle=ARRAY_ORACLE, category="function")
+def func_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions over embeddings — size, indexing,
+    transform/filter/exists/aggregate. The sq_norm shape (zip-free
+    dot product) is the building block for §2.12 cosine similarity."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_comp"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_comp"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("min_comp"),
+        F.round(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda s, x: s + x.cast("double") * x.cast("double"),
+            ),
+            6,
+        ).alias("sq_norm"),
+        F.size(F.filter("embedding", lambda x: x > 0.1)).alias("n_big"),
+        F.exists("embedding", lambda x: x > 0.25).alias("has_huge"),
+    )
+
+
+MAP_JSON_ORACLE = """
+SELECT event_id,
+  CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k,
+  json_extract_string(props, '$.k') AS prop_k_str,
+  json_keys(props) AS prop_keys
+FROM events
+"""
+
+
+@query("func_map_json", oracle=MAP_JSON_ORACLE, category="function")
+def func_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON parse (Glue Unbox semantics) + map functions over
+    events.props."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn("props_map", F.from_json("props", "map<string,int>"))
+    return parsed.select(
+        "event_id",
+        F.element_at("props_map", "k").alias("prop_k"),
+        F.get_json_object("props", "$.k").alias("prop_k_str"),
+        F.map_keys("props_map").alias("prop_keys"),
+    )
+
+
+HASH_ORACLE = """
+SELECT doc_id,
+  md5(text) AS text_md5,
+  sha256(text) AS text_sha256,
+  substring(md5(text), 1, 8) AS md5_prefix
+FROM documents
+"""
+
+
+@query("func_hash", oracle=HASH_ORACLE, category="function")
+def func_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine-stable hash functions (dedup keys for §2.12).
+    xxhash64/crc32 exist Spark-side but aren't DuckDB-comparable, so
+    the oracle sticks to md5/sha256."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+        F.substring(F.md5("text"), 1, 8).alias("md5_prefix"),
+    )

@@ -1,0 +1,37 @@
+"""Unit tests for nested-data restructuring operators."""
+
+from __future__ import annotations
+
+from glue_etl_pyspark_spark.operators import relationalize, unbox, unnest_frame
+
+
+def test_unnest_frame_recursive(spark):
+    df = spark.sql(
+        "SELECT 1 AS id, named_struct('a', 2, 'b', named_struct('c', 3)) AS s"
+    )
+    flat = unnest_frame(df, sep="_")
+    assert flat.columns == ["id", "s_a", "s_b_c"]
+    row = flat.collect()[0]
+    assert (row.id, row.s_a, row.s_b_c) == (1, 2, 3)
+
+
+def test_relationalize_arrays_and_structs(spark):
+    df = spark.sql(
+        """SELECT 1 AS id, 'x' AS name,
+                  array(named_struct('v', 10), named_struct('v', 20)) AS items,
+                  array('t1', 't2') AS tags"""
+    )
+    tables = relationalize(df, "root", key_cols=["id"])
+    assert set(tables) == {"root", "root_items", "root_tags"}
+    assert tables["root"].columns == ["id", "name"]
+    items = {(r.id, r.pos, r.val_v) for r in tables["root_items"].collect()}
+    assert items == {(1, 0, 10), (1, 1, 20)}
+    tags = {(r.pos, r.val) for r in tables["root_tags"].collect()}
+    assert tags == {(0, "t1"), (1, "t2")}
+
+
+def test_unbox_csv(spark):
+    df = spark.createDataFrame([("a,1",), ("b,2",)], "line string")
+    out = unbox(df, "line", fmt="csv", schema="name STRING, n INT")
+    rows = {(r.line.name, r.line.n) for r in out.collect()}
+    assert rows == {("a", 1), ("b", 2)}
