@@ -1,0 +1,103 @@
+"""Text-analysis building blocks as pure Spark SQL expressions
+(SURVEY.md §2.12): tokenization, shingles, fingerprints, SimHash.
+
+Everything here is a Column expression — no UDFs — so the text path
+stays inside whole-stage codegen and scales with the JVM, not the
+Python workers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small English stopword list for quality scoring / stopword-removal
+# demos (full lists would come from a broadcast lexicon table).
+EN_STOPWORDS = (
+    "a an and are as at be by for from has he in is it its of on or that the "
+    "to was were will with this these those"
+).split()
+
+# BPE-ish token pattern: word pieces or single non-space punctuation —
+# a cheap stand-in for a real tokenizer's token-count behavior.
+BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokenize_ws(text: Column | str) -> Column:
+    """Whitespace tokens, lowercased, empties removed."""
+    return F.filter(F.split(F.lower(_c(text)), r"\s+"), lambda t: t != "")
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """Tokens under BPE_ISH_PATTERN (regexp_extract_all, JVM-side)."""
+    return F.regexp_extract_all(F.lower(_c(text)), F.lit(BPE_ISH_PATTERN), 0)
+
+
+def shingles(tokens: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles of a token array: element i joins tokens
+    [i, i+n) with single spaces. Empty when fewer than n tokens."""
+    t = _c(tokens)
+    return F.when(F.size(t) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + j + 1) for j in range(n)]
+            ),
+        )
+    )
+
+
+def doc_fingerprint(text: Column | str, n: int = 3) -> Column:
+    """Deterministic document fingerprint: the minimum md5 over word
+    n-gram shingles (1-permutation MinHash). Near-identical docs agree
+    with probability ≈ Jaccard similarity; cross-engine stable (md5).
+    Falls back to md5 of the whole text for very short docs."""
+    sh = shingles(tokenize_ws(text), n)
+    return F.coalesce(
+        F.array_min(F.transform(sh, F.md5)), F.md5(F.lower(_c(text)))
+    )
+
+
+def _word_bits(w: Column) -> Column:
+    """64 ±1 contributions from the first 64 bits of md5(word)."""
+    h = F.md5(w)
+
+    def bit(i: Column) -> Column:
+        nib = F.conv(F.substring(h, (i / F.lit(4)).cast("int") + 1, 1), 16, 10).cast("int")
+        # (nib >> (i % 4)) & 1, written arithmetically (shiftleft needs
+        # a literal shift amount)
+        power = F.pow(F.lit(2.0), F.pmod(i, F.lit(4)).cast("double"))
+        return F.floor(nib / power).cast("int") % 2
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: F.when(bit(i) == 1, F.lit(1)).otherwise(F.lit(-1)),
+    )
+
+
+def simhash64(tokens: Column | str) -> Column:
+    """64-bit SimHash of a token array, returned as an array<int> of
+    64 bits (0/1). Bit i is 1 when the summed ±1 md5-bit contributions
+    of all tokens are positive. Kept as a bit array (not bigint) so
+    hamming distance stays a cheap zip_with and bit 63 needs no
+    sign gymnastics."""
+    t = _c(tokens)
+    sums = F.aggregate(
+        t,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, w: F.zip_with(acc, _word_bits(w), lambda a, b: a + b),
+    )
+    return F.transform(sums, lambda s: F.when(s > 0, F.lit(1)).otherwise(F.lit(0)))
+
+
+def hamming(bits_a: Column | str, bits_b: Column | str) -> Column:
+    """Hamming distance between two equal-length bit arrays."""
+    return F.aggregate(
+        F.zip_with(_c(bits_a), _c(bits_b), lambda x, y: (x != y).cast("int")),
+        F.lit(0),
+        lambda s, x: s + x,
+    )

@@ -1,0 +1,228 @@
+"""Similarity search over embedding columns (SURVEY.md §2.12).
+
+Three tiers, correctness-anchored:
+
+- ``knn_bruteforce`` — exact top-k cosine. The cross join is bounded
+  by the (small, broadcast) query side; the corpus side streams. This
+  is the sf≤0.1 correctness anchor and the rerank kernel.
+- ``ivf_knn`` — IVF-style two-level search: deterministic coarse
+  centroids, cluster assignment, probe the nprobe nearest clusters,
+  exact rerank inside. Same answer as brute force when recall holds;
+  the 100 TB path (each query touches nprobe/k of the corpus).
+- ``lsh_knn`` — BucketedRandomProjectionLSH on unit vectors
+  (euclidean on normalized vectors is monotone in cosine). Randomized
+  (seed-stable), so rows-only checked with a recall test against
+  brute force.
+
+All vector math is JVM-side higher-order functions (functions.vectors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..functions.vectors import cosine_similarity, dot, l2_norm, l2_normalize
+
+
+def knn_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    Emits (query_id, neighbor_id, cos_sim, rn). Self-matches (same
+    id) are excluded; ties break on neighbor_id. The query side is
+    broadcast — callers must keep it small (the documented bound for
+    the cross join); the corpus side never shuffles until the final
+    per-query top-k, which carries only k rows per query partition.
+    """
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv")
+    )
+    sims = (
+        c.crossJoin(broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity("__qv", "__cv").alias("__sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id")
+    )
+    out_sim = (
+        F.round(F.col("__sim"), round_dp) if round_dp is not None else F.col("__sim")
+    )
+    return (
+        sims.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", out_sim.alias("cos_sim"), "rn")
+    )
+
+
+def ivf_knn(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    centroid_stride: int = 31,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec: str = "embedding",
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """IVF-style approximate knn, fully deterministic.
+
+    Coarse quantizer: every ``centroid_stride``-th corpus vector (by
+    id) is a centroid — deterministic stand-in for k-means (the
+    plumbing, not the clustering, is what must be right here; swap in
+    trained centroids at scale). Corpus vectors are assigned to their
+    nearest centroid; each query probes its ``nprobe`` nearest
+    centroids and exact-reranks only those clusters' members.
+
+    Per-query work drops from |corpus| to ~nprobe·|corpus|/n_centroids;
+    the cluster assignment is an equi-join key, so candidate
+    generation is hash-partitionable. Emits (query_id, neighbor_id,
+    cos_sim, rn).
+    """
+    cents = corpus.filter(F.col(corpus_id) % centroid_stride == 0).select(
+        F.col(corpus_id).alias("cent_id"), F.col(vec).alias("__cent")
+    )
+
+    def nearest(df: DataFrame, id_out: str, vec_col: str, n: int) -> DataFrame:
+        """ids of the n nearest centroids per input row (broadcast join)."""
+        sims = df.crossJoin(broadcast(cents)).select(
+            F.col(id_out),
+            "cent_id",
+            cosine_similarity(vec_col, "__cent").alias("__cs"),
+        )
+        w = Window.partitionBy(id_out).orderBy(F.col("__cs").desc(), F.col("cent_id"))
+        return (
+            sims.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= n)
+            .select(id_out, "cent_id")
+        )
+
+    c = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec).alias("__cv"))
+    assign = nearest(c.select("neighbor_id", F.col("__cv").alias("__v")), "neighbor_id", "__v", 1)
+    members = c.join(assign, "neighbor_id")
+
+    q = queries.select(F.col(query_id).alias("query_id"), F.col(vec).alias("__qv"))
+    probes = nearest(q.select("query_id", F.col("__qv").alias("__v")), "query_id", "__v", nprobe)
+
+    cands = (
+        probes.join(members, "cent_id")
+        .join(broadcast(q), "query_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        # a corpus vector can sit in only one cluster, so (query,
+        # neighbor) pairs are already distinct across probes
+        .select("query_id", "neighbor_id", cosine_similarity("__qv", "__cv").alias("__sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("__sim").desc(), F.col("neighbor_id"))
+    out_sim = F.round(F.col("__sim"), round_dp) if round_dp is not None else F.col("__sim")
+    return (
+        cands.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", out_sim.alias("cos_sim"), "rn")
+    )
+
+
+def lsh_knn(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    bucket_length: float = 0.5,
+    num_hash_tables: int = 4,
+    max_euclid_dist: float = 1.2,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate knn via random-projection LSH on unit vectors.
+
+    On normalized vectors euclidean distance d and cosine c satisfy
+    c = 1 - d²/2, so bucketing by euclidean distance preserves cosine
+    order. Randomized (seed-stable) → rows-only checks + recall tests.
+    Emits (query_id, neighbor_id, cos_sim, rn).
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    qn = queries.select(
+        F.col(query_id).alias("id"), array_to_vector(l2_normalize(vec)).alias("features")
+    )
+    cn = corpus.select(
+        F.col(corpus_id).alias("id"), array_to_vector(l2_normalize(vec)).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(cn)
+    pairs = model.approxSimilarityJoin(qn, cn, max_euclid_dist, distCol="euclid")
+    sims = (
+        pairs.filter(F.col("datasetA.id") != F.col("datasetB.id"))
+        .select(
+            F.col("datasetA.id").alias("query_id"),
+            F.col("datasetB.id").alias("neighbor_id"),
+            (1 - F.col("euclid") * F.col("euclid") / 2).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rn")
+    )
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    min_cos: float = 0.99,
+) -> DataFrame:
+    """Near-identical embedding pairs (cosine ≥ min_cos), id_a < id_b.
+
+    Correctness path: all-pairs via self cross join — documented bound:
+    use only where one side fits the broadcast threshold (≤ a few 1e5
+    vectors); above that, swap candidate generation for ``lsh_knn``
+    or ``ivf_knn`` buckets and keep the same exact verify.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec).alias("__vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cosine_similarity("__va", "__vb"))
+        .filter(F.col("cos_sim") >= min_cos)
+        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+__all__ = [
+    "knn_bruteforce",
+    "ivf_knn",
+    "lsh_knn",
+    "embedding_dup_pairs",
+    "dot",
+    "l2_norm",
+    "l2_normalize",
+    "cosine_similarity",
+]

@@ -8,6 +8,9 @@ from . import (  # noqa: F401
     aggregates,
     filters,
     joins_q,
+    llm_dedup,
+    llm_knn,
+    llm_text,
     nested,
     projection,
     relational,

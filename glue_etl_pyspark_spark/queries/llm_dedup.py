@@ -1,0 +1,171 @@
+"""Deduplication queries (SURVEY.md §2.12) over a corpus with planted
+duplicates: the documents table unioned with exact copies (exact
+dedup) or slightly-perturbed copies (near-dedup; twin doc_id =
+doc_id + 10000, last word dropped).
+
+Exact ops are DuckDB-oracled; MinHash-LSH is seed-stable-randomized →
+rows-only + recall tests in tests/test_llm_ops.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import hamming, simhash64, tokenize_ws
+from ..io import load_table
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from ..registry import query
+
+_DUCK_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+
+
+def _with_exact_copies(d: DataFrame) -> DataFrame:
+    """documents ∪ byte-identical copies with shifted ids."""
+    copies = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    return d.select("doc_id", "text", "lang", "source", "n_chars").unionByName(copies)
+
+
+def _with_perturbed_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ near-copies (last word dropped), twin id = id+10000."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = tokenize_ws("text")
+    twins = d.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.array_join(F.slice(ws, 1, F.size(ws) - 1), " ").alias("text"),
+    )
+    return d.select("doc_id", "text").unionByName(twins)
+
+
+EXACT_ORACLE = """
+WITH all_docs AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang, source, n_chars FROM documents
+)
+SELECT doc_id, text, lang, source, n_chars FROM all_docs
+WHERE doc_id IN (SELECT MIN(doc_id) FROM all_docs GROUP BY text)
+"""
+
+
+@query("dedup_exact", oracle=EXACT_ORACLE, category="llm-dedup")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: planted byte-identical copies are
+    removed, keeping the lowest doc_id. Shuffles sha2 digests, not
+    document bodies."""
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup(_with_exact_copies(d), cols=["text"], tie_break=["doc_id"])
+
+
+NGRAM_JACCARD_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000,
+         array_to_string(({_DUCK_TOKS})[1:len({_DUCK_TOKS}) - 1], ' ')
+  FROM documents
+),
+sh AS (
+  SELECT doc_id AS id, list_distinct(
+    CASE WHEN len(toks) < 3 THEN []
+         ELSE list_transform(range(1, len(toks) - 1),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS shs
+  FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM corpus)
+  WHERE len(toks) >= 3
+),
+inv AS (SELECT id, unnest(shs) AS shingle FROM sh),
+sizes AS (SELECT id, len(shs) AS n_sh FROM sh),
+shared AS (
+  SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS shared
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+  shared * 1.0 / (sa.n_sh + sb.n_sh - shared) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.6
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=NGRAM_JACCARD_ORACLE, category="llm-dedup")
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via the inverted shingle
+    index — the oracle-checkable twin of MinHash-LSH. Every planted
+    (doc, doc-minus-last-word) twin scores close to 1."""
+    corpus = _with_perturbed_copies(spark, sf_dir)
+    return ngram_jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.6)
+
+
+SIMHASH_TWINS_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000,
+         array_to_string(({_DUCK_TOKS})[1:len({_DUCK_TOKS}) - 1], ' ')
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS w FROM corpus
+),
+wb AS (
+  SELECT doc_id, r.i AS i,
+    CASE WHEN CAST(floor(
+        (strpos('0123456789abcdef', substring(md5(w), CAST(r.i // 4 AS INTEGER) + 1, 1)) - 1)
+        / pow(2, r.i % 4)) AS INTEGER) % 2 = 1
+      THEN 1 ELSE -1 END AS c
+  FROM toks, range(0, 64) r(i)
+),
+bits AS (
+  SELECT doc_id, i, CASE WHEN SUM(c) > 0 THEN 1 ELSE 0 END AS bit
+  FROM wb GROUP BY doc_id, i
+)
+SELECT a.doc_id,
+  CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS INTEGER) AS hamming_dist
+FROM bits a JOIN bits b ON b.doc_id = a.doc_id + 10000 AND a.i = b.i
+GROUP BY a.doc_id
+"""
+
+
+@query("dedup_simhash_twins", oracle=SIMHASH_TWINS_ORACLE, category="llm-dedup")
+def dedup_simhash_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash is deterministic (md5-derived), so the 64-bit hamming
+    distance between each doc and its perturbed twin is fully
+    oracle-checkable — near-dups land close to 0, far from the ~32 of
+    unrelated docs."""
+    corpus = _with_perturbed_copies(spark, sf_dir)
+    sh = corpus.select("doc_id", simhash64(tokenize_ws("text")).alias("bits"))
+    a = sh.filter(F.col("doc_id") < 10000)
+    b = sh.select((F.col("doc_id") - 10000).alias("doc_id"), F.col("bits").alias("bits_b"))
+    return (
+        a.join(b, "doc_id")
+        .select("doc_id", hamming("bits", "bits_b").alias("hamming_dist"))
+    )
+
+
+@query("dedup_simhash_pairs", oracle=None, category="llm-dedup")
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-dup pair mining (band-bucket equi-join
+    candidates, exact hamming verify). Deterministic, but the banded
+    candidate set has no tractable SQL twin → rows-only here;
+    tests assert every planted twin pair is recovered."""
+    corpus = _with_perturbed_copies(spark, sf_dir)
+    return simhash_pairs(corpus, "doc_id", "text", max_hamming=10, bands=4)
+
+
+@query("dedup_minhash_lsh", oracle=None, category="llm-dedup")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates (pyspark.ml, seed=42) —
+    the sub-quadratic scale path; randomized → rows-only + recall
+    tests against the exact Jaccard twin."""
+    corpus = _with_perturbed_copies(spark, sf_dir)
+    return minhash_lsh_pairs(
+        corpus, "doc_id", "text", n=3, max_jaccard_distance=0.5, seed=42
+    )

@@ -1,0 +1,166 @@
+"""Similarity-search queries over embeddings (SURVEY.md §2.12):
+exact brute-force knn (the correctness anchor), deterministic IVF
+(the oracle-checkable scale path), LSH (randomized scale path,
+rows-only + recall tests), embedding near-dup pairs, and the
+multimodal feature-extraction plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators.multimodal import attach_media, extract_features
+from ..operators.similarity import (
+    embedding_dup_pairs,
+    ivf_knn,
+    knn_bruteforce,
+    lsh_knn,
+)
+from ..registry import query
+
+# Shared SQL fragment: cosine between two vectors a.v / b.v summed
+# over the 64 dims, all accumulation in DOUBLE (float32 accumulation
+# drifts ~1e-8 — SURVEY.md §8.3).
+_COS = (
+    "SUM(CAST({a}[r.i] AS DOUBLE) * CAST({b}[r.i] AS DOUBLE))"
+    " / (sqrt(SUM(CAST({a}[r.i] AS DOUBLE) * CAST({a}[r.i] AS DOUBLE)))"
+    " * sqrt(SUM(CAST({b}[r.i] AS DOUBLE) * CAST({b}[r.i] AS DOUBLE))))"
+)
+
+KNN_BRUTE_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    {_COS.format(a="q.v", b="c.v")} AS cs
+  FROM e q, e c, range(1, 65) r(i)
+  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+  GROUP BY q.vec_id, c.vec_id
+)
+SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim, rn FROM (
+  SELECT query_id, neighbor_id, cs,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS BIGINT) AS rn
+  FROM sims
+) WHERE rn <= 5
+"""
+
+
+@query("knn_bruteforce_cosine", oracle=KNN_BRUTE_ORACLE, category="llm-knn")
+def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for query vectors vec_id < 20.
+    Query side broadcast (documented cross-join bound); dot products
+    are JVM-side zip_with/aggregate — no UDF, no collect."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return knn_bruteforce(e.filter(F.col("vec_id") < 20), e, k=5)
+
+
+KNN_IVF_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 31 = 0),
+cent_sims AS (
+  SELECT a.vec_id, c.cent_id, {_COS.format(a="a.v", b="c.cv")} AS cs
+  FROM e a, cents c, range(1, 65) r(i)
+  GROUP BY a.vec_id, c.cent_id
+),
+assign AS (
+  SELECT vec_id AS neighbor_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
+    FROM cent_sims) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
+    FROM cent_sims WHERE vec_id < 20) WHERE rn <= 4
+),
+cand AS (
+  SELECT p.query_id, m.neighbor_id
+  FROM probes p JOIN assign m USING (cent_id)
+  WHERE p.query_id <> m.neighbor_id
+),
+cand_sims AS (
+  SELECT cd.query_id, cd.neighbor_id, {_COS.format(a="q.v", b="n.v")} AS cs
+  FROM cand cd
+  JOIN e q ON q.vec_id = cd.query_id
+  JOIN e n ON n.vec_id = cd.neighbor_id,
+  range(1, 65) r(i)
+  GROUP BY cd.query_id, cd.neighbor_id
+)
+SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim, rn FROM (
+  SELECT query_id, neighbor_id, cs,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS BIGINT) AS rn
+  FROM cand_sims
+) WHERE rn <= 5
+"""
+
+
+@query("knn_ivf", oracle=KNN_IVF_ORACLE, category="llm-knn")
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF two-level knn, fully deterministic (stride centroids, id
+    tie-breaks) and therefore oracle-checked end-to-end: assign →
+    probe 4 clusters → exact rerank. Per-query work is ~nprobe/k of
+    brute force; candidate generation is an equi-join on cent_id."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_knn(e.filter(F.col("vec_id") < 20), e, k=5, nprobe=4, centroid_stride=31)
+
+
+@query("knn_lsh", oracle=None, category="llm-knn")
+def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection LSH knn on unit vectors (seed=42) — the
+    randomized scale path; rows-only + recall-vs-bruteforce test."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return lsh_knn(e.filter(F.col("vec_id") < 20), e, k=5)
+
+
+EMB_DEDUP_ORACLE = f"""
+WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100),
+pert AS (
+  SELECT vec_id + 10000 AS vec_id,
+    list_append(list_transform(embedding[1:63], x -> CAST(x AS DOUBLE)),
+                CAST(embedding[64] AS DOUBLE) + 0.05) AS v
+  FROM base
+),
+corpus AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM base
+  UNION ALL SELECT vec_id, v FROM pert
+),
+sims AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS.format(a="a.v", b="b.v")} AS cs
+  FROM corpus a, corpus b, range(1, 65) r(i)
+  WHERE a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT id_a, id_b, round(cs, 6) AS cos_sim FROM sims WHERE cs >= 0.99
+"""
+
+
+@query("embedding_dedup_pairs", oracle=EMB_DEDUP_ORACLE, category="llm-knn")
+def embedding_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical embedding detection: corpus = first 100 vectors
+    ∪ slightly-perturbed twins; emits pairs with cosine ≥ 0.99 (the
+    planted twins). All-pairs here is the documented correctness
+    path; candidate generation swaps to LSH/IVF buckets at scale."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    base = e.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    pert = e.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.concat(
+            F.transform(F.slice("embedding", 1, 63), lambda x: x.cast("double")),
+            F.array(F.element_at("embedding", 64).cast("double") + 0.05),
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(pert)
+    return embedding_dup_pairs(corpus, "vec_id", "embedding", min_cos=0.99)
+
+
+@query("multimodal_features", oracle=None, category="llm-multimodal")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: documents' bytes stand in for media
+    payloads (binary column + mime metadata), features extracted by an
+    Arrow-batched mapInPandas kernel (deterministic stub where a real
+    codec would slot in). Rows-only: the sha256/feature math is
+    byte-level Python, not SQL-expressible."""
+    d = load_table(spark, sf_dir, "documents")
+    media = attach_media(d, "doc_id", "text", "text/plain")
+    return extract_features(media, dim=8)

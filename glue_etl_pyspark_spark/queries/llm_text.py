@@ -1,0 +1,285 @@
+"""Text-analysis queries over the documents table (SURVEY.md §2.12):
+token stats, quality scoring, language-ID, term frequency, TF-IDF,
+fingerprinting. All pure-SQL-expressible → all DuckDB-oracled.
+
+Float policy: derived ratios/scores are plain arithmetic on identical
+inputs (no rounding needed — both engines produce the same doubles);
+only ln-based scores are rounded."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    BPE_ISH_PATTERN,
+    EN_STOPWORDS,
+    doc_fingerprint,
+    tokenize_ws,
+)
+from ..io import load_table
+from ..registry import query
+
+# DuckDB twin of tokenize_ws
+_DUCK_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+_DUCK_STOPLIST = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+
+TOKEN_STATS_ORACLE = f"""
+SELECT doc_id,
+  CAST(len({_DUCK_TOKS}) AS INTEGER) AS n_tokens_ws,
+  CAST(len(regexp_extract_all(lower(text), '{BPE_ISH_PATTERN}', 0)) AS INTEGER) AS n_tokens_bpe,
+  CAST(len(list_distinct({_DUCK_TOKS})) AS INTEGER) AS n_uniq,
+  n_chars / len({_DUCK_TOKS}) AS chars_per_token
+FROM documents
+"""
+
+
+@query("text_token_stats", oracle=TOKEN_STATS_ORACLE, category="llm-text")
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex token count
+    (the cheap proxy for tokenizer cost estimation over a corpus)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize_ws("text")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens_ws"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_ISH_PATTERN), 0)).alias(
+            "n_tokens_bpe"
+        ),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        (F.col("n_chars") / F.size(toks)).alias("chars_per_token"),
+    )
+
+
+QUALITY_ORACLE = f"""
+SELECT doc_id,
+  CAST(len(toks) AS INTEGER) AS n_tokens,
+  len(list_distinct(toks)) * 1.0 / len(toks) AS uniq_ratio,
+  len(list_filter(toks, t -> list_contains({_DUCK_STOPLIST}, t))) * 1.0 / len(toks) AS stop_ratio,
+  n_chars * 1.0 / len(toks) AS avg_token_len,
+  0.5 * (len(list_distinct(toks)) * 1.0 / len(toks))
+    + 0.3 * least(len(toks) / 50.0, 1.0)
+    + 0.2 * (1.0 - len(list_filter(toks, t -> list_contains({_DUCK_STOPLIST}, t))) * 1.0 / len(toks))
+    AS quality_score
+FROM (SELECT doc_id, n_chars, {_DUCK_TOKS} AS toks FROM documents)
+WHERE len(toks) > 0
+"""
+
+
+@query("text_quality_score", oracle=QUALITY_ORACLE, category="llm-text")
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: uniqueness + length + stopword
+    ratios, the standard cheap pre-filter for training-data curation."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", "n_chars", tokenize_ws("text").alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    n = F.size("toks")
+    n_uniq = F.size(F.array_distinct("toks"))
+    stoplist = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_stop = F.size(F.filter("toks", lambda t: F.array_contains(stoplist, t)))
+    uniq_ratio = n_uniq * F.lit(1.0) / n
+    stop_ratio = n_stop * F.lit(1.0) / n
+    return base.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        uniq_ratio.alias("uniq_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        (F.col("n_chars") * F.lit(1.0) / n).alias("avg_token_len"),
+        (
+            0.5 * uniq_ratio
+            + 0.3 * F.least(n / F.lit(50.0), F.lit(1.0))
+            + 0.2 * (F.lit(1.0) - stop_ratio)
+        ).alias("quality_score"),
+    )
+
+
+TERM_FREQ_ORACLE = """
+WITH tf AS (
+  SELECT lang, unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS token
+  FROM documents
+),
+counts AS (
+  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS freq FROM tf GROUP BY lang, token
+)
+SELECT lang, token, freq, rn FROM (
+  SELECT lang, token, freq,
+    CAST(row_number() OVER (PARTITION BY lang ORDER BY freq DESC, token) AS BIGINT) AS rn
+  FROM counts
+) WHERE rn <= 5
+"""
+
+
+@query("text_term_freq", oracle=TERM_FREQ_ORACLE, category="llm-text")
+def text_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per language: explode → count → windowed top-k.
+    The shuffle key is (lang, token) — partial aggregation collapses
+    per-partition counts before the wire at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select("lang", F.explode(tokenize_ws("text")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("freq").desc(), F.col("token"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "token", "freq", "rn")
+    )
+
+
+TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, token),
+df AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY token),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+    round(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, tf, df, tfidf, rn FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS BIGINT) AS rn
+  FROM scored
+) WHERE rn <= 3 AND doc_id < 100
+"""
+
+
+@query("text_tfidf", oracle=TFIDF_ORACLE, category="llm-text")
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-SQL TF-IDF (tf x ln(N/df) via joins — oracle-checkable,
+    unlike HashingTF+IDF): top-3 terms per doc for doc_id < 100.
+    N arrives by broadcast cross join of a 1-row aggregate — no
+    driver-side collect."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokenize_ws("text")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") * F.lit(1.0) / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter((F.col("rn") <= 3) & (F.col("doc_id") < 100))
+        .select("doc_id", "token", "tf", "df", "tfidf", "rn")
+    )
+
+
+_DUCK_NIB = "strpos('0123456789abcdef', substring(h, {pos}, 1)) - 1"
+
+FINGERPRINT_ORACLE = """
+WITH ws AS (
+  SELECT doc_id, lower(text) AS lt,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) < 3 THEN []
+         ELSE list_transform(range(1, len(toks) - 1),
+              i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+    END AS hashes,
+    lt
+  FROM ws
+)
+SELECT doc_id,
+  COALESCE(list_aggregate(hashes, 'min'), md5(lt)) AS fingerprint
+FROM sh
+"""
+
+
+@query("text_fingerprint", oracle=FINGERPRINT_ORACLE, category="llm-text")
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: minimum md5 over word 3-shingles
+    (1-permutation MinHash — the grouping key for cheap near-dup
+    bucketing; cross-engine stable because md5 is)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", doc_fingerprint("text", 3).alias("fingerprint"))
+
+
+LANGID_ORACLE = """
+WITH grams AS (
+  SELECT doc_id, lang,
+    list_distinct(list_transform(range(1, greatest(length(text) - 1, 1)),
+                  i -> substring(text, CAST(i AS INTEGER), 3))) AS tri
+  FROM documents
+),
+doc_tri AS (SELECT doc_id, lang, unnest(tri) AS g FROM grams),
+profile AS (
+  SELECT lang AS plang, g, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM doc_tri GROUP BY lang, g
+),
+top_profile AS (
+  SELECT plang, g FROM (
+    SELECT plang, g, row_number() OVER (PARTITION BY plang ORDER BY freq DESC, g) AS rn
+    FROM profile
+  ) WHERE rn <= 20
+),
+overlap AS (
+  SELECT d.doc_id, d.lang, p.plang, CAST(COUNT(*) AS BIGINT) AS hits
+  FROM doc_tri d JOIN top_profile p ON d.g = p.g
+  GROUP BY d.doc_id, d.lang, p.plang
+)
+SELECT doc_id, lang, plang AS predicted_lang, hits FROM (
+  SELECT doc_id, lang, plang, hits,
+    row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, plang) AS rn
+  FROM overlap
+) WHERE rn = 1
+"""
+
+
+@query("text_language_id", oracle=LANGID_ORACLE, category="llm-text")
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language-ID: per-language trigram profiles
+    are trained from the corpus itself (top-20 trigrams by frequency),
+    then each doc is scored by profile overlap and argmax-labelled.
+    Two aggregation passes + one broadcastable profile join — the
+    standard heuristic langid shape, no model dependency."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 2, 1)),"
+                " i -> substring(text, i, 3))"
+            )
+        ).alias("tri"),
+    )
+    doc_tri = grams.select("doc_id", "lang", F.explode("tri").alias("g"))
+    profile = doc_tri.groupBy(F.col("lang").alias("plang"), "g").agg(
+        F.count(F.lit(1)).alias("freq")
+    )
+    wp = Window.partitionBy("plang").orderBy(F.col("freq").desc(), F.col("g"))
+    top_profile = (
+        profile.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= 20)
+        .select("plang", "g")
+    )
+    overlap = (
+        doc_tri.join(F.broadcast(top_profile), "g")
+        .groupBy("doc_id", "lang", "plang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    wd = Window.partitionBy("doc_id").orderBy(F.col("hits").desc(), F.col("plang"))
+    return (
+        overlap.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", F.col("plang").alias("predicted_lang"), "hits")
+    )
