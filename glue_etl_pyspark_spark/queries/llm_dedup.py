@@ -73,11 +73,11 @@ WITH corpus AS (
 ),
 sh AS (
   SELECT doc_id AS id, list_distinct(
-    CASE WHEN len(toks) < 3 THEN []
-         ELSE list_transform(range(1, len(toks) - 1),
-              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS shs
+    CASE WHEN len(toks) < 4 THEN []
+         ELSE list_transform(range(1, len(toks) - 2),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END) AS shs
   FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM corpus)
-  WHERE len(toks) >= 3
+  WHERE len(toks) >= 4
 ),
 inv AS (SELECT id, unnest(shs) AS shingle FROM sh),
 sizes AS (SELECT id, len(shs) AS n_sh FROM sh),
@@ -97,11 +97,14 @@ WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.6
 
 @query("dedup_ngram_jaccard", oracle=NGRAM_JACCARD_ORACLE, category="llm-dedup")
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs via the inverted shingle
+    """Exact 4-gram Jaccard near-dup pairs via the inverted shingle
     index — the oracle-checkable twin of MinHash-LSH. Every planted
-    (doc, doc-minus-last-word) twin scores close to 1."""
+    (doc, doc-minus-last-word) twin scores close to 1. 4-grams, not
+    3-grams: this corpus's vocabulary is tiny, so the 3-gram space
+    saturates (avg shingle df ~19) and even prefix-filtered candidate
+    generation goes quadratic; 4-gram df is ~1-2."""
     corpus = _with_perturbed_copies(spark, sf_dir)
-    return ngram_jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.6)
+    return ngram_jaccard_pairs(corpus, "doc_id", "text", n=4, threshold=0.6)
 
 
 SIMHASH_TWINS_ORACLE = f"""

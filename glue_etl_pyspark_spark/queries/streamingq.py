@@ -1,0 +1,292 @@
+"""Streaming queries (SURVEY.md §2.10) with oracled batch twins.
+
+Pattern: each streaming query drains the bounded events replay
+through a memory sink (rows-only check), and its batch twin computes
+the same answer with batch operators + a DuckDB oracle — so the
+window semantics are still hash-verified.
+
+Aggregating streams use complete mode: under availableNow the whole
+replay is one micro-batch, so append mode would emit nothing (the
+watermark only advances after the batch — windows never close within
+it). The watermark is still declared: it is what bounds state at
+scale."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import query
+from ..streaming.ops import drain_to_memory, events_stream, foreach_batch_collect
+
+# --------------------------------------------------------------------------
+# tumbling window
+
+TUMBLING_BATCH_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+  CAST(COUNT(*) AS BIGINT) AS n, SUM(value) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+@query("window_tumbling_batch", oracle=TUMBLING_BATCH_ORACLE, category="streaming")
+def window_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the tumbling-window stream: window().start equals
+    date_trunc('hour') exactly (verified SURVEY.md §8.4)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query("stream_tumbling", oracle=None, category="streaming")
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour counts over the replayed events stream with a
+    1-hour watermark; drained via availableNow → memory sink. Must
+    agree with window_tumbling_batch (asserted in tests)."""
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    return drain_to_memory(agg, mode="complete")
+
+
+# --------------------------------------------------------------------------
+# sliding window
+
+SLIDING_BATCH_ORACLE = """
+WITH slid AS (
+  SELECT date_trunc('hour', ts)
+           + to_minutes(CAST(15 * (minute(ts) // 15) AS BIGINT))
+           - to_minutes(CAST(15 * j.j AS BIGINT)) AS window_start,
+         value
+  FROM events, range(0, 4) j(j)
+)
+SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n, SUM(value) AS sum_value
+FROM slid GROUP BY window_start
+"""
+
+
+@query("window_sliding_batch", oracle=SLIDING_BATCH_ORACLE, category="streaming")
+def window_sliding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of a 1h/15min sliding window: each event belongs to
+    exactly 4 windows (offset-explode in the oracle)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query("stream_sliding", oracle=None, category="streaming")
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/15min windowed sums over the stream (complete mode
+    drain; watermark declared for state bounding)."""
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            "n",
+            "sum_value",
+        )
+    )
+    return drain_to_memory(agg, mode="complete")
+
+
+# --------------------------------------------------------------------------
+# session window
+
+SESSION_BATCH_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+f AS (
+  SELECT user_id, ts,
+    CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM o
+),
+g AS (
+  SELECT user_id, ts,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM f
+)
+SELECT user_id, MIN(ts) AS session_start,
+  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM g GROUP BY user_id, sid
+"""
+
+
+@query("window_session_batch", oracle=SESSION_BATCH_ORACLE, category="streaming")
+def window_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min gap) — session_window works in batch
+    groupBy and matches the gaps-and-islands SQL twin exactly
+    (SURVEY.md §8.4: 946 sessions at sf0.001)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_window.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query("stream_session", oracle=None, category="streaming")
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows on the stream (stateful merge of adjacent
+    sessions per key; complete-mode drain)."""
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_window.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+    )
+    return drain_to_memory(agg, mode="complete")
+
+
+# --------------------------------------------------------------------------
+# streaming dedup / stream-static join / foreachBatch / stateful
+
+@query("stream_dedup", oracle=None, category="streaming")
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark over a deliberately-duplicated
+    stream (the replay unioned with itself): every event_id arrives
+    twice, exactly one survives. State is bounded by the watermark —
+    the scale guarantee vs. unbounded dropDuplicates."""
+    a = events_stream(spark, sf_dir)
+    b = events_stream(spark, sf_dir)
+    dup = a.unionByName(b)
+    dedup = dup.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(["event_id"])
+    return drain_to_memory(dedup.select("event_id", "ts", "user_id", "event_type"), mode="append")
+
+
+STREAM_STATIC_BATCH_ORACLE = """
+SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n, SUM(e.value) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@query("stream_static_join_batch", oracle=STREAM_STATIC_BATCH_ORACLE, category="streaming")
+def stream_static_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-static enrich join."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        ev.join(F.broadcast(cust), ev["user_id"] == cust["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+    )
+
+
+@query("stream_static_join", oracle=None, category="streaming")
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: each micro-batch hash-joins against the
+    broadcast customer dim (no stream-side state needed)."""
+    s = events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    joined = (
+        s.join(F.broadcast(cust), s["user_id"] == cust["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+    )
+    return drain_to_memory(joined, mode="complete")
+
+
+@query("stream_foreachbatch", oracle=None, category="streaming")
+def stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch custom sink (the Glue streaming-job hook): per-
+    event-type value sums collected batch-by-batch."""
+    s = events_stream(spark, sf_dir)
+    agg = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value")
+    )
+    return foreach_batch_collect(agg)
+
+
+@query("stream_stateful_counts", oracle=None, category="streaming")
+def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful per-key operator (applyInPandasWithState):
+    running event count + value sum per user, state persisted in the
+    state store between micro-batches."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    s = events_stream(spark, sf_dir)
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(total, 6)]}
+        )
+
+    out = s.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, sum_value double",
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return drain_to_memory(out, mode="update")
+
+
+# --------------------------------------------------------------------------
+# incremental (job bookmark) source
+
+BOOKMARK_ORACLE = """
+SELECT event_id, ts, user_id, event_type, value
+FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+"""
+
+
+@query("incremental_bookmark", oracle=BOOKMARK_ORACLE, category="streaming")
+def incremental_bookmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Glue job-bookmark semantics, batch flavor: a high-watermark
+    predicate selects only rows newer than the last run's position
+    (the predicate pushes to the scan; at scale it prunes whole
+    partitions of a ts-partitioned table)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(
+        F.col("ts") > F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+    ).select("event_id", "ts", "user_id", "event_type", "value")

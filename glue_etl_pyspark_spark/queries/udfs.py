@@ -1,0 +1,160 @@
+"""UDF/UDAF/UDTF surface queries (SURVEY.md §2.11).
+
+Each Python-execution path is exercised by a query whose math is also
+SQL-expressible, so the DuckDB oracle checks the UDF machinery
+end-to-end (serialization, Arrow batching, schema mapping) — not just
+that it runs. Ordered fastest-to-slowest path: pandas_udf (Arrow,
+vectorized) > applyInPandas/mapInPandas (Arrow, per-group/partition) >
+row-at-a-time udf (pickle; kept ONLY as the Glue ``Map.apply``
+compatibility demo — never use in a hot path)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..io import load_table
+from ..registry import query
+
+PANDAS_UDF_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+  l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+FROM lineitem WHERE l_quantity >= 45
+"""
+
+
+@query("udf_pandas_scalar", oracle=PANDAS_UDF_ORACLE, category="udf")
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized (Arrow) scalar pandas_udf; numpy does the identical
+    double arithmetic, so the oracle hash-matches."""
+    import pandas as pd
+
+    @pandas_udf("double")
+    def charge(price, disc, tax):  # pd.Series in, pd.Series out
+        return price * (1 - disc) * (1 + tax)
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        charge("l_extendedprice", "l_discount", "l_tax").alias("charge"),
+    )
+
+
+ROW_UDF_ORACLE = """
+SELECT o_orderkey,
+  upper(o_orderstatus) || ':' || CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR) AS tag
+FROM orders WHERE o_totalprice > 450000
+"""
+
+
+@query("udf_row_scalar", oracle=ROW_UDF_ORACLE, category="udf")
+def udf_row_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF — the Glue Map.apply compatibility
+    path. Registered for SQL use too (spark.udf.register). Kept off
+    hot paths by policy: ~10-100x slower than pandas_udf."""
+
+    def tag(status: str, total: float) -> str:
+        return f"{status.upper()}:{int(total)}"
+
+    spark.udf.register("order_tag", tag, "string")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_udf_view")
+    return spark.sql(
+        "SELECT o_orderkey, order_tag(o_orderstatus, o_totalprice) AS tag "
+        "FROM orders_udf_view WHERE o_totalprice > 450000"
+    )
+
+
+GROUPED_ORACLE = """
+SELECT user_id,
+  round((value - avg_v) / NULLIF(std_v, 0), 6) AS value_z,
+  event_id
+FROM (
+  SELECT user_id, event_id, value,
+    AVG(value) OVER (PARTITION BY user_id) AS avg_v,
+    STDDEV_SAMP(value) OVER (PARTITION BY user_id) AS std_v
+  FROM events
+)
+"""
+
+
+@query("udf_grouped_zscore", oracle=GROUPED_ORACLE, category="udf")
+def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (UDAF-ish): per-user z-scores. The
+    whole group arrives as one pandas frame (the operator contract a
+    plain window can't give you); oracle = the window-SQL equivalent.
+    Shuffles once on user_id, state bounded by max group size."""
+    import pandas as pd
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        std = pdf["value"].std(ddof=1)
+        avg = pdf["value"].mean()
+        z = (pdf["value"] - avg) / std if std and std > 0 else pd.Series([None] * len(pdf))
+        return pd.DataFrame(
+            {"user_id": pdf["user_id"], "value_z": z.round(6), "event_id": pdf["event_id"]}
+        )
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").applyInPandas(
+        zscore, schema="user_id bigint, value_z double, event_id bigint"
+    )
+
+
+MAPINPANDAS_ORACLE = """
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes_text,
+  CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
+FROM documents WHERE n_chars > 300
+"""
+
+
+@query("udf_mapinpandas", oracle=MAPINPANDAS_ORACLE, category="udf")
+def udf_mapinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas (iterator of Arrow batches → batches): constant
+    memory per task regardless of partition size — the shape for
+    batch-level Python (tokenizers, codecs)."""
+    import pandas as pd
+
+    def stats(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes_text": pdf["text"].str.len(),
+                    "n_tokens": pdf["text"].str.lower().str.split().str.len(),
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 300)
+    return d.mapInPandas(stats, schema="doc_id bigint, n_bytes_text bigint, n_tokens bigint")
+
+
+UDTF_ORACLE = """
+SELECT doc_id, unnest(string_split(lang || '|' || source, '|')) AS part
+FROM documents WHERE doc_id < 50
+"""
+
+
+@query("udf_table_function", oracle=UDTF_ORACLE, category="udf")
+def udf_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function, Spark >= 3.5): one input row →
+    many output rows, used laterally from SQL."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="part string")
+    class SplitParts:
+        def eval(self, s: str):
+            for p in s.split("|"):
+                yield (p,)
+
+    spark.udtf.register("split_parts", SplitParts)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    d.createOrReplaceTempView("docs_udtf_view")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.part
+        FROM docs_udtf_view d,
+             LATERAL split_parts(concat(d.lang, '|', d.source)) s
+        """
+    )

@@ -1,0 +1,110 @@
+"""Structured Streaming plumbing (SURVEY.md §2.10).
+
+The events parquet is replayed as a micro-batch file stream. Spark's
+file stream source requires a *directory*, and the driver's table
+layout is one flat dir with all ten tables — so we stage a per-table
+symlink directory under /tmp (read-only view of the source file, no
+data copied).
+
+Batch-equivalence discipline: every windowed streaming query here has
+an oracled batch twin registered next to it (tumbling ≡ date_trunc,
+sliding ≡ offset-explode, session ≡ gaps-and-islands), so the
+streaming semantics stay hash-checked even though streaming output
+itself is rows-only.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import ensure_session_configs
+
+_MEM_COUNTER = itertools.count()
+
+STAGE_ROOT = "/tmp/glue_etl_pyspark_spark_stream_stage"
+
+
+def stage_stream_dir(sf_dir: str, table: str = "events") -> str:
+    """Create (once) a directory containing only a symlink to
+    ``{sf_dir}/{table}.parquet`` — the file-stream source dir."""
+    key = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(STAGE_ROOT, key, table)
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, f"{table}.parquet")
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    if not os.path.islink(link):
+        os.symlink(src, link)
+    return d
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as a micro-batch stream with the same schema
+    and ts conversion as the batch loader (io.load_table): raw
+    TIMESTAMP(NANOS) longs become timestamp_ntz."""
+    ensure_session_configs(spark)
+    # schema from the batch reader (footer), including the raw ts long
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(raw_schema).parquet(stage_stream_dir(sf_dir))
+    # Watermarks reject TIMESTAMP_NTZ ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]),
+    # so the stream carries ltz `timestamp`; the session tz is pinned to UTC
+    # (session.RUNTIME_CONFS), so wall-clock values match the batch ntz ones,
+    # and streaming queries cast window bounds back to ntz at output.
+    if dict((f.name, f.dataType.simpleString()) for f in raw_schema.fields).get("ts") == "bigint":
+        stream = stream.select(
+            *[
+                F.expr("timestamp_micros(ts div 1000)").alias("ts")
+                if c == "ts"
+                else F.col(c)
+                for c in stream.columns
+            ]
+        )
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
+def drain_to_memory(
+    df: DataFrame, mode: str = "append", await_seconds: int = 120
+) -> DataFrame:
+    """Run a bounded streaming query to completion (availableNow) into
+    a memory sink and return the sink's contents as a batch DataFrame.
+
+    This is the test/driver harness for streaming queries — a real
+    deployment replaces it with writeStream.format(...)
+    .option("checkpointLocation", ...).start() and keeps the same
+    upstream plan. Memory sink is driver-local by design; only use it
+    on aggregated/bounded outputs.
+    """
+    name = f"mem_sink_{os.getpid()}_{next(_MEM_COUNTER)}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(await_seconds)
+    spark = df.sparkSession
+    return spark.table(name)
+
+
+def foreach_batch_collect(df: DataFrame, await_seconds: int = 120) -> DataFrame:
+    """Drain a stream through ``foreachBatch`` (the Glue
+    streaming-sink hook), appending each micro-batch's rows into an
+    accumulator, and return them as one batch DataFrame. Only for
+    small aggregated outputs — foreachBatch itself runs the batch
+    plan distributed; the collect here is the demo sink."""
+    spark = df.sparkSession
+    batches: list = []
+    schema = df.schema
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batches.extend(batch_df.collect())
+
+    q = df.writeStream.foreachBatch(sink).outputMode("update").trigger(availableNow=True).start()
+    q.awaitTermination(await_seconds)
+    return spark.createDataFrame(batches, schema) if batches else spark.createDataFrame([], schema)

@@ -1,0 +1,85 @@
+"""Plan-shape regression tests (SURVEY.md §4.2): pushdown, pruning,
+broadcast strategy, top-k physical operators. A change that silently
+loses one of these costs ~100x at the 100 TB target, so they're
+pinned here."""
+
+from __future__ import annotations
+
+from glue_etl_pyspark_spark.plans import (
+    assert_broadcast_joins,
+    assert_no_sort_merge_join,
+    assert_pushed_filter,
+    explain_str,
+    operator_counts,
+    read_schemas,
+)
+from glue_etl_pyspark_spark.registry import load_all
+
+
+def _df(spark, sf_dir, name):
+    return load_all()[name].fn(spark, sf_dir)
+
+
+def test_q1_filter_pushdown_and_partial_agg(spark, sf_dir):
+    df = _df(spark, sf_dir, "q1_pricing_summary")
+    assert_pushed_filter(df, "l_shipdate")
+    ops = operator_counts(df)
+    n_hash_agg = sum(v for k, v in ops.items() if "HashAggregate" in k)
+    assert n_hash_agg >= 2, f"expected partial+final HashAggregate: {ops}"
+
+
+def test_q1_column_pruning(spark, sf_dir):
+    df = _df(spark, sf_dir, "q1_pricing_summary")
+    [schema] = read_schemas(df)
+    # only the 7 needed columns reach the scan; the 4 others are pruned
+    assert "l_orderkey" not in schema and "l_partkey" not in schema
+    assert "l_extendedprice" in schema and "l_shipdate" in schema
+
+
+def test_apply_mapping_pushdown_through_projection(spark, sf_dir):
+    df = _df(spark, sf_dir, "apply_mapping_orders")
+    # the filter on the *renamed* column still reaches the scan
+    assert_pushed_filter(df, "o_totalprice")
+    [schema] = read_schemas(df)
+    assert "o_orderpriority" not in schema, "unused column not pruned"
+
+
+def test_multiway_join_is_all_broadcast(spark, sf_dir):
+    df = _df(spark, sf_dir, "join_multiway_revenue")
+    assert_broadcast_joins(df, at_least=4)
+    assert_no_sort_merge_join(df)
+
+
+def test_topk_global_is_take_ordered(spark, sf_dir):
+    df = _df(spark, sf_dir, "topk_global")
+    assert "TakeOrderedAndProject" in explain_str(df)
+
+
+def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
+    plan = explain_str(_df(spark, sf_dir, "topk_per_group"))
+    assert "WindowGroupLimit" in plan, "rank filter should push a group limit"
+
+
+def test_compound_filter_fully_pushed(spark, sf_dir):
+    df = _df(spark, sf_dir, "filter_compound")
+    assert_pushed_filter(df, "l_discount")
+    assert_pushed_filter(df, "l_quantity")
+    assert_pushed_filter(df, "l_returnflag")
+
+
+def test_stream_static_join_batch_broadcasts_dim(spark, sf_dir):
+    df = _df(spark, sf_dir, "stream_static_join_batch")
+    assert_broadcast_joins(df, at_least=1)
+    assert_no_sort_merge_join(df)
+
+
+def test_incremental_bookmark_pushes_watermark(spark, sf_dir):
+    df = _df(spark, sf_dir, "incremental_bookmark")
+    assert_pushed_filter(df, "ts")
+
+
+def test_partitioned_sink_read_prunes_partitions(spark, sf_dir):
+    df = _df(spark, sf_dir, "sink_partitioned_pruned")
+    plan = explain_str(df)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "order_year" in pf[0], f"no partition pruning: {pf}"
