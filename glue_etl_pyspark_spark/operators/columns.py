@@ -58,6 +58,9 @@ def resolve_choice(
     - ``("col", "make_cols:TYPE")`` — split into ``col_TYPE`` (the
       try_cast) and ``col_string`` (values that did not cast),
       mirroring Glue's per-type column split.
+    - ``("col", "make_struct:TYPE")`` — keep one column holding a
+      struct<TYPE, string> with exactly one branch non-null (Glue's
+      union-as-struct representation).
     """
     out = df
     for col, action in specs:
@@ -81,6 +84,16 @@ def resolve_choice(
                     F.when(casted.isNull(), F.col(col).cast("string")),
                 )
                 .drop(col)
+            )
+        elif action.startswith("make_struct:"):
+            t = action.split(":", 1)[1]
+            casted = F.expr(f"try_cast({col} AS {t})")
+            out = out.withColumn(
+                col,
+                F.struct(
+                    casted.alias(t),
+                    F.when(casted.isNull(), F.col(col).cast("string")).alias("string"),
+                ),
             )
         else:
             raise ValueError(f"unknown resolve_choice action {action!r}")

@@ -6,6 +6,7 @@ each module covers one SURVEY.md §2 area.
 
 from . import (  # noqa: F401
     aggregates,
+    extras,
     filters,
     io_q,
     joins_q,

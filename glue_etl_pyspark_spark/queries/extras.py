@@ -1,0 +1,294 @@
+"""Coverage for the remaining SURVEY.md §2 inventory rows: extra
+window analytics, sum(DISTINCT), GROUPING SETS, intersectAll/
+exceptAll, map functions, date arithmetic, lexicon-join sentiment
+scoring, and the Glue Map/Filter.apply record callbacks."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table, register_views
+from ..operators.record_ops import glue_filter, glue_map
+from ..registry import query
+
+ANALYTIC2_ORACLE = """
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+  round(percent_rank() OVER w, 6) AS pct_rank,
+  round(cume_dist() OVER w, 6) AS cume,
+  nth_value(o_totalprice, 2) OVER (PARTITION BY o_orderstatus
+    ORDER BY o_totalprice DESC, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_highest
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+"""
+
+
+@query("window_analytic_extra", oracle=ANALYTIC2_ORACLE, category="window")
+def window_analytic_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / nth_value (§2.6 remainder)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("o_totalprice", 2).over(wf).alias("second_highest"),
+    )
+
+
+SUM_DISTINCT_ORACLE = """
+SELECT l_returnflag,
+  SUM(DISTINCT l_quantity) AS sum_uniq_qty,
+  SUM(l_quantity) AS sum_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("agg_sum_distinct", oracle=SUM_DISTINCT_ORACLE, category="agg")
+def agg_sum_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sum(DISTINCT ...) next to the plain sum (§2.5 remainder)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum_distinct(F.col("l_quantity")).alias("sum_uniq_qty"),
+        F.sum("l_quantity").alias("sum_qty"),
+    )
+
+
+GROUPING_SETS_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+  CAST(COUNT(*) AS BIGINT) AS cnt
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@query("agg_grouping_sets", oracle=GROUPING_SETS_ORACLE, category="agg")
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL entry point — a set
+    rollup/cube can't express: (status), (priority), and grand total,
+    but no (status, priority) pairs."""
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+          grouping_id(o_orderstatus, o_orderpriority) AS gid,
+          COUNT(*) AS cnt
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+SETOPS_ALL_ORACLE = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+@query("setops_intersect_all", oracle=SETOPS_ALL_ORACLE, category="setop")
+def setops_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intersectAll: bag intersection preserves multiplicity
+    (min of the two sides' counts per value)."""
+    o = load_table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersectAll(op)
+
+
+MAP_FUNCS_ORACLE = """
+SELECT event_id,
+  [CAST(json_extract_string(props, '$.k') AS INTEGER)] AS vals,
+  [CAST(json_extract_string(props, '$.k') AS INTEGER) * 2] AS vals_x2,
+  ['k', 'extra'] AS all_keys,
+  CAST(json_extract_string(props, '$.k') AS INTEGER) + 1 AS k_from_entries
+FROM events WHERE event_id < 1000
+"""
+
+
+@query("func_map_ops", oracle=MAP_FUNCS_ORACLE, category="function")
+def func_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map_values / transform_values / map_concat / map_from_entries
+    (§2.9 map family remainder). Outputs are projected to arrays and
+    scalars — MAP-typed result columns aren't comparable across
+    engines, the map ops themselves are what's exercised."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    m = F.from_json("props", "map<string,int>")
+    merged = F.map_concat(m, F.create_map(F.lit("extra"), F.lit(0)))
+    from_entries = F.map_from_entries(
+        F.transform(F.map_entries(m), lambda e: F.struct(e["key"], e["value"] + 1))
+    )
+    return ev.select(
+        "event_id",
+        F.map_values(m).alias("vals"),
+        F.map_values(F.transform_values(m, lambda _k, v: v * 2)).alias("vals_x2"),
+        F.map_keys(merged).alias("all_keys"),
+        F.element_at(from_entries, "k").alias("k_from_entries"),
+    )
+
+
+DATE_ARITH_ORACLE = """
+SELECT o_orderkey,
+  make_date(CAST(year(o_orderdate) AS INTEGER), 7, 1) AS mid_year,
+  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+  CAST(o_orderdate AS DATE) - 15 AS minus_15d,
+  make_timestamp(epoch_us(o_orderdate)) AS ts_roundtrip
+FROM orders
+"""
+
+
+@query("func_date_arith", oracle=DATE_ARITH_ORACLE, category="function")
+def func_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """make_date / add_months / date_sub / epoch-microsecond
+    round-trip (§2.9 date family remainder)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.make_date(F.year("o_orderdate"), F.lit(7), F.lit(1)).alias("mid_year"),
+        F.add_months(F.to_date("o_orderdate"), 3).alias("plus_3m"),
+        F.date_sub(F.to_date("o_orderdate"), 15).alias("minus_15d"),
+        F.timestamp_micros(F.unix_micros(F.col("o_orderdate").cast("timestamp")))
+        .cast("timestamp_ntz")
+        .alias("ts_roundtrip"),
+    )
+
+
+_LEXICON = [
+    ("fast", 2), ("small", 1), ("new", 1), ("hot", 1),
+    ("slow", -2), ("big", -1), ("old", -1), ("error", -2),
+]
+_LEX_SQL = ", ".join(f"('{w}', {s})" for w, s in _LEXICON)
+
+SENTIMENT_ORACLE = f"""
+WITH lex(word, weight) AS (VALUES {_LEX_SQL}),
+toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS word
+  FROM documents
+)
+SELECT t.doc_id,
+  CAST(SUM(l.weight) AS BIGINT) AS sentiment,
+  CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM toks t JOIN lex l USING (word)
+GROUP BY t.doc_id
+"""
+
+
+@query("text_sentiment_lexicon", oracle=SENTIMENT_ORACLE, category="llm-text")
+def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-join sentiment/keyword tagging (§2.12, EDBT'16 shape):
+    exploded tokens ⋈ broadcast lexicon → per-doc weight sum. The
+    lexicon is the canonical broadcast-join small side — at 100 TB the
+    token stream never shuffles for it."""
+    from ..functions.text import tokenize_ws
+
+    d = load_table(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(_LEXICON, "word string, weight int")
+    toks = d.select("doc_id", F.explode(tokenize_ws("text")).alias("word"))
+    return (
+        toks.join(F.broadcast(lex), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("weight").cast("bigint").alias("sentiment"),
+            F.count(F.lit(1)).alias("n_hits"),
+        )
+    )
+
+
+GLUE_MAP_ORACLE = """
+SELECT o_orderkey, CAST(floor(o_totalprice / 1000) * 1000 AS BIGINT) AS price_bucket,
+  lower(o_orderpriority) AS priority_lc
+FROM orders WHERE o_orderstatus = 'P'
+"""
+
+
+@query("glue_map_filter", oracle=GLUE_MAP_ORACLE, category="udf")
+def glue_map_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Glue Map.apply + Filter.apply with real per-record Python
+    callbacks (Arrow-batched under the hood); oracle = the SQL twin of
+    the same logic."""
+    o = load_table(spark, sf_dir, "orders")
+    kept = glue_filter(o, lambda rec: rec["o_orderstatus"] == "P")
+    return glue_map(
+        kept,
+        lambda rec: {
+            "o_orderkey": rec["o_orderkey"],
+            "price_bucket": int(rec["o_totalprice"] // 1000) * 1000,
+            "priority_lc": rec["o_orderpriority"].lower(),
+        },
+        schema="o_orderkey bigint, price_bucket bigint, priority_lc string",
+    )
+
+
+STOPWORD_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS word
+  FROM documents
+),
+filtered AS (
+  SELECT doc_id, word FROM toks
+  WHERE NOT list_contains(['a','an','and','are','as','at','be','by','for','from',
+    'has','he','in','is','it','its','of','on','or','that','the','to','was',
+    'were','will','with','this','these','those'], word)
+)
+, counts AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM filtered GROUP BY word
+)
+SELECT word, freq, rn FROM (
+  SELECT word, freq,
+    CAST(row_number() OVER (ORDER BY freq DESC, word) AS BIGINT) AS rn
+  FROM counts
+) WHERE rn <= 20
+"""
+
+
+@query("text_stopword_topterms", oracle=STOPWORD_ORACLE, category="llm-text")
+def text_stopword_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword removal (array_except against a broadcast list) →
+    corpus top-20 terms (§2.12 stopword-removal row)."""
+    from ..functions.text import EN_STOPWORDS, tokenize_ws
+
+    d = load_table(spark, sf_dir, "documents")
+    stoplist = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    # NOT array_except: that is a set op and would collapse duplicate
+    # words within a doc; filter keeps multiplicity
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(tokenize_ws("text"), lambda t: ~F.array_contains(stoplist, t))
+        ).alias("word"),
+    )
+    counts = toks.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    # top-k first (TakeOrderedAndProject — per-partition heaps), THEN
+    # rank the 20 survivors; a global row_number over all counts would
+    # single-partition the whole vocabulary
+    top = counts.orderBy(F.col("freq").desc(), F.col("word")).limit(20)
+    w = Window.orderBy(F.col("freq").desc(), F.col("word"))
+    return top.select(
+        "word", "freq", F.row_number().over(w).cast("bigint").alias("rn")
+    )
+
+
+@query("func_spark_only", oracle=None, category="function")
+def func_spark_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functions with no DuckDB equivalent (initcap, months_between,
+    format_string, bround, conv, xxhash64, crc32) — rows-only by
+    necessity; unit-tested for spot values in tests/."""
+    d = load_table(spark, sf_dir, "documents")
+    o = load_table(spark, sf_dir, "orders").limit(100)
+    return o.crossJoin(d.limit(1)).select(
+        "o_orderkey",
+        F.initcap(F.substring("text", 1, 20)).alias("head_title"),
+        F.months_between(F.lit("1998-06-15").cast("timestamp_ntz"), F.col("o_orderdate")).alias("months_to_98h1"),
+        F.format_string("order-%06d", "o_orderkey").alias("tag"),
+        F.bround(F.col("o_totalprice"), -3).alias("price_k"),
+        F.conv(F.lit("ff"), 16, 10).alias("conv_255"),
+        F.xxhash64("o_orderpriority").alias("xx"),
+        F.crc32(F.col("o_orderpriority").cast("binary")).alias("crc"),
+    )

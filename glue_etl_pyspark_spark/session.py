@@ -67,6 +67,14 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # local fixtures are single small parquet files; the 128m default
+        # would scan them as 1-3 tasks on a 32-core box. On a real cluster
+        # with TB-scale multi-file tables, keep the default (set the env
+        # var to 128m) — more splits than row groups buys nothing there.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+        )
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

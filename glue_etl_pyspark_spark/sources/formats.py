@@ -81,3 +81,17 @@ def write_partitioned_parquet(
 ) -> str:
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
     return path
+
+
+def write_avro(df: DataFrame, path: str) -> str:
+    """Avro sink. The spark-avro module is an external jar not present
+    in this environment (no network to fetch it); the call surfaces
+    Spark's own guidance if missing. Plumbing is format("avro") either
+    way."""
+    df.write.mode("overwrite").format("avro").save(path)
+    return path
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro scan (see write_avro note on module availability)."""
+    return spark.read.format("avro").load(path)

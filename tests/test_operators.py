@@ -117,3 +117,20 @@ def test_approx_count_distinct_tolerance(spark, sf_dir):
     df = load_all()["agg_approx_distinct"].fn(spark, sf_dir)
     for r in df.collect():
         assert abs(r.approx_orders - r.exact_orders) / r.exact_orders < 0.06
+
+
+def test_resolve_choice_make_struct(spark):
+    df = spark.createDataFrame([("123",), ("abc",), (None,)], "v string")
+    out = resolve_choice(df, [("v", "make_struct:int")])
+    rows = {(r.v.int, r.v.string) for r in out.collect()}
+    assert rows == {(123, None), (None, "abc"), (None, None)}
+
+
+def test_glue_map_and_filter(spark):
+    from glue_etl_pyspark_spark.operators.record_ops import glue_filter, glue_map
+
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "n int, s string")
+    kept = glue_filter(df, lambda r: r["n"] % 2 == 1)
+    mapped = glue_map(kept, lambda r: {"n2": r["n"] * 10, "s": r["s"].upper()},
+                      schema="n2 int, s string")
+    assert {(r.n2, r.s) for r in mapped.collect()} == {(10, "A"), (30, "C")}

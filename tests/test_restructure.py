@@ -35,3 +35,21 @@ def test_unbox_csv(spark):
     out = unbox(df, "line", fmt="csv", schema="name STRING, n INT")
     rows = {(r.line.name, r.line.n) for r in out.collect()}
     assert rows == {("a", 1), ("b", 2)}
+
+
+def test_avro_gated_when_module_missing(spark, tmp_path):
+    """Avro is an external Spark module; absent here. The wrapper must
+    surface Spark's own deploy guidance, not crash obscurely."""
+    import pytest
+
+    from glue_etl_pyspark_spark.sources.formats import write_avro
+
+    df = spark.createDataFrame([(1, "a")], "id int, s string")
+    try:
+        write_avro(df, str(tmp_path / "avro"))
+    except Exception as e:  # noqa: BLE001
+        assert "avro" in str(e).lower()
+    else:  # pragma: no cover - environment with avro deployed
+        from glue_etl_pyspark_spark.sources.formats import read_avro
+
+        assert read_avro(spark, str(tmp_path / "avro")).count() == 1
