@@ -292,3 +292,28 @@ def func_spark_only(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.xxhash64("o_orderpriority").alias("xx"),
         F.crc32(F.col("o_orderpriority").cast("binary")).alias("crc"),
     )
+
+
+DECIMAL_ORACLE = """
+SELECT l_returnflag,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue_exact,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross_exact,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("agg_decimal_exact", oracle=DECIMAL_ORACLE, category="agg")
+def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DecimalType arithmetic (§1.2): money math in exact decimals —
+    no float accumulation error — cast to double only at the output
+    boundary. Both engines compute identical exact decimals, so the
+    doubles match bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(price * (1 - disc)).cast("double").alias("revenue_exact"),
+        F.sum(price).cast("double").alias("gross_exact"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -290,3 +290,68 @@ def incremental_bookmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.filter(
         F.col("ts") > F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
     ).select("event_id", "ts", "user_id", "event_type", "value")
+
+
+# --------------------------------------------------------------------------
+# stream-stream join
+
+STREAM_STREAM_BATCH_ORACLE = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+       p.user_id, p.ts AS purchase_ts, c.ts AS click_ts
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
+"""
+
+
+@query("stream_stream_join_batch", oracle=STREAM_STREAM_BATCH_ORACLE, category="streaming")
+def stream_stream_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream join: clicks within the 10
+    minutes before each purchase, per user."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("purchase_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return (
+        p.join(
+            c,
+            (F.col("user_id") == F.col("c_user_id"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("click_ts") < F.col("purchase_ts")),
+        )
+        .select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
+    )
+
+
+@query("stream_stream_join", oracle=None, category="streaming")
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: both sides watermarked, join
+    condition carries the time bound so each side's state is evictable
+    (purchases keep 10 min of clicks per user). The §2.10 shape Spark
+    executes with symmetric hash join + state store."""
+    a = events_stream(spark, sf_dir)
+    b = events_stream(spark, sf_dir)
+    p = (
+        a.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "30 minutes")
+        .select(F.col("event_id").alias("purchase_id"), "user_id",
+                F.col("ts").alias("purchase_ts"))
+    )
+    c = (
+        b.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "30 minutes")
+        .select(F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user_id"), F.col("ts").alias("click_ts"))
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("click_ts") < F.col("purchase_ts")),
+    ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
+    return drain_to_memory(joined, mode="append")

@@ -134,3 +134,26 @@ def test_glue_map_and_filter(spark):
     mapped = glue_map(kept, lambda r: {"n2": r["n"] * 10, "s": r["s"].upper()},
                       schema="n2 int, s string")
     assert {(r.n2, r.s) for r in mapped.collect()} == {(10, "A"), (30, "C")}
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from glue_etl_pyspark_spark.io import load_table
+    from glue_etl_pyspark_spark.operators.skew import salted_agg_count, salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    plain = ev.join(cust, "user_id").groupBy("c_mktsegment").count()
+    salted = (
+        salted_join(ev, cust, on="user_id", salt_cols=["event_id"], buckets=8)
+        .groupBy("c_mktsegment")
+        .count()
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+    plain_counts = ev.groupBy("user_id").count().withColumnRenamed("count", "cnt")
+    salted_counts = salted_agg_count(ev, "user_id", salt_cols=["event_id"], buckets=8)
+    assert sorted(map(tuple, plain_counts.collect())) == sorted(
+        map(tuple, salted_counts.collect())
+    )

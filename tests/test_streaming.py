@@ -69,3 +69,11 @@ def test_stream_foreachbatch_totals(spark, smoke_dir):
     assert out.count() == 5  # one row per event_type
     total = sum(r.n for r in out.collect())
     assert total == load_table(spark, smoke_dir, "events").count()
+
+
+def test_stream_stream_join_matches_batch(spark, smoke_dir):
+    stream = _run(spark, smoke_dir, "stream_stream_join")
+    batch = _run(spark, smoke_dir, "stream_stream_join_batch")
+    cols = ["purchase_id", "click_id"]
+    assert _rows(stream, cols) == _rows(batch, cols)
+    assert stream.count() > 0
