@@ -6,6 +6,7 @@ each module covers one SURVEY.md §2 area.
 
 from . import (  # noqa: F401
     aggregates,
+    etl_patterns,
     extras,
     filters,
     io_q,
@@ -19,6 +20,7 @@ from . import (  # noqa: F401
     scalars,
     setops,
     streamingq,
+    tpch_like,
     udfs,
     windows,
 )

@@ -1,0 +1,112 @@
+"""ETL patterns the reference's job family lives on: bucketed-table
+co-located joins, unpivot, and CDC upsert / SCD2 emulation (Glue jobs
+do these against the catalog; here against the local warehouse)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import query
+
+BUCKETED_ORACLE = """
+SELECT o.o_orderkey, o.o_totalprice, c.c_mktsegment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_totalprice > 400000
+"""
+
+
+@query("bucketed_join", oracle=BUCKETED_ORACLE, category="source-sink")
+def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed tables (bucketBy + saveAsTable): both sides pre-hashed
+    on the join key into the same bucket count, so the join needs NO
+    exchange on either side (verified in tests/test_plans.py). At
+    100 TB this is how repeated fact-dim joins amortize their shuffle
+    to zero — the catalog analog of Glue's partitioned tables."""
+    import shutil
+    from urllib.parse import urlparse
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in ("bkt_orders", "bkt_customer"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # the default in-memory catalog forgets tables between sessions
+        # but leaves the managed location on disk; clear it too
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    (orders.write.mode("overwrite").bucketBy(8, "o_custkey")
+     .sortBy("o_custkey").saveAsTable("bkt_orders"))
+    (customer.write.mode("overwrite").bucketBy(8, "c_custkey")
+     .sortBy("c_custkey").saveAsTable("bkt_customer"))
+    o = spark.table("bkt_orders").filter(F.col("o_totalprice") > 400000)
+    c = spark.table("bkt_customer")
+    # merge hint: a broadcast join would ignore bucketing entirely;
+    # sort-merge on co-bucketed tables is the zero-exchange path this
+    # query exists to demonstrate
+    return o.hint("merge").join(c, o["o_custkey"] == c["c_custkey"]).select(
+        "o_orderkey", "o_totalprice", "c_mktsegment"
+    )
+
+
+UNPIVOT_ORACLE = """
+SELECT l_returnflag, metric, value FROM (
+  SELECT l_returnflag,
+    SUM(l_quantity) AS qty,
+    SUM(l_extendedprice) AS price,
+    SUM(l_discount) AS discount
+  FROM lineitem GROUP BY l_returnflag
+) UNPIVOT (value FOR metric IN (qty, price, discount))
+"""
+
+
+@query("unpivot_stack", oracle=UNPIVOT_ORACLE, category="agg")
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long) via stack() — the inverse of pivot."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("qty"),
+        F.sum("l_extendedprice").alias("price"),
+        F.sum("l_discount").alias("discount"),
+    )
+    return wide.selectExpr(
+        "l_returnflag",
+        "stack(3, 'qty', qty, 'price', price, 'discount', discount) AS (metric, value)",
+    )
+
+
+UPSERT_ORACLE = """
+WITH updates AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 1000.0 AS c_acctbal,
+         'UPDATED' AS c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT 9000000 + c_custkey, c_name, c_nationkey, c_acctbal, 'INSERTED'
+  FROM customer WHERE c_custkey < 5
+)
+SELECT * FROM updates
+UNION ALL
+SELECT c.* FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = c.c_custkey)
+"""
+
+
+@query("cdc_upsert_merge", oracle=UPSERT_ORACLE, category="source-sink")
+def cdc_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert (MERGE INTO emulation without Delta): target rows
+    whose key appears in the updates frame are replaced (anti-join),
+    new keys are appended (union) — the incremental-load shape of
+    every Glue job that maintains a mirror table. One shuffle on the
+    key; updates side broadcastable when small."""
+    customer = load_table(spark, sf_dir, "customer")
+    updates = (
+        customer.filter(F.col("c_custkey") % 10 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 1000.0)
+        .withColumn("c_mktsegment", F.lit("UPDATED"))
+    ).unionByName(
+        customer.filter(F.col("c_custkey") < 5)
+        .withColumn("c_custkey", F.col("c_custkey") + 9000000)
+        .withColumn("c_mktsegment", F.lit("INSERTED"))
+    )
+    untouched = customer.join(updates.select("c_custkey"), "c_custkey", "anti")
+    return updates.unionByName(untouched)

@@ -167,3 +167,37 @@ def sample_spigot(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     passed = spigot(orders, scratch_dir("orders_spigot"), fraction=0.05, seed=42)
     return passed.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+DPP_ORACLE = """
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, SUM(l_quantity) AS sum_qty
+FROM lineitem WHERE year(l_shipdate) IN (1996, 1997)
+GROUP BY l_returnflag
+"""
+
+
+@query("dpp_partitioned_join", oracle=DPP_ORACLE, category="source-sink")
+def dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is partitioned by
+    ship_year; the dim side is filtered on a NON-partition column, so
+    static pruning can't apply — at runtime Spark broadcasts the dim's
+    surviving keys as a partition filter (dynamicpruningexpression,
+    pinned in tests/test_plans.py). At 100 TB this is what keeps a
+    fact-dim join from scanning every partition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    fact_path = scratch_dir("dpp_fact")
+    li.withColumn("ship_year", F.year("l_shipdate")).write.mode("overwrite") \
+        .partitionBy("ship_year").parquet(fact_path)
+    dim_path = scratch_dir("dpp_dim")
+    spark.createDataFrame(
+        [(y, "keep" if y in (1996, 1997) else "drop") for y in range(1995, 2002)],
+        "ship_year int, flag string",
+    ).write.mode("overwrite").parquet(dim_path)
+
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("flag") == "keep")
+    return (
+        fact.join(dim, "ship_year")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("sum_qty"))
+    )

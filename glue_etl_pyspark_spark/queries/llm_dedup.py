@@ -101,10 +101,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     index — the oracle-checkable twin of MinHash-LSH. Every planted
     (doc, doc-minus-last-word) twin scores close to 1. 4-grams, not
     3-grams: this corpus's vocabulary is tiny, so the 3-gram space
-    saturates (avg shingle df ~19) and even prefix-filtered candidate
-    generation goes quadratic; 4-gram df is ~1-2."""
+    saturates (avg shingle df ~19) and candidate generation goes
+    quadratic; 4-gram df is ~1-2, so the plain inverted-index join is
+    already near-linear and prefix filtering is disabled (its df pass
+    costs more than it prunes here)."""
     corpus = _with_perturbed_copies(spark, sf_dir)
-    return ngram_jaccard_pairs(corpus, "doc_id", "text", n=4, threshold=0.6)
+    return ngram_jaccard_pairs(corpus, "doc_id", "text", n=4, threshold=0.6,
+                               prefix_filter=False)
 
 
 SIMHASH_TWINS_ORACLE = f"""

@@ -1,0 +1,128 @@
+"""TPC-H-adapted complex queries: multi-way join + agg + top-k (Q3),
+correlated scalar subquery (Q17), and quantified-subquery combo
+(Q21-ish). These exercise Catalyst's subquery decorrelation
+(SURVEY.md §4.2) — the rewrites that turn a per-row subquery into a
+join-aggregate, without which these shapes are O(n²) at scale."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..io import load_table, register_views
+from ..registry import query
+
+Q3_ORACLE = """
+SELECT l.l_orderkey,
+  SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+  o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1997-03-15'
+  AND l.l_shipdate > TIMESTAMP '1997-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+@query("tpch_q3_shipping_priority", oracle=Q3_ORACLE, category="tpch")
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customers → orders → lineitem,
+    revenue per order, global top-10. Both dims broadcast; the sort
+    compiles to TakeOrderedAndProject."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-03-15").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-03-15").cast("timestamp_ntz")
+    )
+    return (
+        li.join(broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        .join(broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+Q17_ORACLE = """
+SELECT SUM(l.l_extendedprice) / 7.0 AS avg_yearly
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand = 'Brand#3'
+  AND l.l_quantity < (
+    SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey
+  )
+"""
+
+
+@query("tpch_q17_small_qty", oracle=Q17_ORACLE, category="tpch")
+def tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average)
+    through the SQL entry point — Catalyst decorrelates it into an
+    aggregate + join; the naive reading would rescan lineitem per row."""
+    register_views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(
+        """
+        SELECT SUM(l.l_extendedprice) / 7.0 AS avg_yearly
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand = 'Brand#3'
+          AND l.l_quantity < (
+            SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = l.l_partkey
+          )
+        """
+    )
+
+
+Q21_ORACLE = """
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > l1.l_shipdate
+  )
+GROUP BY s.s_name
+"""
+
+
+@query("tpch_q21_waiting_supplier", oracle=Q21_ORACLE, category="tpch")
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS correlated subqueries
+    (multi-supplier orders where this supplier shipped last) — the
+    heaviest decorrelation pattern; planned as semi/anti joins."""
+    register_views(spark, sf_dir, "supplier", "lineitem", "orders")
+    return spark.sql(
+        """
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > l1.l_shipdate
+          )
+        GROUP BY s.s_name
+        """
+    )

@@ -97,3 +97,19 @@ def test_exact_dedup_deterministic_tiebreak(spark):
     )
     out = exact_dedup(df, cols=["t"], tie_break=["id"])
     assert {(r.id, r.t) for r in out.collect()} == {(1, "x"), (9, "y")}
+
+
+def test_ngram_prefix_filter_modes_agree(spark, sf_dir):
+    """Prefix filtering is an exact optimization: both modes must
+    produce identical pair sets."""
+    from glue_etl_pyspark_spark.operators.dedup import ngram_jaccard_pairs
+    from glue_etl_pyspark_spark.queries.llm_dedup import _with_perturbed_copies
+
+    corpus = _with_perturbed_copies(spark, "/root/testdata/sf0.001")
+    on = ngram_jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.5,
+                             prefix_filter=True)
+    off = ngram_jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.5,
+                              prefix_filter=False)
+    a = {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in on.collect()}
+    b = {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in off.collect()}
+    assert a == b and a

@@ -83,3 +83,15 @@ def test_partitioned_sink_read_prunes_partitions(spark, sf_dir):
     plan = explain_str(df)
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and "order_year" in pf[0], f"no partition pruning: {pf}"
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir):
+    df = _df(spark, sf_dir, "dpp_partitioned_join")
+    plan = explain_str(df)
+    assert "dynamicpruning" in plan.lower(), "DPP did not fire on partitioned join"
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    df = _df(spark, sf_dir, "bucketed_join")
+    plan = explain_str(df)
+    assert "Exchange" not in plan, "bucketed join should not shuffle either side"
