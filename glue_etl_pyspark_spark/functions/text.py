@@ -50,7 +50,12 @@ def shingles(tokens: Column | str, n: int = 3) -> Column:
     out = t
     for j in range(1, n):
         # tokens shifted left by j, padded so zip_with lengths line up
-        shifted = F.concat(F.slice(t, j + 1, 1 << 20), F.array_repeat(F.lit(""), j))
+        # (slice length is computed, not a literal cap — a fixed bound
+        # would silently corrupt shingles of pathologically long docs)
+        shifted = F.concat(
+            F.slice(t, j + 1, F.greatest(F.size(t) - j, F.lit(0))),
+            F.array_repeat(F.lit(""), j),
+        )
         out = F.zip_with(out, shifted, lambda a, b: F.concat_ws(" ", a, b))
     return F.when(F.size(t) < n, F.array().cast("array<string>")).otherwise(
         F.slice(out, 1, F.greatest(F.size(t) - n + 1, F.lit(0)))

@@ -31,7 +31,17 @@ def exact_dedup(
     themselves: constant-width shuffle keys regardless of document
     size. Digest collisions (2^-256) are accepted by design.
     """
-    key = F.sha2(F.concat_ws("\x00", *[F.col(c) for c in cols]), 256)
+    # Hash each column separately, then hash the concatenation of the
+    # fixed-width digests. Joining raw values is ambiguous twice over:
+    # concat_ws SKIPS nulls (colliding (NULL,'a') with ('a',NULL)),
+    # and any in-band separator can be forged by values containing it
+    # (('a\\x00b','c') vs ('a','b\\x00c')). Digests are fixed-width
+    # hex, so their concatenation parses uniquely.
+    parts = [
+        F.coalesce(F.sha2(F.col(c).cast("string"), 256), F.lit("<NULL>"))
+        for c in cols
+    ]
+    key = F.sha2(F.concat(*parts), 256)
     w = Window.partitionBy(key).orderBy(*[F.col(c) for c in tie_break])
     return (
         df.withColumn("__rn", F.row_number().over(w))
@@ -82,8 +92,12 @@ def ngram_jaccard_pairs(
             F.array_distinct(shingles(tokenize_ws("__text"), n)).alias("sh"),
         )
         .filter(F.size("sh") > 0)
-        # read 3x downstream (df-count, prefix, verify) — persist makes
-        # the reuse physical (spills to disk when bigger than memory)
+        # read up to 3x downstream (df-count, prefix, verify) — persist
+        # makes the reuse physical (spills to disk when bigger than
+        # memory). The cached blocks stay pinned until the caller's
+        # session drops them (spark.catalog.clearCache() or session
+        # end) — callers running this repeatedly in one long session
+        # should clear the cache between runs, as bench.py does.
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
@@ -171,13 +185,10 @@ def simhash_pairs(
         .select("id_a", "id_b", "bits_a", "bits_b")
         .distinct()
     )
-    ham = F.aggregate(
-        F.zip_with("bits_a", "bits_b", lambda x, y: (x != y).cast("int")),
-        F.lit(0),
-        lambda s, x: s + x,
-    )
+    from ..functions.text import hamming
+
     return (
-        cands.withColumn("hamming_dist", ham)
+        cands.withColumn("hamming_dist", hamming("bits_a", "bits_b"))
         .filter(F.col("hamming_dist") <= max_hamming)
         .select("id_a", "id_b", "hamming_dist")
     )

@@ -71,19 +71,29 @@ def asof_join(
         value_cols = [c for c in right.columns if c not in by and c != on]
     out_names = [f"{c}{suffix}" if c in left.columns else c for c in value_cols]
 
+    # The right payload travels as ONE struct so the window picks the
+    # nearest right row atomically — per-column last(ignorenulls) would
+    # stitch together fields from different right rows whenever the
+    # nearest row holds a NULL in one column.
+    payload_t = ", ".join(
+        f"{n}: {right.schema[c].dataType.simpleString()}"
+        for c, n in zip(value_cols, out_names)
+    )
     # side=0 sorts before side=1 at equal timestamps, so an exactly-
     # coincident right row is visible to the left row (inclusive bound).
     l_tagged = left.select(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(n) for c, n in zip(value_cols, out_names)],
+        F.lit(None).cast(f"struct<{payload_t}>").alias("__payload"),
     )
     r_tagged = right.select(
         *by,
         F.col(on),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in by and c != on],
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(n) for c, n in zip(value_cols, out_names)],
+        F.struct(
+            *[F.col(c).alias(n) for c, n in zip(value_cols, out_names)]
+        ).alias("__payload"),
     ).select(*l_tagged.columns)  # align column order for union
 
     order = [F.col(on).asc(), F.col("__side").asc()]
@@ -98,9 +108,12 @@ def asof_join(
     filled = unioned.select(
         *[c for c in left.columns],
         F.col("__side"),
-        *[F.last(n, ignorenulls=True).over(w).alias(n) for n in out_names],
+        F.last("__payload", ignorenulls=True).over(w).alias("__payload"),
     )
-    return filled.filter(F.col("__side") == 1).drop("__side")
+    return filled.filter(F.col("__side") == 1).select(
+        *[c for c in left.columns],
+        *[F.col(f"__payload.{n}").alias(n) for n in out_names],
+    )
 
 
 def range_join(

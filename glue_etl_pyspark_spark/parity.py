@@ -91,7 +91,12 @@ def check_query(
     scols = list(sdf.columns)
 
     if spec.oracle is None:
-        return ParityResult(name, len(srows) >= 0, len(srows), -1, "rows-only (no oracle)")
+        # mirror the driver's rows>0 smoke — an empty result from a
+        # rows-only query is a regression, not a pass
+        return ParityResult(
+            name, len(srows) > 0, len(srows), -1,
+            "rows-only (no oracle)" if srows else "rows-only query returned 0 rows",
+        )
 
     own_con = con is None
     if own_con:

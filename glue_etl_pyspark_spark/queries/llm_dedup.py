@@ -38,7 +38,11 @@ def _with_perturbed_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = tokenize_ws("text")
     twins = d.select(
         (F.col("doc_id") + 10000).alias("doc_id"),
-        F.array_join(F.slice(ws, 1, F.size(ws) - 1), " ").alias("text"),
+        # greatest(...,0): slice length -1 (empty/whitespace-only text)
+        # is a runtime error, not an empty array
+        F.array_join(
+            F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))), " "
+        ).alias("text"),
     )
     return d.select("doc_id", "text").unionByName(twins)
 

@@ -122,18 +122,20 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SESSION_BATCH_ORACLE = """
 WITH o AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
   FROM events
 ),
 f AS (
-  SELECT user_id, ts,
-    CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  SELECT user_id, ts, event_id,
+    -- >=: Spark's session end (prev + gap) is EXCLUSIVE, so an
+    -- exactly-gap-sized step starts a new session
+    CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
   FROM o
 ),
 g AS (
   SELECT user_id, ts,
-    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
   FROM f
 )

@@ -87,7 +87,12 @@ def drain_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(await_seconds)
+    if not q.awaitTermination(await_seconds):
+        q.stop()
+        raise TimeoutError(
+            f"streaming drain {name!r} did not finish within {await_seconds}s; "
+            "sink contents would be partial"
+        )
     spark = df.sparkSession
     return spark.table(name)
 
@@ -106,5 +111,10 @@ def foreach_batch_collect(df: DataFrame, await_seconds: int = 120) -> DataFrame:
         batches.extend(batch_df.collect())
 
     q = df.writeStream.foreachBatch(sink).outputMode("update").trigger(availableNow=True).start()
-    q.awaitTermination(await_seconds)
+    if not q.awaitTermination(await_seconds):
+        q.stop()
+        raise TimeoutError(
+            f"foreachBatch drain did not finish within {await_seconds}s; "
+            "collected batches would be partial"
+        )
     return spark.createDataFrame(batches, schema) if batches else spark.createDataFrame([], schema)

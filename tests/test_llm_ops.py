@@ -113,3 +113,16 @@ def test_ngram_prefix_filter_modes_agree(spark, sf_dir):
     a = {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in on.collect()}
     b = {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in off.collect()}
     assert a == b and a
+
+
+def test_exact_dedup_null_patterns_distinct(spark):
+    """(NULL,'a'), ('a',NULL) and ('a','a') are three distinct keys —
+    concat_ws alone would collapse the first two."""
+    from glue_etl_pyspark_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, None, "a"), (2, "a", None), (3, "a", "a"), (4, None, "a")],
+        "id int, x string, y string",
+    )
+    out = exact_dedup(df, cols=["x", "y"], tie_break=["id"])
+    assert {(r.id) for r in out.collect()} == {1, 2, 3}

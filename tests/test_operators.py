@@ -157,3 +157,21 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     assert sorted(map(tuple, plain_counts.collect())) == sorted(
         map(tuple, salted_counts.collect())
     )
+
+
+def test_asof_join_null_payload_not_mixed(spark):
+    """The nearest right row must be attached ATOMICALLY: a NULL in
+    one of its columns must not be back-filled from an older row."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T12:00"), "p")], "user_id int, ts timestamp_ntz, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00"), 1.0, None),
+         (1, _ts("2024-01-01T11:00"), None, 2.0)],
+        "user_id int, ts timestamp_ntz, a double, b double",
+    )
+    out = asof_join(left, right, on="ts", by=["user_id"], value_cols=["a", "b"])
+    row = out.collect()[0]
+    # nearest row is 11:00 -> (a=NULL, b=2.0); per-column fill would
+    # wrongly produce (a=1.0, b=2.0)
+    assert (row.a, row.b) == (None, 2.0)
