@@ -317,3 +317,28 @@ def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(price).cast("double").alias("gross_exact"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+SALTED_ORACLE = """
+SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n, SUM(e.value) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@query("skew_salted_join", oracle=SALTED_ORACLE, category="join")
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join (§4.3): events.user_id is the skewable key;
+    the salted join spreads each hot key over 8 buckets (deterministic
+    salt from event_id, dim side exploded x8). The oracle is the PLAIN
+    join — salting must be semantically invisible."""
+    from ..operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(ev, cust, on="user_id", salt_cols=["event_id"], buckets=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value")
+    )
