@@ -77,3 +77,46 @@ def test_stream_stream_join_matches_batch(spark, smoke_dir):
     cols = ["purchase_id", "click_id"]
     assert _rows(stream, cols) == _rows(batch, cols)
     assert stream.count() > 0
+
+
+def test_multi_batch_incremental_state(spark, smoke_dir, tmp_path):
+    """Real incremental processing: the events table split into 4
+    files, replayed one file per micro-batch (maxFilesPerTrigger=1) —
+    aggregation state must carry across batches and converge to the
+    batch answer."""
+    from pyspark.sql import functions as F
+
+    from glue_etl_pyspark_spark.io import load_table
+
+    ev = load_table(spark, smoke_dir, "events")
+    src = str(tmp_path / "events_split")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("multi_batch_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    n_batches = len(q.recentProgress)
+    assert n_batches >= 4, f"expected >=4 micro-batches, got {n_batches}"
+
+    got = {(r.event_type, r.n) for r in spark.table("multi_batch_sink").collect()}
+    want = {
+        (r.event_type, r.n)
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
