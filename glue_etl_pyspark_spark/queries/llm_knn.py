@@ -164,3 +164,15 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     media = attach_media(d, "doc_id", "text", "text/plain")
     return extract_features(media, dim=8)
+
+
+@query("knn_bruteforce_numpy", oracle=KNN_BRUTE_ORACLE, category="llm-knn")
+def knn_bruteforce_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same exact knn through the Arrow/numpy GEMM kernel
+    (operators.similarity.knn_bruteforce_batch) — ~4x the expression
+    version; shares the brute-force oracle. This kernel is what the
+    IVF/LSH scale paths plug in for cluster-local reranking."""
+    from ..operators.similarity import knn_bruteforce_batch
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return knn_bruteforce_batch(e.filter(F.col("vec_id") < 20), e, k=5)

@@ -126,3 +126,13 @@ def test_exact_dedup_null_patterns_distinct(spark):
     )
     out = exact_dedup(df, cols=["x", "y"], tie_break=["id"])
     assert {(r.id) for r in out.collect()} == {1, 2, 3}
+
+
+def test_knn_numpy_matches_expression_impl(spark, sf_dir):
+    """The GEMM kernel and the zip_with expression path are the same
+    exact algorithm — results must agree exactly at 6 dp."""
+    a = {(r.query_id, r.neighbor_id, r.rn, r.cos_sim)
+         for r in _run(spark, sf_dir, "knn_bruteforce_cosine").collect()}
+    b = {(r.query_id, r.neighbor_id, r.rn, r.cos_sim)
+         for r in _run(spark, sf_dir, "knn_bruteforce_numpy").collect()}
+    assert a == b and len(a) == 100
