@@ -229,3 +229,59 @@ def minhash_lsh_pairs(
             "jaccard_dist",
         )
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs (SURVEY.md §2.12):
+    every doc in a component gets the component's smallest id as its
+    cluster label — the keep-one-per-cluster step after any near-dup
+    pair mining.
+
+    Iterative smallest-label propagation: each round joins every
+    node's current label against its neighbors' labels and keeps the
+    minimum; stops early when a round changes nothing. Rounds needed =
+    graph diameter (near-dup clusters are shallow — pairs chain only
+    through mutual similarity), each round is two shuffles on id.
+    GraphFrames would do the same with better constants; this stays
+    dependency-free. Emits (id, cluster_id).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        # convergence check: one count per round, driver-side scalar only
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels

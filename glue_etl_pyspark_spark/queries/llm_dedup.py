@@ -179,3 +179,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
         corpus, "doc_id", "text", n=3, max_jaccard_distance=0.5, seed=42
     )
+
+
+@query("dedup_clusters_minlabel", oracle=None, category="llm-dedup")
+def dedup_clusters_minlabel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: exact 4-gram Jaccard pairs → connected
+    components by iterative min-label propagation. Every planted twin
+    must land in its original's cluster (asserted in tests); chains of
+    natural near-dups merge transitively. Rows-only: the iterative
+    fixpoint isn't single-statement SQL (DuckDB recursive CTEs can't
+    express the per-round global min-join over a cyclic graph simply);
+    validity is property-tested instead."""
+    from ..operators.dedup import dedup_clusters
+
+    corpus = _with_perturbed_copies(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(corpus, "doc_id", "text", n=4, threshold=0.6,
+                                prefix_filter=False)
+    return dedup_clusters(pairs)

@@ -136,3 +136,20 @@ def test_knn_numpy_matches_expression_impl(spark, sf_dir):
     b = {(r.query_id, r.neighbor_id, r.rn, r.cos_sim)
          for r in _run(spark, sf_dir, "knn_bruteforce_numpy").collect()}
     assert a == b and len(a) == 100
+
+
+def test_dedup_clusters_contain_planted_twins(spark, sf_dir):
+    """Cluster labels must be valid connected components: every pair's
+    two endpoints share a label, and each twin joins its original."""
+    from pyspark.sql import functions as F
+
+    labels = _run(spark, sf_dir, "dedup_clusters_minlabel")
+    lab = {r.id: r.cluster_id for r in labels.collect()}
+    pairs = _run(spark, sf_dir, "dedup_ngram_jaccard")
+    for r in pairs.collect():
+        assert lab[r.id_a] == lab[r.id_b], (r.id_a, r.id_b)
+    # planted twins (id+10000) clustered with originals when paired
+    twins = [r for r in pairs.collect() if r.id_b == r.id_a + 10000]
+    assert len(twins) >= 450  # nearly all 500 planted twins found
+    # labels are the min id of each component
+    assert all(lab[i] <= i for i in lab)

@@ -120,3 +120,57 @@ def test_multi_batch_incremental_state(spark, smoke_dir, tmp_path):
         for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == want
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed agg across two micro-batches: an event
+    arriving in batch 2 that is older than the advanced watermark must
+    be DROPPED — the state-bounding contract that makes streaming
+    aggregation viable at scale."""
+    import os
+    import time as _time
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    base = pd.Timestamp("2024-01-01 00:30:00")
+    # batch 1: hours 0..10 -> post-batch watermark 09:30
+    b1 = pd.DataFrame({
+        "event_id": range(22),
+        "ts": [base + pd.Timedelta(hours=h) for h in range(11) for _ in (0, 1)],
+    })
+    # batch 2: fresh event (hour 11) — during this batch windows up to
+    # 09:30 are evicted + emitted (hour-0 closes with n=2)
+    b2 = pd.DataFrame({"event_id": [101], "ts": [base + pd.Timedelta(hours=11)]})
+    # batch 3: a LATE event back in hour 0 — its window was already
+    # emitted; the row must be dropped, not merged or re-emitted
+    b3 = pd.DataFrame({"event_id": [100], "ts": [base]})
+    for name, frame in [("a", b1), ("b", b2), ("c", b3)]:
+        frame.to_parquet(src / f"{name}.parquet", coerce_timestamps="us")
+        _time.sleep(1.1)  # file-source orders batches by modification time
+    os.utime  # (mtimes spaced by the sleeps above)
+
+    stream = (
+        spark.readStream.schema("event_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("late_sink")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(120)
+    assert len(q.recentProgress) >= 3, "expected three micro-batches"
+    got = {(str(r.ws), r.n) for r in spark.table("late_sink").collect()}
+    hour0 = [n for ws, n in got if ws.startswith("2024-01-01 00:00")]
+    # hour-0 emitted exactly once, with ONLY batch-1's 2 events; the
+    # late event_id=100 was dropped, not merged and not re-emitted
+    assert hour0 == [2], f"late event leaked into closed window: {sorted(got)}"
