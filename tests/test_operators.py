@@ -175,3 +175,16 @@ def test_asof_join_null_payload_not_mixed(spark):
     # nearest row is 11:00 -> (a=NULL, b=2.0); per-column fill would
     # wrongly produce (a=1.0, b=2.0)
     assert (row.a, row.b) == (None, 2.0)
+
+
+def test_func_spark_only_spot_values(spark, sf_dir):
+    """Spot checks for the functions DuckDB can't oracle."""
+    from glue_etl_pyspark_spark.registry import load_all
+
+    rows = {r.o_orderkey: r for r in load_all()["func_spark_only"].fn(spark, sf_dir).collect()}
+    r = rows[min(rows)]
+    assert r.head_title == r.head_title.title() or r.head_title[0].isupper()
+    assert r.conv_255 == "255"
+    assert r.tag == f"order-{min(rows):06d}"
+    assert r.price_k % 1000 == 0  # bround to -3 digits
+    assert isinstance(r.xx, int) and r.crc >= 0
