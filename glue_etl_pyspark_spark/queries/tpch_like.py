@@ -126,3 +126,87 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY s.s_name
         """
     )
+
+
+Q6_ORACLE = """
+SELECT SUM(l_extendedprice * l_discount) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+@query("tpch_q6_forecast_revenue", oracle=Q6_ORACLE, category="tpch")
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure filter + single aggregate — every predicate
+    pushes to the scan; the canonical scan-bound query."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+Q12_ORACLE = """
+SELECT o.o_orderpriority,
+  CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS final_count,
+  CAST(SUM(CASE WHEN o.o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT) AS other_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY o.o_orderpriority
+"""
+
+
+@query("tpch_q12_priority_counts", oracle=Q12_ORACLE, category="tpch")
+def tpch_q12_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + conditional aggregation (CASE inside
+    SUM — the map-side-combinable alternative to two filtered joins)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    return (
+        li.join(broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("final_count"),
+            F.sum(F.when(F.col("o_orderstatus") != "F", 1).otherwise(0)).alias("other_count"),
+        )
+    )
+
+
+Q14_ORACLE = """
+SELECT 100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                        THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+             / SUM(l.l_extendedprice * (1 - l.l_discount)) AS promo_revenue_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-03-01' AND l.l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+@query("tpch_q14_promo_effect", oracle=Q14_ORACLE, category="tpch")
+def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: ratio of conditional aggregates over a broadcast
+    part join."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(
+            (
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev)
+            ).alias("promo_revenue_pct")
+        )
+    )
