@@ -42,7 +42,7 @@ def test_lsh_knn_recall_vs_bruteforce(spark, sf_dir):
     lset = {(r.query_id, r.neighbor_id) for r in lsh.collect()}
     assert bset
     recall = len(bset & lset) / len(bset)
-    assert recall >= 0.5, f"LSH knn recall {recall:.2f} < 0.5"
+    assert recall >= 0.8, f"LSH knn recall {recall:.2f} < 0.8 (measured 0.90)"
 
 
 def test_ivf_knn_recall_vs_bruteforce(spark, sf_dir):
@@ -51,9 +51,9 @@ def test_ivf_knn_recall_vs_bruteforce(spark, sf_dir):
     bset = {(r.query_id, r.neighbor_id) for r in brute.collect()}
     iset = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
     recall = len(bset & iset) / len(bset)
-    # nprobe=4 of ~17 pseudo-centroids on random vectors: modest but
-    # must be well above chance (4/17 ≈ 0.24 of corpus scanned)
-    assert recall >= 0.3, f"IVF recall {recall:.2f} < 0.3"
+    # nprobe=4 of ~17 pseudo-centroids on random vectors: measured
+    # 0.53 — well above the 4/17 ≈ 0.24 chance floor of corpus scanned
+    assert recall >= 0.45, f"IVF recall {recall:.2f} < 0.45 (measured 0.53)"
 
 
 def test_multimodal_features_deterministic(spark, sf_dir):
