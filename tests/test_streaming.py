@@ -174,3 +174,55 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # hour-0 emitted exactly once, with ONLY batch-1's 2 events; the
     # late event_id=100 was dropped, not merged and not re-emitted
     assert hour0 == [2], f"late event leaked into closed window: {sorted(got)}"
+
+
+def test_checkpoint_resume_exactly_once(spark, smoke_dir, tmp_path):
+    """The streaming job-bookmark: a checkpointed query stopped
+    mid-replay and restarted must resume from its offset — every
+    event lands in the sink exactly once across both runs."""
+    from pyspark.sql import functions as F
+
+    from glue_etl_pyspark_spark.io import load_table
+
+    ev = load_table(spark, smoke_dir, "events")
+    n_events = ev.count()
+    src = str(tmp_path / "split_src")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def start():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .select("event_id")
+        )
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # run 1: stop after at least one micro-batch committed
+    q1 = start()
+    import time as _time
+
+    for _ in range(100):
+        if len(q1.recentProgress) >= 1:
+            break
+        _time.sleep(0.2)
+    q1.stop()
+    q1.awaitTermination(60)
+    n_first = spark.read.parquet(out).count()
+
+    # run 2: same checkpoint — resumes, never reprocesses
+    q2 = start()
+    assert q2.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    assert got.count() == n_events, f"run1 had {n_first}; total {got.count()} != {n_events}"
+    assert got.select("event_id").distinct().count() == n_events, "duplicates: bookmark replayed data"
