@@ -210,3 +210,63 @@ def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_revenue_pct")
         )
     )
+
+
+Q4_ORACLE = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+GROUP BY o_orderpriority
+"""
+
+
+@query("tpch_q4_order_priority", oracle=Q4_ORACLE, category="tpch")
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS subquery per order → planned as a
+    left-semi join after decorrelation."""
+    register_views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP_NTZ '1996-07-01'
+          AND o_orderdate < TIMESTAMP_NTZ '1996-10-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+Q22_ORACLE = """
+WITH avg_bal AS (
+  SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust, SUM(c_acctbal) AS totacctbal
+FROM customer c, avg_bal
+WHERE c.c_acctbal > avg_bal.a
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""
+
+
+@query("tpch_q22_global_sales_opp", oracle=Q22_ORACLE, category="tpch")
+def tpch_q22_global_sales_opp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery against a global average +
+    NOT EXISTS anti join — above-average-balance customers with no
+    urgent orders, per nation (no-orders-at-all is empty at sf0.01,
+    which would make the check vacuous)."""
+    register_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c_nationkey, COUNT(*) AS numcust, SUM(c_acctbal) AS totacctbal
+        FROM customer c
+        WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        GROUP BY c_nationkey
+        """
+    )

@@ -226,3 +226,26 @@ def test_checkpoint_resume_exactly_once(spark, smoke_dir, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == n_events, f"run1 had {n_first}; total {got.count()} != {n_events}"
     assert got.select("event_id").distinct().count() == n_events, "duplicates: bookmark replayed data"
+
+
+def test_rate_source_smoke(spark):
+    """The built-in rate source (the no-broker stand-in for Kafka):
+    a few micro-batches must deliver monotonically increasing values."""
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 50)
+        .load()
+        .select("value")
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("rate_sink")
+        .outputMode("append").start()
+    )
+    import time as _time
+
+    deadline = _time.time() + 30
+    while _time.time() < deadline and spark.table("rate_sink").count() < 20:
+        _time.sleep(0.5)
+    q.stop()
+    vals = [r.value for r in spark.table("rate_sink").collect()]
+    assert len(vals) >= 20 and len(set(vals)) == len(vals)
