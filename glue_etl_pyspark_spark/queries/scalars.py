@@ -251,3 +251,40 @@ def func_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2("text", 256).alias("text_sha256"),
         F.substring(F.md5("text"), 1, 8).alias("md5_prefix"),
     )
+
+
+ARRAY_EXTRA_ORACLE = """
+SELECT doc_id,
+  CAST(list_position(toks, 'query') AS INTEGER) AS query_pos,
+  toks[1:3] || ['<end>'] AS head_plus,
+  CAST(len(flatten([toks[1:2], toks[3:4]])) AS INTEGER) AS flat_len,
+  list_transform(range(1, 4), i -> CAST(i * 10 AS BIGINT)) AS tens
+FROM (SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+      FROM documents)
+WHERE len(toks) >= 4
+"""
+
+
+@query("func_array_extra", oracle=ARRAY_EXTRA_ORACLE, category="function")
+def func_array_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining §2.9 array items: array_position, slice+concat,
+    flatten, sequence-generated arrays. (arrays_zip appears via
+    zip_with throughout functions/vectors.py.)"""
+    from ..functions.text import tokenize_ws
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", tokenize_ws("text").alias("toks")).filter(
+        F.size("toks") >= 4
+    )
+    return base.select(
+        "doc_id",
+        F.array_position("toks", "query").cast("int").alias("query_pos"),
+        F.concat(F.slice("toks", 1, 3), F.array(F.lit("<end>"))).alias("head_plus"),
+        F.size(
+            F.flatten(F.array(F.slice("toks", 1, 2), F.slice("toks", 3, 2)))
+        ).alias("flat_len"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(3)), lambda i: (i * 10).cast("bigint")
+        ).alias("tens"),
+    )
