@@ -87,6 +87,25 @@ def check_query(
 
     spec = load_all()[name]
     sdf = spec.fn(spark, sf_dir)
+
+    if spec.oracle is not None:
+        # The driver's canonicalizer pandas-sorts every column; list/dict
+        # cells raise "unhashable type" there (round-1 ERRs on
+        # agg_collect_set/func_map_ops). Fail locally the way the driver
+        # would: oracled queries must project atomic columns only.
+        complex_cols = [
+            f.name
+            for f in sdf.schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct")
+        ]
+        if complex_cols:
+            return ParityResult(
+                name, False, -1, -1,
+                "oracled query has non-atomic output columns "
+                f"{complex_cols} — serialize (array_join/to_json) at the "
+                "query boundary; the driver canonicalizer crashes on these",
+            )
+
     srows = [tuple(r) for r in sdf.collect()]
     scols = list(sdf.columns)
 

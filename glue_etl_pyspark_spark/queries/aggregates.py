@@ -59,7 +59,8 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 COLLECT_ORACLE = """
 SELECT o_orderstatus,
-  list(DISTINCT o_orderpriority ORDER BY o_orderpriority) AS priorities,
+  array_to_string(list(DISTINCT o_orderpriority ORDER BY o_orderpriority), ',')
+    AS priorities,
   CAST(COUNT(*) AS BIGINT) AS cnt
 FROM orders GROUP BY o_orderstatus
 """
@@ -67,10 +68,19 @@ FROM orders GROUP BY o_orderstatus
 
 @query("agg_collect_set", oracle=COLLECT_ORACLE, category="agg")
 def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_set + sort_array — sorted for cross-engine determinism."""
+    """collect_set + sort_array — sorted for cross-engine determinism.
+
+    The array is serialized with array_join at the query boundary:
+    array-typed output columns crash order-insensitive pandas
+    canonicalizers (unhashable list cells), so every oracled query
+    projects atomic columns only (enforced by
+    tests/test_registry.py::test_oracled_outputs_are_atomic).
+    """
     orders = load_table(spark, sf_dir, "orders")
     return orders.groupBy("o_orderstatus").agg(
-        F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.array_join(F.sort_array(F.collect_set("o_orderpriority")), ",").alias(
+            "priorities"
+        ),
         F.count(F.lit(1)).alias("cnt"),
     )
 

@@ -105,9 +105,11 @@ def setops_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MAP_FUNCS_ORACLE = """
 SELECT event_id,
-  [CAST(json_extract_string(props, '$.k') AS INTEGER)] AS vals,
-  [CAST(json_extract_string(props, '$.k') AS INTEGER) * 2] AS vals_x2,
-  ['k', 'extra'] AS all_keys,
+  array_to_string([CAST(json_extract_string(props, '$.k') AS INTEGER)], ',')
+    AS vals,
+  array_to_string([CAST(json_extract_string(props, '$.k') AS INTEGER) * 2], ',')
+    AS vals_x2,
+  array_to_string(['k', 'extra'], ',') AS all_keys,
   CAST(json_extract_string(props, '$.k') AS INTEGER) + 1 AS k_from_entries
 FROM events WHERE event_id < 1000
 """
@@ -118,18 +120,26 @@ def func_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """map_values / transform_values / map_concat / map_from_entries
     (§2.9 map family remainder). Outputs are projected to arrays and
     scalars — MAP-typed result columns aren't comparable across
-    engines, the map ops themselves are what's exercised."""
+    engines, the map ops themselves are what's exercised. Arrays are
+    serialized with array_join at the boundary: list cells crash
+    order-insensitive pandas canonicalizers (unhashable type)."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
     m = F.from_json("props", "map<string,int>")
     merged = F.map_concat(m, F.create_map(F.lit("extra"), F.lit(0)))
     from_entries = F.map_from_entries(
         F.transform(F.map_entries(m), lambda e: F.struct(e["key"], e["value"] + 1))
     )
+
+    def _joined(arr):  # array<int> -> 'a,b' string (atomic output column)
+        return F.array_join(F.transform(arr, lambda v: v.cast("string")), ",")
+
     return ev.select(
         "event_id",
-        F.map_values(m).alias("vals"),
-        F.map_values(F.transform_values(m, lambda _k, v: v * 2)).alias("vals_x2"),
-        F.map_keys(merged).alias("all_keys"),
+        _joined(F.map_values(m)).alias("vals"),
+        _joined(F.map_values(F.transform_values(m, lambda _k, v: v * 2))).alias(
+            "vals_x2"
+        ),
+        F.array_join(F.map_keys(merged), ",").alias("all_keys"),
         F.element_at(from_entries, "k").alias("k_from_entries"),
     )
 

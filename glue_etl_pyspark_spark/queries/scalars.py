@@ -211,7 +211,7 @@ MAP_JSON_ORACLE = """
 SELECT event_id,
   CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k,
   json_extract_string(props, '$.k') AS prop_k_str,
-  json_keys(props) AS prop_keys
+  array_to_string(list_sort(json_keys(props)), ',') AS prop_keys
 FROM events
 """
 
@@ -219,14 +219,15 @@ FROM events
 @query("func_map_json", oracle=MAP_JSON_ORACLE, category="function")
 def func_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON parse (Glue Unbox semantics) + map functions over
-    events.props."""
+    events.props. Key list is sorted + array_join-serialized at the
+    boundary (driver canonicalizer requires atomic columns)."""
     ev = load_table(spark, sf_dir, "events")
     parsed = ev.withColumn("props_map", F.from_json("props", "map<string,int>"))
     return parsed.select(
         "event_id",
         F.element_at("props_map", "k").alias("prop_k"),
         F.get_json_object("props", "$.k").alias("prop_k_str"),
-        F.map_keys("props_map").alias("prop_keys"),
+        F.array_join(F.sort_array(F.map_keys("props_map")), ",").alias("prop_keys"),
     )
 
 
@@ -256,9 +257,9 @@ def func_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 ARRAY_EXTRA_ORACLE = """
 SELECT doc_id,
   CAST(list_position(toks, 'query') AS INTEGER) AS query_pos,
-  toks[1:3] || ['<end>'] AS head_plus,
+  array_to_string(toks[1:3] || ['<end>'], ',') AS head_plus,
   CAST(len(flatten([toks[1:2], toks[3:4]])) AS INTEGER) AS flat_len,
-  list_transform(range(1, 4), i -> CAST(i * 10 AS BIGINT)) AS tens
+  array_to_string(list_transform(range(1, 4), i -> i * 10), ',') AS tens
 FROM (SELECT doc_id,
         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
       FROM documents)
@@ -270,7 +271,9 @@ WHERE len(toks) >= 4
 def func_array_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Remaining §2.9 array items: array_position, slice+concat,
     flatten, sequence-generated arrays. (arrays_zip appears via
-    zip_with throughout functions/vectors.py.)"""
+    zip_with throughout functions/vectors.py.) Array results are
+    array_join-serialized at the boundary (driver canonicalizer
+    requires atomic columns)."""
     from ..functions.text import tokenize_ws
 
     d = load_table(spark, sf_dir, "documents")
@@ -280,11 +283,13 @@ def func_array_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "doc_id",
         F.array_position("toks", "query").cast("int").alias("query_pos"),
-        F.concat(F.slice("toks", 1, 3), F.array(F.lit("<end>"))).alias("head_plus"),
+        F.array_join(
+            F.concat(F.slice("toks", 1, 3), F.array(F.lit("<end>")))
+        , ",").alias("head_plus"),
         F.size(
             F.flatten(F.array(F.slice("toks", 1, 2), F.slice("toks", 3, 2)))
         ).alias("flat_len"),
-        F.transform(
-            F.sequence(F.lit(1), F.lit(3)), lambda i: (i * 10).cast("bigint")
-        ).alias("tens"),
+        F.array_join(
+            F.transform(F.sequence(F.lit(1), F.lit(3)), lambda i: (i * 10).cast("string"))
+        , ",").alias("tens"),
     )

@@ -1,0 +1,88 @@
+"""Registry-contract tests.
+
+Two invariants the driver depends on:
+
+1. Every oracled query projects only atomic output columns — the
+   driver's order-insensitive value-hash pandas-sorts each column and
+   dies on list/dict cells (round-1 ERRs: agg_collect_set,
+   func_map_ops). Arrays/maps must be serialized (array_join/to_json)
+   at the query boundary.
+
+2. ``load_all()`` emits queries in DRIVER_PRIORITY order: the driver
+   checks a bounded prefix (50 names in round 1) in dict-insertion
+   order, so the prefix must contain the queries that still need an
+   external correctness row, and oracle-less rows-only queries must
+   come last.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from glue_etl_pyspark_spark.registry import DRIVER_PRIORITY, load_all
+
+# Queries whose bodies are driven by sinks/streams and are exercised by
+# dedicated tests; building them here would redundantly re-run writes.
+# They have no array outputs by construction (checked in test_parity).
+_SKIP_BUILD: set[str] = set()
+
+
+def _oracled_names():
+    return sorted(n for n, s in load_all().items() if s.oracle is not None)
+
+
+@pytest.mark.parametrize("name", _oracled_names())
+def test_oracled_outputs_are_atomic(spark, smoke_dir, name):
+    spec = load_all()[name]
+    df = spec.fn(spark, smoke_dir)
+    bad = [
+        f"{f.name}:{f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.dataType.typeName() in ("array", "map", "struct")
+    ]
+    assert not bad, (
+        f"{name} projects non-atomic columns {bad}; the driver's pandas "
+        "canonicalizer crashes on list/dict cells — serialize with "
+        "array_join/to_json on BOTH engines"
+    )
+
+
+def test_registry_order_is_priority_prefix():
+    names = list(load_all())
+    present_prio = [n for n in DRIVER_PRIORITY if n in set(names)]
+    assert names[: len(present_prio)] == present_prio
+
+    # every oracle-less (rows-only) query sorts after every oracled one,
+    # outside the explicit priority block
+    tail = names[len(present_prio) :]
+    specs = load_all()
+    seen_rows_only = False
+    for n in tail:
+        if specs[n].oracle is None:
+            seen_rows_only = True
+        else:
+            assert not seen_rows_only, f"oracled {n} after rows-only query"
+
+
+def test_priority_prefix_covers_round1_gaps():
+    """The expected driver window (first 50) must include the flagship,
+    the two round-1 ERR fixes, and at least one query from each family
+    that had no driver row in round 1."""
+    names = list(load_all())[:50]
+    must_have = {
+        "q1_pricing_summary",
+        "agg_collect_set",
+        "func_map_ops",
+        "tpch_q3_shipping_priority",
+        "window_ranking",
+        "func_string",
+        "knn_bruteforce_cosine",
+        "text_tfidf",
+        "udf_pandas_scalar",
+        "apply_mapping_orders",
+        "sort_limit_offset",
+        "unnest_struct",
+        "window_tumbling_batch",
+    }
+    missing = must_have - set(names)
+    assert not missing, f"driver window is missing {sorted(missing)}"
