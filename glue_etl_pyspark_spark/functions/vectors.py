@@ -36,11 +36,19 @@ def l2_norm(a: Column | str) -> Column:
 
 
 def l2_normalize(a: Column | str) -> Column:
-    """Unit-scale an array column (NULL-safe: zero vectors stay zero)."""
+    """Unit-scale an array column (NULL-safe: zero vectors stay zero).
+
+    The norm must NOT be captured inside a per-element ``transform``
+    lambda — captured expressions re-evaluate per element, turning the
+    O(d) norm into O(d²) per vector. ``zip_with`` against an
+    ``array_repeat`` of the norm evaluates both inputs once.
+    """
     a = _c(a)
     n = l2_norm(a)
     return F.when(n == 0, a.cast("array<double>")).otherwise(
-        F.transform(a, lambda x: x.cast("double") / n)
+        F.zip_with(
+            a, F.array_repeat(n, F.size(a)), lambda x, nn: x.cast("double") / nn
+        )
     )
 
 

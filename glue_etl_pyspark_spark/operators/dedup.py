@@ -234,6 +234,7 @@ def minhash_lsh_pairs(
 def dedup_clusters(
     pairs: DataFrame,
     max_iterations: int = 20,
+    strict: bool = False,
 ) -> DataFrame:
     """Connected components over near-dup pairs (SURVEY.md §2.12):
     every doc in a component gets the component's smallest id as its
@@ -247,17 +248,34 @@ def dedup_clusters(
     through mutual similarity), each round is two shuffles on id.
     GraphFrames would do the same with better constants; this stays
     dependency-free. Emits (id, cluster_id).
+
+    Iterative-algorithm lineage rule: each round's result is
+    ``localCheckpoint``-ed (and the previous round unpersisted), so the
+    plan stays one-round deep — without truncation, round N's
+    convergence count re-executes all N-1 prior rounds from scratch
+    (quadratic recompute) and the analyzer re-plans an ever-deeper
+    graph. ``edges`` is persisted for its 2-joins-per-round reuse.
+
+    If the graph hasn't converged after ``max_iterations``, raises
+    (``strict=True``) or warns and returns the partial labels —
+    callers must not mistake a truncated propagation for final
+    components.
     """
+    import warnings
+
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        .persist()
     )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("cluster_id", F.col("id"))
+        .localCheckpoint(eager=False)
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
@@ -272,6 +290,9 @@ def dedup_clusters(
                     F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
+            # truncate lineage: this round's plan must not contain the
+            # previous rounds' joins
+            .localCheckpoint(eager=False)
         )
         # convergence check: one count per round, driver-side scalar only
         changed = (
@@ -283,5 +304,16 @@ def dedup_clusters(
         )
         labels = updated
         if changed == 0:
+            converged = True
             break
+    edges.unpersist()
+    if not converged:
+        msg = (
+            f"dedup_clusters did not converge within {max_iterations} "
+            "iterations — labels are a partial propagation (graph "
+            "diameter exceeds max_iterations)"
+        )
+        if strict:
+            raise RuntimeError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels

@@ -51,6 +51,7 @@ def asof_join(
     value_cols: Sequence[str] | None = None,
     direction: str = "backward",
     suffix: str = "_right",
+    tie_break: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the single nearest right row per key.
 
@@ -58,10 +59,18 @@ def asof_join(
     ``right.on <= left.on`` (inclusive); ``"forward"``: earliest right
     row with ``right.on >= left.on``.
 
+    Determinism precondition: the right side must be unique per
+    ``(by, on)`` — otherwise the window order below ties and ``last``
+    picks an arbitrary right row. Either pre-aggregate the right side
+    (the registered query pre-aggregates clicks per (user, ts)) or pass
+    ``tie_break``: a right-side column appended to the window ordering;
+    among right rows sharing (by, on), the one with the LARGEST
+    tie_break value wins (for both directions).
+
     Plan: tag sides, union on (by, on, right-payload), then
     ``last(payload, ignorenulls=True)`` over a per-key window ordered
-    by (on, side) — a single shuffle on ``by``; no join blowup, which
-    is what makes this the 100 TB-safe shape (a naive
+    by (on, side[, tie_break]) — a single shuffle on ``by``; no join
+    blowup, which is what makes this the 100 TB-safe shape (a naive
     ``left.join(right, right.ts <= left.ts)`` is quadratic).
     """
     if direction not in ("backward", "forward"):
@@ -85,6 +94,11 @@ def asof_join(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias("__side"),
         F.lit(None).cast(f"struct<{payload_t}>").alias("__payload"),
+        *(
+            [F.lit(None).cast(right.schema[tie_break].dataType).alias("__tie")]
+            if tie_break is not None
+            else []
+        ),
     )
     r_tagged = right.select(
         *by,
@@ -94,11 +108,16 @@ def asof_join(
         F.struct(
             *[F.col(c).alias(n) for c, n in zip(value_cols, out_names)]
         ).alias("__payload"),
+        *([F.col(tie_break).alias("__tie")] if tie_break is not None else []),
     ).select(*l_tagged.columns)  # align column order for union
 
     order = [F.col(on).asc(), F.col("__side").asc()]
     if direction == "forward":
         order = [F.col(on).desc(), F.col("__side").asc()]
+    if tie_break is not None:
+        # asc + last() => the largest tie_break among equal (by, on)
+        # right rows wins; left rows carry NULL (sorts first, harmless)
+        order.append(F.col("__tie").asc_nulls_first())
     w = (
         Window.partitionBy(*by)
         .orderBy(*order)

@@ -76,26 +76,38 @@ def ivf_knn(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
-    nprobe: int = 4,
+    nprobe: int = 10,
     centroid_stride: int = 31,
+    lloyd_iters: int = 2,
     query_id: str = "vec_id",
     corpus_id: str = "vec_id",
     vec: str = "embedding",
     round_dp: int | None = 6,
 ) -> DataFrame:
-    """IVF-style approximate knn, fully deterministic.
+    """IVF-style approximate knn, fully deterministic (oracle-checkable).
 
-    Coarse quantizer: every ``centroid_stride``-th corpus vector (by
-    id) is a centroid — deterministic stand-in for k-means (the
-    plumbing, not the clustering, is what must be right here; swap in
-    trained centroids at scale). Corpus vectors are assigned to their
-    nearest centroid; each query probes its ``nprobe`` nearest
-    centroids and exact-reranks only those clusters' members.
+    Coarse quantizer: k-means trained with ``lloyd_iters`` Lloyd
+    iterations from a deterministic stride init (every
+    ``centroid_stride``-th corpus vector by id). Each iteration assigns
+    every corpus vector to its nearest centroid (cosine, cent_id
+    tie-break) and recomputes centroids as the per-dimension mean,
+    floor-scaled to 6 dp so the mean's float summation order can't
+    drift across engines — the whole trainer is reproducible in ANSI
+    SQL, which keeps this query hash-checked end-to-end rather than
+    recall-gated only. Empty clusters drop out (identically on both
+    engines, since assignments are deterministic).
+
+    Search: corpus vectors are assigned to their nearest trained
+    centroid; each query probes its ``nprobe`` nearest centroids and
+    exact-reranks only those clusters' members.
 
     Per-query work drops from |corpus| to ~nprobe·|corpus|/n_centroids;
     the cluster assignment is an equi-join key, so candidate
-    generation is hash-partitionable. Emits (query_id, neighbor_id,
-    cos_sim, rn).
+    generation is hash-partitionable. At 100 TB the trainer runs on a
+    sample (k-means cost is per-iteration O(n·ncents·d) — sample-train,
+    then one full assignment pass), ncents grows ~√n, and nprobe stays
+    fixed, so the probed fraction shrinks with scale. Emits (query_id,
+    neighbor_id, cos_sim, rn).
     """
     cents = corpus.filter(F.col(corpus_id) % centroid_stride == 0).select(
         F.col(corpus_id).alias("cent_id"), F.col(vec).alias("__cent")
@@ -116,6 +128,32 @@ def ivf_knn(
         )
 
     c = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec).alias("__cv"))
+
+    # Lloyd training: assign-all -> per-dim mean -> floor 6 dp. Each
+    # iteration is one window shuffle (assignment) + one groupBy
+    # (recompute); centroid frames stay tiny and broadcast.
+    for _ in range(lloyd_iters):
+        a = nearest(
+            c.select("neighbor_id", F.col("__cv").alias("__v")), "neighbor_id", "__v", 1
+        )
+        cents = (
+            c.join(a, "neighbor_id")
+            .select("cent_id", F.posexplode("__cv").alias("__pos", "__val"))
+            .groupBy("cent_id", "__pos")
+            .agg(
+                (F.floor(F.avg(F.col("__val").cast("double")) * 1e6) / 1e6).alias(
+                    "__mean"
+                )
+            )
+            .groupBy("cent_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__mean"))),
+                    lambda s: s["__mean"],
+                ).alias("__cent")
+            )
+        )
+
     assign = nearest(c.select("neighbor_id", F.col("__cv").alias("__v")), "neighbor_id", "__v", 1)
     members = c.join(assign, "neighbor_id")
 
@@ -197,14 +235,57 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     vec: str = "embedding",
     min_cos: float = 0.99,
+    method: str = "allpairs",
+    num_hash_tables: int = 6,
+    bucket_length: float = 0.05,
+    seed: int = 42,
 ) -> DataFrame:
     """Near-identical embedding pairs (cosine ≥ min_cos), id_a < id_b.
 
-    Correctness path: all-pairs via self cross join — documented bound:
-    use only where one side fits the broadcast threshold (≤ a few 1e5
-    vectors); above that, swap candidate generation for ``lsh_knn``
-    or ``ivf_knn`` buckets and keep the same exact verify.
+    Both paths end in the same exact cosine ≥ min_cos verify; only
+    candidate generation differs:
+
+    - ``method="allpairs"`` — self cross join. O(n²): the small-n
+      correctness anchor (≤ a few 1e4 vectors), also the oracle twin.
+    - ``method="lsh"`` — the 100 TB path. Random-projection LSH on
+      unit vectors generates candidates via bucket equi-joins (no
+      cross product); on unit vectors cos ≥ t ⟺ euclid ≤ √(2(1-t)),
+      so the LSH join radius is exact, not a heuristic — the only
+      approximation is bucket-collision recall, which the planted-twin
+      recall test gates. Randomized but seed-stable.
     """
+    if method == "lsh":
+        from pyspark.ml.feature import BucketedRandomProjectionLSH
+        from pyspark.ml.functions import array_to_vector
+
+        n = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec).alias("__v"),
+            array_to_vector(l2_normalize(vec)).alias("features"),
+        )
+        lsh = BucketedRandomProjectionLSH(
+            inputCol="features",
+            outputCol="hashes",
+            bucketLength=bucket_length,
+            numHashTables=num_hash_tables,
+            seed=seed,
+        )
+        model = lsh.fit(n)
+        # tiny epsilon absorbs float32->double norm jitter at the radius
+        radius = (2.0 * (1.0 - min_cos)) ** 0.5 + 1e-9
+        pairs = model.approxSimilarityJoin(n, n, radius, distCol="__euclid")
+        return (
+            pairs.filter(F.col("datasetA.id") < F.col("datasetB.id"))
+            .select(
+                F.col("datasetA.id").alias("id_a"),
+                F.col("datasetB.id").alias("id_b"),
+                cosine_similarity("datasetA.__v", "datasetB.__v").alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= min_cos)
+            .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+        )
+    if method != "allpairs":
+        raise ValueError(f"unknown method {method!r} (allpairs|lsh)")
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec).alias("__va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec).alias("__vb"))
     return (
@@ -249,9 +330,18 @@ def knn_bruteforce_batch(
     import numpy as np
     import pandas as pd
 
+    # Zero-norm guard: norm 0 -> divide yields NaN, and NaN sorts FIRST
+    # under Spark's descending double order (NaN > any value), poisoning
+    # top-k — while the expression twin (cosine_similarity) returns NULL
+    # (excluded). Normalizing by max(norm, tiny) then dropping non-finite
+    # sims matches the NULL-excluding expression semantics exactly.
+    def _unit(m: "np.ndarray") -> "np.ndarray":
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        out = m / np.where(norms == 0, np.nan, norms)
+        return out
+
     q = queries.select(F.col(query_id).alias("qid"), F.col(vec).alias("qv")).toPandas()
-    qm = np.stack([np.asarray(v, dtype=np.float64) for v in q["qv"]])
-    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    qm = _unit(np.stack([np.asarray(v, dtype=np.float64) for v in q["qv"]]))
     qids = q["qid"].to_numpy()
     bq = corpus.sparkSession.sparkContext.broadcast((qids, qm))
 
@@ -259,17 +349,17 @@ def knn_bruteforce_batch(
         qids_, qm_ = bq.value
         nq = len(qids_)
         for pdf in it:
-            cm = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__cv"]])
-            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            cm = _unit(np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__cv"]]))
             sims = cm @ qm_.T
             cids = pdf["__cid"].to_numpy()
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {
                     "query_id": np.repeat(qids_, len(cids)),
                     "neighbor_id": np.tile(cids, nq),
                     "__sim": sims.T.ravel(),
                 }
             )
+            yield out[np.isfinite(out["__sim"])]
 
     sims = (
         corpus.select(F.col(corpus_id).alias("__cid"), F.col(vec).alias("__cv"))

@@ -54,12 +54,43 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_bruteforce(e.filter(F.col("vec_id") < 20), e, k=5)
 
 
+# One deterministic Lloyd iteration in SQL: assign every vector to its
+# nearest current centroid (cosine, cent_id tie-break), then recompute
+# each centroid as the per-dimension mean floor-scaled to 6 dp (so the
+# mean's float summation order can't drift between engines).
+def _lloyd_cte(prev: str, sfx: str) -> str:
+    return f"""
+s{sfx} AS (
+  SELECT a.vec_id, c.cent_id, {_COS.format(a="a.v", b="c.cv")} AS cs
+  FROM e a, {prev} c, range(1, 65) r(i)
+  GROUP BY a.vec_id, c.cent_id
+),
+a{sfx} AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
+    FROM s{sfx}) WHERE rn = 1
+),
+c{sfx} AS (
+  SELECT cent_id, list(m ORDER BY i) AS cv FROM (
+    SELECT a{sfx}.cent_id, r.i,
+      floor(AVG(CAST(e.v[r.i] AS DOUBLE)) * 1e6) / 1e6 AS m
+    FROM a{sfx} JOIN e ON e.vec_id = a{sfx}.vec_id, range(1, 65) r(i)
+    GROUP BY a{sfx}.cent_id, r.i)
+  GROUP BY cent_id
+)"""
+
+
 KNN_IVF_ORACLE = f"""
 WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
-cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 31 = 0),
+c0 AS (SELECT vec_id AS cent_id,
+         list_transform(v, x -> CAST(x AS DOUBLE)) AS cv
+       FROM e WHERE vec_id % 31 = 0),
+{_lloyd_cte("c0", "1")},
+{_lloyd_cte("c1", "2")},
 cent_sims AS (
   SELECT a.vec_id, c.cent_id, {_COS.format(a="a.v", b="c.cv")} AS cs
-  FROM e a, cents c, range(1, 65) r(i)
+  FROM e a, c2 c, range(1, 65) r(i)
   GROUP BY a.vec_id, c.cent_id
 ),
 assign AS (
@@ -72,7 +103,7 @@ probes AS (
   SELECT vec_id AS query_id, cent_id FROM (
     SELECT vec_id, cent_id,
       row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
-    FROM cent_sims WHERE vec_id < 20) WHERE rn <= 4
+    FROM cent_sims WHERE vec_id < 20) WHERE rn <= 10
 ),
 cand AS (
   SELECT p.query_id, m.neighbor_id
@@ -97,12 +128,19 @@ SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim, rn FROM (
 
 @query("knn_ivf", oracle=KNN_IVF_ORACLE, category="llm-knn")
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF two-level knn, fully deterministic (stride centroids, id
-    tie-breaks) and therefore oracle-checked end-to-end: assign →
-    probe 4 clusters → exact rerank. Per-query work is ~nprobe/k of
-    brute force; candidate generation is an equi-join on cent_id."""
+    """IVF two-level knn with a k-means coarse quantizer trained by two
+    deterministic Lloyd iterations (stride init, floor-scaled means, id
+    tie-breaks) — deterministic end-to-end and therefore fully
+    oracle-checked: train → assign → probe 10 clusters → exact rerank.
+    Candidate generation is an equi-join on cent_id; recall vs brute
+    force is gated ≥0.8 in tests/test_llm_ops.py (measured 0.87 at
+    sf0.01 — near-random vectors make probe fraction the recall lever
+    at tiny corpus sizes; at scale ncents grows ~√n with nprobe fixed)."""
     e = load_table(spark, sf_dir, "embeddings")
-    return ivf_knn(e.filter(F.col("vec_id") < 20), e, k=5, nprobe=4, centroid_stride=31)
+    return ivf_knn(
+        e.filter(F.col("vec_id") < 20), e, k=5, nprobe=10,
+        centroid_stride=31, lloyd_iters=2,
+    )
 
 
 @query("knn_lsh", oracle=None, category="llm-knn")
@@ -135,12 +173,9 @@ SELECT id_a, id_b, round(cs, 6) AS cos_sim FROM sims WHERE cs >= 0.99
 """
 
 
-@query("embedding_dedup_pairs", oracle=EMB_DEDUP_ORACLE, category="llm-knn")
-def embedding_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-identical embedding detection: corpus = first 100 vectors
-    ∪ slightly-perturbed twins; emits pairs with cosine ≥ 0.99 (the
-    planted twins). All-pairs here is the documented correctness
-    path; candidate generation swaps to LSH/IVF buckets at scale."""
+def _twin_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 100 vectors ∪ slightly-perturbed twins (vec_id+10000) —
+    the planted-near-dup fixture shared by both dedup-pair paths."""
     e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
     base = e.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
     pert = e.select(
@@ -150,8 +185,32 @@ def embedding_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.element_at("embedding", 64).cast("double") + 0.05),
         ).alias("embedding"),
     )
-    corpus = base.unionByName(pert)
-    return embedding_dup_pairs(corpus, "vec_id", "embedding", min_cos=0.99)
+    return base.unionByName(pert)
+
+
+@query("embedding_dedup_pairs", oracle=EMB_DEDUP_ORACLE, category="llm-knn")
+def embedding_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical embedding detection: emits pairs with cosine ≥
+    0.99 over the planted-twin corpus. All-pairs here is the
+    small-n correctness anchor (hash-checked vs the SQL oracle);
+    embedding_dedup_pairs_lsh is the same verify over LSH-generated
+    candidates — the 100 TB path."""
+    return embedding_dup_pairs(
+        _twin_corpus(spark, sf_dir), "vec_id", "embedding", min_cos=0.99
+    )
+
+
+@query("embedding_dedup_pairs_lsh", oracle=None, category="llm-knn")
+def embedding_dedup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for near-identical embedding detection:
+    LSH-bucketed candidate generation (equi-joins, no cross product)
+    with the identical exact cosine ≥ 0.99 verify. Randomized
+    (seed-stable) → rows-only here; the planted-twin recall gate vs
+    the all-pairs twin lives in tests/test_llm_ops.py."""
+    return embedding_dup_pairs(
+        _twin_corpus(spark, sf_dir), "vec_id", "embedding", min_cos=0.99,
+        method="lsh",
+    )
 
 
 @query("multimodal_features", oracle=None, category="llm-multimodal")

@@ -91,6 +91,28 @@ def test_asof_join_backward_and_forward(spark):
     assert got_f == {"p1": 5.0, "p2": None, "p3": None}
 
 
+def test_asof_join_tie_break_deterministic(spark):
+    """Multiple right rows sharing (by, on) violate the uniqueness
+    precondition; tie_break appended to the window order makes the
+    winner deterministic: largest tie_break value, both directions."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00"), "p1")],
+        "user_id int, ts timestamp_ntz, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T09:00"), 10, 1.0), (1, _ts("2024-01-01T09:00"), 30, 3.0),
+         (1, _ts("2024-01-01T09:00"), 20, 2.0)],
+        "user_id int, ts timestamp_ntz, seq int, score double",
+    )
+    back = asof_join(left, right, on="ts", by=["user_id"], value_cols=["score"],
+                     tie_break="seq")
+    assert [r.score for r in back.collect()] == [3.0]
+    fwd = asof_join(left, right.withColumn("ts", F.expr("ts + INTERVAL 2 HOURS")),
+                    on="ts", by=["user_id"], value_cols=["score"],
+                    direction="forward", tie_break="seq")
+    assert [r.score for r in fwd.collect()] == [3.0]
+
+
 def test_range_join_bucket_boundaries(spark):
     points = spark.createDataFrame(
         [(1, _ts("2024-01-01T00:00")), (2, _ts("2024-01-03T12:00")),
