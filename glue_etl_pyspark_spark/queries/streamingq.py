@@ -243,6 +243,27 @@ def stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return foreach_batch_collect(agg)
 
 
+STATEFUL_BATCH_ORACLE = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+  round(SUM(value), 6) AS sum_value
+FROM events GROUP BY user_id
+"""
+
+
+@query("stream_stateful_batch", oracle=STATEFUL_BATCH_ORACLE, category="streaming")
+def stream_stateful_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the applyInPandasWithState running per-user
+    count/sum: after the full replay the stateful op's final update per
+    user must equal this plain aggregation (equality asserted in
+    tests/test_streaming.py); the twin itself is hash-checked vs the
+    DuckDB oracle, giving the stateful operator an oracled anchor."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
 @query("stream_stateful_counts", oracle=None, category="streaming")
 def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful per-key operator (applyInPandasWithState):

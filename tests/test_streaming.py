@@ -55,11 +55,7 @@ def test_stream_static_join_matches_batch(spark, smoke_dir):
 
 def test_stream_stateful_counts_match_batch(spark, smoke_dir):
     out = _run(spark, smoke_dir, "stream_stateful_counts")
-    batch = (
-        load_table(spark, smoke_dir, "events")
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
-    )
+    batch = _run(spark, smoke_dir, "stream_stateful_batch")
     cols = ["user_id", "n_events", "sum_value"]
     assert _rows(out, cols) == _rows(batch, cols)
 
