@@ -74,9 +74,18 @@ def ngram_jaccard_pairs(
     known to be low (df ~1-2, e.g. long n-grams over a diverse
     corpus): the df-computation + per-doc ranking then costs more
     than the pairs it prunes (~1.7x measured on the 4-gram dedup
-    corpus). Either path verifies exact |A∩B| per candidate with
-    array_intersect on the two full shingle arrays — per-pair work,
-    no second big shuffle.
+    corpus).
+
+    Verify differs by path. Without the prefix filter the inverted
+    index is COMPLETE, so the self-join emits every shared shingle
+    exactly once per pair (arrays are array_distinct) and
+    ``groupBy(pair).count()`` IS |A∩B| — map-side combine collapses
+    the pair rows in the same shuffle the old ``distinct()`` already
+    paid, and the per-candidate array_intersect re-join disappears
+    (~2x on the 4-gram corpus). With the prefix filter the index is
+    partial, so candidates still verify against the two full shingle
+    arrays with array_intersect — per-pair work, no second big
+    shuffle. Both paths are exact.
     """
     from pyspark import StorageLevel
 
@@ -89,7 +98,16 @@ def ngram_jaccard_pairs(
         .repartition(F.col("id"))
         .select(
             "id",
-            F.array_distinct(shingles(tokenize_ws("__text"), n)).alias("sh"),
+            # shingles are xxhash64-compressed before anything shuffles:
+            # 8-byte join/group keys instead of ~30-char strings (~25%
+            # end-to-end on the 4-gram corpus). |A∩B| over hashed sets
+            # equals the string-set value modulo 64-bit collisions
+            # (~n²/2^65 ≈ 1e-8 at 0.5M distinct shingles) — same
+            # accepted-collision stance as exact_dedup's sha2 keys, and
+            # still deterministic + oracle-checked.
+            F.array_distinct(
+                F.transform(shingles(tokenize_ws("__text"), n), lambda s: F.xxhash64(s))
+            ).alias("sh"),
         )
         .filter(F.size("sh") > 0)
         # read up to 3x downstream (df-count, prefix, verify) — persist
@@ -114,26 +132,46 @@ def ngram_jaccard_pairs(
             .filter(F.col("__r") <= prefix_len)
             .select("id", "shingle")
         )
-    else:
-        index = inv.select("id", "shingle")
+        cands = (
+            index.select(F.col("id").alias("id_a"), "shingle")
+            .join(index.select(F.col("id").alias("id_b"), "shingle"), "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+        b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+        verified = (
+            cands.join(a, "id_a")
+            .join(b, "id_b")
+            .withColumn("shared", F.size(F.array_intersect("sh_a", "sh_b")))
+            .withColumn(
+                "jaccard",
+                F.col("shared")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("shared")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+        return verified.select("id_a", "id_b", "jaccard")
 
-    cands = (
+    # complete index: count-based verify (see docstring). The sizes
+    # frame is one row per doc — joined un-hinted so AQE broadcasts it
+    # at small sf while a 100 TB run falls back to a keyed shuffle.
+    index = inv.select("id", "shingle")
+    shared = (
         index.select(F.col("id").alias("id_a"), "shingle")
         .join(index.select(F.col("id").alias("id_b"), "shingle"), "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
     )
-    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    sizes = sh.select("id", F.size("sh").alias("n_sh"))
     verified = (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("shared", F.size(F.array_intersect("sh_a", "sh_b")))
+        shared.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
         .withColumn(
             "jaccard",
-            F.col("shared")
-            / (F.size("sh_a") + F.size("sh_b") - F.col("shared")),
+            F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")),
         )
         .filter(F.col("jaccard") >= threshold)
     )

@@ -44,11 +44,20 @@ def knn_bruteforce(
     the cross join); the corpus side never shuffles until the final
     per-query top-k, which carries only k rows per query partition.
     """
+    # Pre-normalize each side ONCE (NULL for zero-norm vectors, matching
+    # cosine_similarity's NULL-excluding semantics) so the O(|q|·|c|)
+    # pair loop is a single dot product — computing cosine_similarity
+    # per pair re-evaluates both norms 40k times for a 20×2k case.
+    def _unit(vec_col: str):
+        return F.when(l2_norm(vec_col) == 0, F.lit(None)).otherwise(
+            l2_normalize(vec_col)
+        )
+
     q = queries.select(
-        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+        F.col(query_id).alias("query_id"), _unit(query_vec).alias("__qv")
     )
     c = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv")
+        F.col(corpus_id).alias("neighbor_id"), _unit(corpus_vec).alias("__cv")
     )
     sims = (
         c.crossJoin(broadcast(q))
@@ -56,7 +65,7 @@ def knn_bruteforce(
         .select(
             "query_id",
             "neighbor_id",
-            cosine_similarity("__qv", "__cv").alias("__sim"),
+            dot("__qv", "__cv").alias("__sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
