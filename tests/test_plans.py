@@ -95,3 +95,27 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     df = _df(spark, sf_dir, "bucketed_join")
     plan = explain_str(df)
     assert "Exchange" not in plan, "bucketed join should not shuffle either side"
+
+
+def test_knn_bruteforce_broadcasts_query_side(spark, sf_dir):
+    """The cross join's bound is the small query side: it must be the
+    broadcast input (corpus streams), and per-query top-k must push a
+    group limit."""
+    plan = explain_str(_df(spark, sf_dir, "knn_bruteforce_cosine"))
+    assert "BroadcastNestedLoopJoin" in plan, plan[:500]
+    assert "WindowGroupLimit" in plan
+    # corpus side never sort-merges/shuffles for the join itself
+    assert "SortMergeJoin" not in plan
+
+
+def test_ngram_dedup_count_verify_no_array_rejoin(spark, sf_dir):
+    """Complete-index path: |A∩B| comes from the pair-count aggregate
+    (map-side combine), so the plan must contain partial+final
+    HashAggregates and NO array_intersect re-join of shingle arrays."""
+    plan = explain_str(_df(spark, sf_dir, "dedup_ngram_jaccard"))
+    assert "array_intersect" not in plan, "count-verify regressed to array re-join"
+    ops = operator_counts(_df(spark, sf_dir, "dedup_ngram_jaccard"))
+    n_hash_agg = sum(v for k, v in ops.items() if "HashAggregate" in k)
+    assert n_hash_agg >= 2, f"expected partial+final pair-count aggregate: {ops}"
+    # shuffle keys are xxhash64 longs, not shingle strings
+    assert "xxhash64" in plan.lower()
