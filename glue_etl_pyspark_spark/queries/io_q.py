@@ -201,3 +201,65 @@ def dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("sum_qty"))
     )
+
+
+# --------------------------------------------------------------------------
+# custom connectors: Python DataSource API (PySpark 4)
+
+PYDS_ORACLE = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+  CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS sum_len
+FROM documents GROUP BY lang
+"""
+
+
+@query("pyds_arrowdocs_scan", oracle=PYDS_ORACLE, category="source-sink")
+def pyds_arrowdocs_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom batch connector via the Python DataSource API
+    (sources/pyds.py): pyarrow reads the parquet inside Python
+    workers, one task per row group (row-range slices for the
+    single-row-group demo file), Arrow RecordBatches on the wire —
+    the "bring your own source" story for systems Spark has no
+    built-in reader for. Deterministic, so fully oracled against the
+    built-in reader's view of the same file."""
+    from ..sources.pyds import register_python_sources
+
+    register_python_sources(spark)
+    docs = (
+        spark.read.format("arrowdocs")
+        .option("path", f"{sf_dir}/documents.parquet")
+        .option("numPartitions", "8")
+        .load()
+    )
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.length("text").cast("bigint")).alias("sum_len"),
+    )
+
+
+@query("pyds_stream_sequence", oracle=None, category="source-sink")
+def pyds_stream_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom streaming connector (SimpleDataSourceStreamReader): a
+    deterministic bounded sequence with replayable offsets — the
+    broker-less stand-in for a queue source; readBetweenOffsets is the
+    checkpoint-recovery replay path. Python stream sources don't
+    support availableNow (Spark falls back to one batch), so this
+    drains continuous micro-batches until all 1000 source rows are
+    committed; the final aggregate must equal the closed form
+    (asserted in tests/test_streaming.py), rows-only here."""
+    from ..sources.pyds import register_python_sources
+    from ..streaming.ops import drain_micro_batches
+
+    register_python_sources(spark)
+    s = (
+        spark.readStream.format("seqstream")
+        .option("total", "1000")
+        .option("rowsPerBatch", "250")
+        .load()
+    )
+    agg = s.groupBy((F.col("seq") % 10).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+    return drain_micro_batches(agg, mode="complete", total_input=1000)

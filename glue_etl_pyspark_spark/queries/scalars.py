@@ -293,3 +293,30 @@ def func_array_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.sequence(F.lit(1), F.lit(3)), lambda i: (i * 10).cast("string"))
         , ",").alias("tens"),
     )
+
+
+VARIANT_ORACLE = """
+SELECT event_id,
+  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+  CAST(json_extract_string(props, '$.k') AS DOUBLE) * 1.5 AS k_scaled,
+  json_extract_string(props, '$.missing') AS missing_val,
+  CAST(json_valid(props) AS BOOLEAN) AS is_valid
+FROM events WHERE event_id < 500
+"""
+
+
+@query("func_variant", oracle=VARIANT_ORACLE, category="function")
+def func_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT type over semi-structured JSON: parse_json into
+    a variant, typed path extraction with variant_get (missing paths
+    yield NULL), try_parse_json for validity. k*1.5 is exact in double
+    for small ints, so no rounding is needed."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_int"),
+        (F.variant_get(v, "$.k", "double") * 1.5).alias("k_scaled"),
+        F.variant_get(v, "$.missing", "string").alias("missing_val"),
+        F.try_parse_json("props").isNotNull().alias("is_valid"),
+    )

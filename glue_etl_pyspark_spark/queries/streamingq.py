@@ -294,6 +294,58 @@ def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drain_to_memory(out, mode="update")
 
 
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's transformWithStateInPandas — the successor API to
+    applyInPandasWithState (typed state variables on a
+    StatefulProcessor handle instead of a single state tuple): same
+    running per-user count/sum as stream_stateful_counts.
+
+    ENV-GATED, not registered: the API's Python state-server protocol
+    requires ``google.protobuf``, which is absent in this sandbox (no
+    network installs). The applyInPandasWithState query above is the
+    registered §2.10 stateful surface; this function is the documented
+    migration path, exercised by tests/test_streaming.py when protobuf
+    exists (skipped otherwise)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise RuntimeError(
+            "transformWithStateInPandas needs the protobuf package for "
+            "its state-server protocol; install 'protobuf' to use it"
+        ) from e
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "n bigint, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [round(total, 6)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    s = events_stream(spark, sf_dir)
+    out = s.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType="user_id bigint, n_events bigint, sum_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+    return drain_to_memory(out, mode="update")
+
+
 # --------------------------------------------------------------------------
 # incremental (job bookmark) source
 

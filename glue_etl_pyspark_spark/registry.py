@@ -120,6 +120,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "window_tumbling_batch",
     "stream_stateful_batch",
     # --- expected 50-query cutoff is here ---
+    "pyds_arrowdocs_scan",
+    "func_variant",
     "incremental_bookmark",
     "window_session_batch",
     "window_sliding_batch",

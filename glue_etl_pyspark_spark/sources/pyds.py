@@ -1,0 +1,147 @@
+"""Custom connectors via the Python DataSource API (SURVEY.md §2.1 —
+the "bring your own source" surface; PySpark 4's
+``pyspark.sql.datasource``).
+
+Two sources:
+
+- ``arrowdocs`` — batch connector reading a parquet file through
+  pyarrow in Python workers, emitting Arrow RecordBatches (zero
+  row-by-row Python). Partition planning happens driver-side in
+  ``partitions()``: one partition per parquet row group when the file
+  has several (each task reads only its row group — the real scale
+  unit), falling back to row-range slices so a single-row-group demo
+  file still scans in parallel.
+- ``seqstream`` — deterministic micro-batch streaming connector
+  (SimpleDataSourceStreamReader): a bounded integer sequence with
+  replayable offsets, standing in for a queue/broker source (none
+  exist in this sandbox). ``readBetweenOffsets`` re-emits any offset
+  window identically, which is what checkpoint recovery replays.
+
+Both are registered per-session with ``register_python_sources`` —
+registration is idempotent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+
+DOCS_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+_DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+class _RowGroupPartition(InputPartition):
+    def __init__(self, row_group: int):
+        self.row_group = row_group
+
+
+class _RowRangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class ArrowDocsReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.num_slices = int(options.get("numPartitions", "8"))
+
+    def partitions(self):
+        import pyarrow.parquet as pq
+
+        meta = pq.ParquetFile(self.path)
+        if meta.num_row_groups > 1:
+            return [_RowGroupPartition(i) for i in range(meta.num_row_groups)]
+        n = meta.metadata.num_rows
+        step = max(1, -(-n // self.num_slices))
+        return [
+            _RowRangePartition(s, min(s + step, n)) for s in range(0, n, step)
+        ]
+
+    def read(self, partition):
+        import pyarrow.parquet as pq
+
+        f = pq.ParquetFile(self.path)
+        if isinstance(partition, _RowGroupPartition):
+            yield from f.read_row_group(partition.row_group, columns=_DOC_COLS).to_batches()
+        else:
+            # single-row-group fallback: slice the row range (a real
+            # multi-row-group table takes the row-group branch, which
+            # reads only its own pages)
+            t = f.read(columns=_DOC_COLS).slice(
+                partition.start, partition.end - partition.start
+            )
+            yield from t.to_batches()
+
+
+class ArrowDocsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "arrowdocs"
+
+    def schema(self) -> str:
+        return DOCS_SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        return ArrowDocsReader(self.options)
+
+
+class SeqStreamReader(SimpleDataSourceStreamReader):
+    """Deterministic bounded sequence: values [0, total) in
+    ``rowsPerBatch`` chunks; offset = next value to emit."""
+
+    def __init__(self, options: dict):
+        self.total = int(options.get("total", "1000"))
+        self.rows_per_batch = int(options.get("rowsPerBatch", "250"))
+
+    def initialOffset(self):
+        return {"offset": 0}
+
+    def _rows(self, start: int, end: int):
+        return iter([(i, float(i) * 0.5) for i in range(start, end)])
+
+    def read(self, start: dict):
+        s = start["offset"]
+        e = min(s + self.rows_per_batch, self.total)
+        return self._rows(s, e), {"offset": e}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # replay path (checkpoint recovery): must reproduce exactly
+        return self._rows(start["offset"], end["offset"])
+
+
+class SeqStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "seqstream"
+
+    def schema(self) -> str:
+        return "seq bigint, value double"
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return SeqStreamReader(self.options)
+
+
+def register_python_sources(spark: SparkSession) -> None:
+    """Idempotently register both custom sources on this session.
+
+    The DataSource classes are shipped to Python workers by
+    cloudpickle. By default classes pickle BY REFERENCE (workers would
+    have to import this package — true only when the driver process
+    happens to run with the repo on sys.path, e.g. pytest from the
+    repo root, and false for an external harness running from another
+    cwd). Registering the module for by-value pickling makes the
+    connector self-contained: the class definition itself travels with
+    the plan, like any closure."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    spark.dataSource.register(ArrowDocsDataSource)
+    spark.dataSource.register(SeqStreamDataSource)

@@ -97,6 +97,47 @@ def drain_to_memory(
     return spark.table(name)
 
 
+def drain_micro_batches(
+    df: DataFrame,
+    mode: str = "complete",
+    total_input: int | None = None,
+    await_seconds: int = 120,
+) -> DataFrame:
+    """Drain a stream whose source does NOT support availableNow (e.g.
+    Python SimpleDataSourceStreamReader sources fall back to
+    single-batch under that trigger): run continuous micro-batches
+    until ``total_input`` source rows have been consumed by COMMITTED
+    batches (or, if None, until an idle batch follows data), then stop.
+
+    recentProgress only lists completed batches, so reaching the
+    target guarantees the memory sink holds their output."""
+    import time
+
+    name = f"mem_sink_{os.getpid()}_{next(_MEM_COUNTER)}"
+    q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    deadline = time.time() + await_seconds
+    done = False
+    while time.time() < deadline:
+        time.sleep(0.25)
+        progs = q.recentProgress
+        seen = sum(p["numInputRows"] for p in progs)
+        if total_input is not None:
+            if seen >= total_input:
+                done = True
+                break
+        elif progs and seen > 0 and progs[-1]["numInputRows"] == 0:
+            done = True
+            break
+    q.stop()
+    q.awaitTermination(await_seconds)
+    if not done:
+        raise TimeoutError(
+            f"streaming drain {name!r} did not consume "
+            f"{total_input} rows within {await_seconds}s"
+        )
+    return df.sparkSession.table(name)
+
+
 def foreach_batch_collect(df: DataFrame, await_seconds: int = 120) -> DataFrame:
     """Drain a stream through ``foreachBatch`` (the Glue
     streaming-sink hook), appending each micro-batch's rows into an
