@@ -270,3 +270,239 @@ def tpch_q22_global_sales_opp(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_nationkey
         """
     )
+
+
+Q7_ORACLE = """
+SELECT supp_nation, cust_nation, l_year, SUM(volume) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+    CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+    l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_0' AND n2.n_name = 'NATION_1')
+     OR (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_0')
+) GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("tpch_q7_nation_volume", oracle=Q7_ORACLE, category="tpch")
+def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: 5-way join tying each lineitem to its supplier
+    nation AND (through orders→customer) its customer nation, revenue
+    per directed nation pair per year. All four dims broadcast; the
+    fact table never shuffles for the joins."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    pair = (F.col("supp_nation") == "NATION_0") & (F.col("cust_nation") == "NATION_1") | (
+        F.col("supp_nation") == "NATION_1"
+    ) & (F.col("cust_nation") == "NATION_0")
+    return (
+        li.join(broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        .join(broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+Q13_ORACLE = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) GROUP BY c_count
+"""
+
+
+@query("tpch_q13_order_distribution", oracle=Q13_ORACLE, category="tpch")
+def tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer join with an extra join-condition filter
+    (customers keep their zero row), then a distribution over the
+    per-customer counts — two chained aggregations where the second's
+    input is exactly #customers rows."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+Q15_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey, SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+
+@query("tpch_q15_top_supplier", oracle=Q15_ORACLE, category="tpch")
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (view + scalar-max subquery) through the SQL
+    entry point: the CTE is evaluated once, its max attaches as a
+    1-row broadcast, and only max-revenue suppliers survive."""
+    register_views(spark, sf_dir, "lineitem", "supplier")
+    return spark.sql(
+        """
+        WITH rev AS (
+          SELECT l_suppkey, SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+        WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        """
+    )
+
+
+Q16_ORACLE = """
+SELECT p.p_brand, p.p_type, CAST(p.p_size AS INTEGER) AS p_size,
+  CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#3' AND p.p_size IN (1, 5, 9, 14, 19, 23)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+
+@query("tpch_q16_supplier_counts", oracle=Q16_ORACLE, category="tpch")
+def tpch_q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN subquery (planned as a null-aware anti
+    join against the 6 negative-balance suppliers) + COUNT DISTINCT
+    per part group."""
+    register_views(spark, sf_dir, "lineitem", "part", "supplier")
+    return spark.sql(
+        """
+        SELECT p.p_brand, p.p_type, p.p_size,
+          COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand <> 'Brand#3' AND p.p_size IN (1, 5, 9, 14, 19, 23)
+          AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p.p_brand, p.p_type, p.p_size
+        """
+    )
+
+
+Q18_ORACLE = """
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+  SUM(l.l_quantity) AS sum_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+"""
+
+
+@query("tpch_q18_large_orders", oracle=Q18_ORACLE, category="tpch")
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN-subquery over a HAVING aggregate (orders
+    whose total quantity exceeds a threshold) planned as a semi join,
+    then re-aggregation with the customer dim broadcast."""
+    register_views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+          SUM(l.l_quantity) AS sum_qty
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+          SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(l_quantity) > 250
+        )
+        GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        """
+    )
+
+
+Q19_ORACLE = """
+SELECT SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity BETWEEN 10 AND 40)
+   OR (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity BETWEEN 20 AND 50)
+"""
+
+
+@query("tpch_q19_disjunctive", oracle=Q19_ORACLE, category="tpch")
+def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive bracket predicates spanning both
+    join sides — Catalyst extracts the common join key and pushes the
+    per-side conjuncts (brand/size to the part scan) while keeping the
+    cross-side OR as a post-join residual."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    bracket = (
+        (F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 40)
+    ) | (
+        (F.col("p_brand") == "Brand#4") & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 50)
+    )
+    return (
+        li.join(broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(bracket)
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+Q11_ORACLE = """
+WITH val AS (
+  SELECT l_partkey, SUM(l_extendedprice * (1 - l_discount)) AS part_value
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, part_value FROM val
+WHERE part_value > (SELECT SUM(part_value) * 0.0007 FROM val)
+"""
+
+
+@query("tpch_q11_important_parts", oracle=Q11_ORACLE, category="tpch")
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-key value vs a fraction of the GLOBAL
+    total — the grouped frame is reused for both sides, the scalar
+    attaches as a 1-row broadcast (no second lineitem scan of the
+    subquery in the optimized plan thanks to CTE reuse)."""
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        WITH val AS (
+          SELECT l_partkey, SUM(l_extendedprice * (1 - l_discount)) AS part_value
+          FROM lineitem GROUP BY l_partkey
+        )
+        SELECT l_partkey, part_value FROM val
+        WHERE part_value > (SELECT SUM(part_value) * 0.0007 FROM val)
+        """
+    )
