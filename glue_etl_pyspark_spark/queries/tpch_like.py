@@ -360,8 +360,11 @@ WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
 @query("tpch_q15_top_supplier", oracle=Q15_ORACLE, category="tpch")
 def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape (view + scalar-max subquery) through the SQL
-    entry point: the CTE is evaluated once, its max attaches as a
-    1-row broadcast, and only max-revenue suppliers survive."""
+    entry point. Note Spark inlines the CTE — rev is computed in both
+    the main branch and the MAX subquery (the revenue frame here is
+    |supplier|-sized, so that's cheap); at 100 TB you'd materialize
+    rev first, which is exactly what the DataFrame form of
+    tpch_q11_important_parts demonstrates via exchange reuse."""
     register_views(spark, sf_dir, "lineitem", "supplier")
     return spark.sql(
         """
@@ -492,17 +495,19 @@ WHERE part_value > (SELECT SUM(part_value) * 0.0007 FROM val)
 @query("tpch_q11_important_parts", oracle=Q11_ORACLE, category="tpch")
 def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: per-key value vs a fraction of the GLOBAL
-    total — the grouped frame is reused for both sides, the scalar
-    attaches as a 1-row broadcast (no second lineitem scan of the
-    subquery in the optimized plan thanks to CTE reuse)."""
-    register_views(spark, sf_dir, "lineitem")
-    return spark.sql(
-        """
-        WITH val AS (
-          SELECT l_partkey, SUM(l_extendedprice * (1 - l_discount)) AS part_value
-          FROM lineitem GROUP BY l_partkey
-        )
-        SELECT l_partkey, part_value FROM val
-        WHERE part_value > (SELECT SUM(part_value) * 0.0007 FROM val)
-        """
+    total. Spark INLINES SQL CTEs, so the WITH form scans lineitem
+    twice; building both consumers on the identical DataFrame
+    aggregate subtree instead lets runtime exchange reuse kick in —
+    the per-part shuffle is computed once and the 1-row threshold
+    attaches as a broadcast (ReusedExchange pinned in
+    tests/test_plans.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    val = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("part_value")
+    )
+    thr = val.agg((F.sum("part_value") * 0.0007).alias("__thr"))
+    return (
+        val.join(broadcast(thr))
+        .filter(F.col("part_value") > F.col("__thr"))
+        .select("l_partkey", "part_value")
     )

@@ -97,6 +97,18 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     assert "Exchange" not in plan, "bucketed join should not shuffle either side"
 
 
+def test_q11_reuses_value_exchange(spark, sf_dir):
+    """Both consumers of the per-part value frame (the rows and the
+    global threshold) are built on the identical aggregate subtree, so
+    the shuffle must be computed once — AQE replaces the second branch
+    with a ReusedExchange. (The SQL-CTE form would scan lineitem
+    twice: Spark inlines CTEs.)"""
+    df = _df(spark, sf_dir, "tpch_q11_important_parts")
+    df.collect()  # AQE finalizes reuse at runtime
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, "per-part value shuffle computed twice"
+
+
 def test_knn_bruteforce_broadcasts_query_side(spark, sf_dir):
     """The cross join's bound is the small query side: it must be the
     broadcast input (corpus streams), and per-query top-k must push a
