@@ -263,3 +263,69 @@ def pyds_stream_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
     )
     return drain_micro_batches(agg, mode="complete", total_input=1000)
+
+
+PYDS_PUSHDOWN_ORACLE = """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents WHERE lang = 'en' AND doc_id >= 100
+GROUP BY source
+"""
+
+
+@query("pyds_pushdown_scan", oracle=PYDS_PUSHDOWN_ORACLE, category="source-sink")
+def pyds_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter pushdown THROUGH the custom Python connector
+    (DataSourceReader.pushFilters, Spark 4.1): the lang/doc_id
+    comparisons reach the pyarrow reader, which evaluates them against
+    row-group statistics before decoding — at scale this skips whole
+    row groups, same as the built-in parquet source's PushedFilters.
+    Unsupported predicates are yielded back to Spark (semantics never
+    change, only work skipped); tests/test_operators.py pins which
+    filters the reader accepts."""
+    from ..sources.pyds import register_python_sources
+
+    register_python_sources(spark)
+    docs = (
+        spark.read.format("arrowdocs")
+        .option("path", f"{sf_dir}/documents.parquet")
+        .load()
+        .filter((F.col("lang") == "en") & (F.col("doc_id") >= 100))
+    )
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+XML_ORACLE = """
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+FROM orders WHERE o_orderkey < 3000 GROUP BY o_orderstatus
+"""
+
+
+@query("sink_xml_roundtrip", oracle=XML_ORACLE, category="source-sink")
+def sink_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + scan (built into Spark 4 — no spark-xml jar needed):
+    rowTag-delimited elements round-trip the integer/string projection
+    losslessly, so the re-read aggregate matches the oracle on the
+    original table."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    path = scratch_dir("orders_xml")
+    (
+        orders.select("o_orderkey", "o_custkey", "o_orderstatus")
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rowTag", "order")
+        .save(path)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .schema("o_orderkey bigint, o_custkey bigint, o_orderstatus string")
+        .load(path)
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("o_custkey").alias("sum_cust")
+    )

@@ -511,3 +511,39 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("part_value") > F.col("__thr"))
         .select("l_partkey", "part_value")
     )
+
+
+LATERAL_ORACLE = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice, t.rk
+FROM customer c
+JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice,
+    CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+  FROM orders WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) t ON TRUE
+WHERE c.c_custkey < 200
+"""
+
+
+@query("lateral_top_orders", oracle=LATERAL_ORACLE, category="tpch")
+def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated derived table (SQL:2016 / Spark 3.2+): per
+    customer, the 2 highest-value orders. Catalyst plans the lateral
+    as a DomainJoin and rewrites it into a windowed join — the same
+    WindowGroupLimit shape as topk_per_group, not a per-row re-scan
+    of orders."""
+    register_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice, t.rk
+        FROM customer c
+        JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice,
+            row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rk
+          FROM orders WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        WHERE c.c_custkey < 200
+        """
+    )

@@ -27,7 +27,13 @@ from pyspark.sql import SparkSession
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
     SimpleDataSourceStreamReader,
 )
 
@@ -46,10 +52,49 @@ class _RowRangePartition(InputPartition):
         self.end = end
 
 
+# Filter -> pyarrow predicate op; comparisons on flat columns only
+_PUSHABLE = {
+    EqualTo: "==",
+    GreaterThan: ">",
+    GreaterThanOrEqual: ">=",
+    LessThan: "<",
+    LessThanOrEqual: "<=",
+}
+
+
 class ArrowDocsReader(DataSourceReader):
     def __init__(self, options: dict):
         self.path = options["path"]
         self.num_slices = int(options.get("numPartitions", "8"))
+        self.pushed: list[tuple[str, str, object]] = []
+
+    def pushFilters(self, filters: list[Filter]):
+        """Accept flat-column comparison filters; pyarrow evaluates
+        them against row-group/page statistics, so at scale whole row
+        groups are skipped before any decode. Everything else is
+        yielded back for Spark to apply post-scan (pushdown must never
+        change semantics, only skip work)."""
+        for f in filters:
+            op = _PUSHABLE.get(type(f))
+            if op is not None and len(f.attribute) == 1:
+                self.pushed.append((f.attribute[0], op, f.value))
+            else:
+                yield f  # unsupported -> Spark applies it
+
+    def _arrow_filter(self):
+        if not self.pushed:
+            return None
+        import pyarrow.compute as pc
+
+        expr = None
+        for col, op, val in self.pushed:
+            f = pc.field(col)
+            e = {
+                "==": f == val, ">": f > val, ">=": f >= val,
+                "<": f < val, "<=": f <= val,
+            }[op]
+            expr = e if expr is None else expr & e
+        return expr
 
     def partitions(self):
         import pyarrow.parquet as pq
@@ -68,7 +113,7 @@ class ArrowDocsReader(DataSourceReader):
 
         f = pq.ParquetFile(self.path)
         if isinstance(partition, _RowGroupPartition):
-            yield from f.read_row_group(partition.row_group, columns=_DOC_COLS).to_batches()
+            t = f.read_row_group(partition.row_group, columns=_DOC_COLS)
         else:
             # single-row-group fallback: slice the row range (a real
             # multi-row-group table takes the row-group branch, which
@@ -76,7 +121,10 @@ class ArrowDocsReader(DataSourceReader):
             t = f.read(columns=_DOC_COLS).slice(
                 partition.start, partition.end - partition.start
             )
-            yield from t.to_batches()
+        expr = self._arrow_filter()
+        if expr is not None:
+            t = t.filter(expr)
+        yield from t.to_batches()
 
 
 class ArrowDocsDataSource(DataSource):
@@ -143,5 +191,8 @@ def register_python_sources(spark: SparkSession) -> None:
     from pyspark import cloudpickle
 
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    # implementing pushFilters REQUIRES this conf (Spark hard-errors
+    # otherwise); runtime-settable, so a vanilla driver session works
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(ArrowDocsDataSource)
     spark.dataSource.register(SeqStreamDataSource)

@@ -210,3 +210,29 @@ def test_func_spark_only_spot_values(spark, sf_dir):
     assert r.tag == f"order-{min(rows):06d}"
     assert r.price_k % 1000 == 0  # bround to -3 digits
     assert isinstance(r.xx, int) and r.crc >= 0
+
+
+def test_arrowdocs_push_filters_partitioning():
+    """The custom connector accepts flat comparison filters (applied
+    via pyarrow against row-group stats) and yields everything else
+    back to Spark."""
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, IsNull, StringStartsWith
+
+    from glue_etl_pyspark_spark.sources.pyds import ArrowDocsReader
+
+    r = ArrowDocsReader({"path": "/root/testdata/sf0.001/documents.parquet"})
+    leftover = list(r.pushFilters([
+        EqualTo(("lang",), "en"),
+        GreaterThanOrEqual(("doc_id",), 100),
+        IsNull(("source",)),                  # not pushable here
+        StringStartsWith(("text",), "the"),   # not pushable here
+    ]))
+    assert [type(f).__name__ for f in leftover] == ["IsNull", "StringStartsWith"]
+    assert r.pushed == [("lang", "==", "en"), ("doc_id", ">=", 100)]
+    # the pushed filters actually prune rows at read time
+    rows = [b.num_rows for p in r.partitions() for b in r.read(p)]
+    import pyarrow.parquet as pq
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    import pyarrow.compute as pc
+    want = t.filter((pc.field("lang") == "en") & (pc.field("doc_id") >= 100)).num_rows
+    assert sum(rows) == want and want > 0
