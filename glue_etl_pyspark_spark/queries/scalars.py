@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import load_table
+from ..io import load_table, register_views
 from ..registry import query
 
 STRING_ORACLE = """
@@ -319,4 +319,41 @@ def func_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.variant_get(v, "$.k", "double") * 1.5).alias("k_scaled"),
         F.variant_get(v, "$.missing", "string").alias("missing_val"),
         F.try_parse_json("props").isNotNull().alias("is_valid"),
+    )
+
+
+COLLATION_ORACLE = """
+WITH mixed AS (
+  SELECT lang, source AS src FROM documents
+  UNION ALL SELECT lang, upper(source) FROM documents
+)
+SELECT lang,
+  CAST(COUNT(DISTINCT src) AS BIGINT) AS n_binary,
+  CAST(COUNT(DISTINCT lower(src)) AS BIGINT) AS n_ci,
+  CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM mixed GROUP BY lang
+"""
+
+
+@query("func_collation", oracle=COLLATION_ORACLE, category="function")
+def func_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 string collations + GROUP BY ALL through the SQL entry
+    point: a UNICODE_CI-collated COUNT DISTINCT collapses case
+    variants that the binary collation keeps apart (the oracle models
+    CI as lower(); exact for this ASCII corpus). Collation-aware
+    comparison happens JVM-side in the aggregate — no lower()
+    materialization on the Spark side."""
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(
+        """
+        WITH mixed AS (
+          SELECT lang, source AS src FROM documents
+          UNION ALL SELECT lang, upper(source) FROM documents
+        )
+        SELECT lang,
+          COUNT(DISTINCT src) AS n_binary,
+          COUNT(DISTINCT src COLLATE UNICODE_CI) AS n_ci,
+          COUNT(*) AS n_rows
+        FROM mixed GROUP BY ALL
+        """
     )
