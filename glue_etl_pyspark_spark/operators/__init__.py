@@ -16,6 +16,7 @@ from .columns import (
     select_fields,
 )
 from .joins import asof_join, glue_join, range_join
+from .observe import observe_quality
 from .restructure import relationalize, unbox, unnest_frame
 from .splits import spigot, split_fields, split_rows
 
@@ -28,6 +29,7 @@ __all__ = [
     "drop_null_fields",
     "fill_missing",
     "glue_join",
+    "observe_quality",
     "asof_join",
     "range_join",
     "split_fields",

@@ -236,3 +236,22 @@ def test_arrowdocs_push_filters_partitioning():
     import pyarrow.compute as pc
     want = t.filter((pc.field("lang") == "en") & (pc.field("doc_id") >= 100)).num_rows
     assert sum(rows) == want and want > 0
+
+
+def test_observe_quality_metrics_ride_the_action(spark):
+    """observe() metrics are computed during the consuming action — no
+    second scan; counts must reflect the frame at the observe point
+    (pre-filter rows observed even though the action only sees the
+    post-filter output)."""
+    from glue_etl_pyspark_spark.operators import observe_quality
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "b"), (3, None), (4, "d")], "k int, v string"
+    )
+    inst, obs = observe_quality(df, "pre_filter", {
+        "rows": F.count(F.lit(1)),
+        "null_v": F.count_if(F.col("v").isNull()),
+    })
+    out = inst.filter(F.col("v").isNotNull()).collect()
+    assert len(out) == 2
+    assert obs.get == {"rows": 4, "null_v": 2}

@@ -74,3 +74,52 @@ def test_distinct_orderby_agreement(spark, rows):
     duck_rows = con.execute("SELECT DISTINCT s, n FROM t").fetchall()
     con.close()
     assert _norm(spark_rows) == _norm(duck_rows)
+
+
+asof_strategy = st.tuples(
+    # left: (user, ts-minute) pairs
+    st.lists(st.tuples(st.integers(1, 3), st.integers(0, 120)),
+             min_size=1, max_size=20),
+    # right: (user, ts-minute, value) — duplicates per (user, ts) allowed;
+    # values made unique below so the max-tie-break winner is checkable
+    st.lists(st.tuples(st.integers(1, 3), st.integers(0, 120)),
+             min_size=0, max_size=20),
+)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=asof_strategy)
+def test_asof_join_matches_bruteforce(spark, data):
+    """asof_join (union + keyed window) must equal the brute-force
+    per-left-row definition: the right row with the greatest ts <= left
+    ts for the same key, ties on ts resolved to the largest tie_break."""
+    import datetime as dt
+
+    from glue_etl_pyspark_spark.operators import asof_join
+
+    left_raw, right_raw = data
+    base = dt.datetime(2024, 1, 1)
+    left = [(u, base + dt.timedelta(minutes=m), i)
+            for i, (u, m) in enumerate(left_raw)]
+    right = [(u, base + dt.timedelta(minutes=m), i, float(i))
+             for i, (u, m) in enumerate(right_raw)]
+
+    ldf = spark.createDataFrame(left, "user_id int, ts timestamp_ntz, lid int")
+    rdf = spark.createDataFrame(
+        right, "user_id int, ts timestamp_ntz, seq int, score double"
+    )
+    got = {
+        r.lid: r.score
+        for r in asof_join(
+            ldf, rdf, on="ts", by=["user_id"], value_cols=["score"],
+            tie_break="seq",
+        ).collect()
+    }
+
+    want = {}
+    for u, lts, lid in left:
+        cands = [(rts, seq, score) for (ru, rts, seq, score) in right
+                 if ru == u and rts <= lts]
+        want[lid] = max(cands)[2] if cands else None
+    assert got == want
