@@ -329,3 +329,15 @@ def sink_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"), F.sum("o_custkey").alias("sum_cust")
     )
+
+
+@query("sample_stratified", oracle=None, category="source-sink")
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (sampleBy): per-stratum Bernoulli fractions
+    — the class-rebalancing primitive for training-data pipelines
+    (downsample the dominant language, keep the rest). Seeded but
+    engine-specific → rows-only; the per-stratum fraction tolerance is
+    asserted in tests/test_operators.py."""
+    d = load_table(spark, sf_dir, "documents")
+    sampled = d.sampleBy("lang", fractions={"en": 0.25, "de": 1.0}, seed=42)
+    return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))

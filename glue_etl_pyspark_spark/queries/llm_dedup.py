@@ -196,3 +196,53 @@ def dedup_clusters_minlabel(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(corpus, "doc_id", "text", n=4, threshold=0.6,
                                 prefix_filter=False)
     return dedup_clusters(pairs)
+
+
+CURATION_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text, lang, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang, n_chars FROM documents
+),
+quality AS (
+  SELECT doc_id, lang, text, CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens
+  FROM corpus WHERE n_chars BETWEEN 100 AND 2000
+),
+kept AS (
+  SELECT * FROM quality
+  WHERE doc_id IN (SELECT MIN(doc_id) FROM quality GROUP BY md5(text))
+    AND n_tokens >= 20
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  CAST(MIN(n_tokens) AS BIGINT) AS min_tokens
+FROM kept GROUP BY lang
+"""
+
+
+@query("llm_corpus_curation", oracle=CURATION_ORACLE, category="llm-dedup")
+def llm_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus curation composing the §2.12
+    operators: length gate → exact dedup (keep smallest doc_id per
+    byte-identical text, via the sha2-keyed exact_dedup operator) →
+    token-count floor → per-language corpus stats. The planted exact
+    copies (doc_id+1e6) must all be removed by the dedup stage; every
+    stage is a single declarative pass, so the whole pipeline is one
+    shuffle per stage at scale (filter stages are free)."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.select("doc_id", "text", "lang", "n_chars").unionByName(
+        d.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang", "n_chars"
+        )
+    )
+    quality = corpus.filter(F.col("n_chars").between(100, 2000)).select(
+        "doc_id", "lang", "text",
+        F.size(tokenize_ws("text")).cast("bigint").alias("n_tokens"),
+    )
+    deduped = exact_dedup(quality, cols=["text"], tie_break=["doc_id"])
+    kept = deduped.filter(F.col("n_tokens") >= 20)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("n_tokens").alias("min_tokens"),
+    )

@@ -255,3 +255,19 @@ def test_observe_quality_metrics_ride_the_action(spark):
     out = inst.filter(F.col("v").isNotNull()).collect()
     assert len(out) == 2
     assert obs.get == {"rows": 4, "null_v": 2}
+
+
+def test_stratified_sample_fractions(spark, sf_dir):
+    """sampleBy must keep every 1.0-fraction stratum intact, drop
+    unlisted strata entirely, and downsample 'en' to roughly 25%."""
+    from glue_etl_pyspark_spark.io import load_table
+    from glue_etl_pyspark_spark.registry import load_all
+
+    out = {r.lang: r.n for r in
+           load_all()["sample_stratified"].fn(spark, sf_dir).collect()}
+    full = {r.lang: r.n for r in
+            load_table(spark, sf_dir, "documents").groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert out["de"] == full["de"]
+    assert set(out) == {"en", "de"}
+    assert 0.05 <= out["en"] / full["en"] <= 0.6  # Bernoulli around 0.25
