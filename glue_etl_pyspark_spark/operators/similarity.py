@@ -81,19 +81,39 @@ def knn_bruteforce(
     )
 
 
-def ivf_knn(
-    queries: DataFrame,
+def _nearest_cents(
+    df: DataFrame, cents: DataFrame, id_out: str, vec_col: str, n: int
+) -> DataFrame:
+    """ids of the n nearest centroids per input row (broadcast join;
+    cosine, cent_id tie-break). cents: (cent_id, centroid)."""
+    sims = df.crossJoin(
+        broadcast(cents.select("cent_id", F.col("centroid").alias("__cent")))
+    ).select(
+        F.col(id_out),
+        "cent_id",
+        cosine_similarity(vec_col, "__cent").alias("__cs"),
+    )
+    w = Window.partitionBy(id_out).orderBy(F.col("__cs").desc(), F.col("cent_id"))
+    return (
+        sims.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= n)
+        .select(id_out, "cent_id")
+    )
+
+
+def ivf_build(
     corpus: DataFrame,
-    k: int = 5,
-    nprobe: int = 10,
     centroid_stride: int = 31,
     lloyd_iters: int = 2,
-    query_id: str = "vec_id",
     corpus_id: str = "vec_id",
     vec: str = "embedding",
-    round_dp: int | None = 6,
-) -> DataFrame:
-    """IVF-style approximate knn, fully deterministic (oracle-checkable).
+) -> tuple[DataFrame, DataFrame]:
+    """Build an IVF index: returns ``(centroids, members)`` —
+    ``centroids`` (cent_id, centroid array<double>) and ``members``
+    (neighbor_id, cent_id, vec array<double>) — the inverted lists a
+    real IVF index stores. Build once, search many; both frames are
+    plain DataFrames, so ``ivf_save``/``ivf_load`` persist the index
+    as parquet for reuse across jobs.
 
     Coarse quantizer: k-means trained with ``lloyd_iters`` Lloyd
     iterations from a deterministic stride init (every
@@ -102,39 +122,19 @@ def ivf_knn(
     tie-break) and recomputes centroids as the per-dimension mean,
     floor-scaled to 6 dp so the mean's float summation order can't
     drift across engines — the whole trainer is reproducible in ANSI
-    SQL, which keeps this query hash-checked end-to-end rather than
-    recall-gated only. Empty clusters drop out (identically on both
-    engines, since assignments are deterministic).
+    SQL, which keeps the knn_ivf query hash-checked end-to-end rather
+    than recall-gated only. Empty clusters drop out (identically on
+    both engines, since assignments are deterministic).
 
-    Search: corpus vectors are assigned to their nearest trained
-    centroid; each query probes its ``nprobe`` nearest centroids and
-    exact-reranks only those clusters' members.
-
-    Per-query work drops from |corpus| to ~nprobe·|corpus|/n_centroids;
-    the cluster assignment is an equi-join key, so candidate
-    generation is hash-partitionable. At 100 TB the trainer runs on a
-    sample (k-means cost is per-iteration O(n·ncents·d) — sample-train,
-    then one full assignment pass), ncents grows ~√n, and nprobe stays
-    fixed, so the probed fraction shrinks with scale. Emits (query_id,
-    neighbor_id, cos_sim, rn).
+    At 100 TB the trainer runs on a sample (per-iteration cost is
+    O(n·ncents·d) — sample-train, then one full assignment pass),
+    ncents grows ~√n with nprobe fixed, so the probed fraction shrinks
+    with scale.
     """
     cents = corpus.filter(F.col(corpus_id) % centroid_stride == 0).select(
-        F.col(corpus_id).alias("cent_id"), F.col(vec).alias("__cent")
+        F.col(corpus_id).alias("cent_id"),
+        F.transform(vec, lambda x: x.cast("double")).alias("centroid"),
     )
-
-    def nearest(df: DataFrame, id_out: str, vec_col: str, n: int) -> DataFrame:
-        """ids of the n nearest centroids per input row (broadcast join)."""
-        sims = df.crossJoin(broadcast(cents)).select(
-            F.col(id_out),
-            "cent_id",
-            cosine_similarity(vec_col, "__cent").alias("__cs"),
-        )
-        w = Window.partitionBy(id_out).orderBy(F.col("__cs").desc(), F.col("cent_id"))
-        return (
-            sims.withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") <= n)
-            .select(id_out, "cent_id")
-        )
 
     c = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec).alias("__cv"))
 
@@ -142,8 +142,9 @@ def ivf_knn(
     # iteration is one window shuffle (assignment) + one groupBy
     # (recompute); centroid frames stay tiny and broadcast.
     for _ in range(lloyd_iters):
-        a = nearest(
-            c.select("neighbor_id", F.col("__cv").alias("__v")), "neighbor_id", "__v", 1
+        a = _nearest_cents(
+            c.select("neighbor_id", F.col("__cv").alias("__v")), cents,
+            "neighbor_id", "__v", 1,
         )
         cents = (
             c.join(a, "neighbor_id")
@@ -159,23 +160,48 @@ def ivf_knn(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("__pos", "__mean"))),
                     lambda s: s["__mean"],
-                ).alias("__cent")
+                ).alias("centroid")
             )
         )
 
-    assign = nearest(c.select("neighbor_id", F.col("__cv").alias("__v")), "neighbor_id", "__v", 1)
-    members = c.join(assign, "neighbor_id")
+    assign = _nearest_cents(
+        c.select("neighbor_id", F.col("__cv").alias("__v")), cents,
+        "neighbor_id", "__v", 1,
+    )
+    members = c.join(assign, "neighbor_id").select(
+        "neighbor_id", "cent_id",
+        F.transform("__cv", lambda x: x.cast("double")).alias("vec"),
+    )
+    return cents, members
 
+
+def ivf_search(
+    queries: DataFrame,
+    centroids: DataFrame,
+    members: DataFrame,
+    k: int = 5,
+    nprobe: int = 10,
+    query_id: str = "vec_id",
+    vec: str = "embedding",
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """Search a prebuilt IVF index: each query probes its ``nprobe``
+    nearest centroids and exact-reranks only those clusters' members.
+    Candidate generation is an equi-join on cent_id (hash-
+    partitionable); per-query work is ~nprobe·|corpus|/n_centroids.
+    Emits (query_id, neighbor_id, cos_sim, rn)."""
     q = queries.select(F.col(query_id).alias("query_id"), F.col(vec).alias("__qv"))
-    probes = nearest(q.select("query_id", F.col("__qv").alias("__v")), "query_id", "__v", nprobe)
-
+    probes = _nearest_cents(
+        q.select("query_id", F.col("__qv").alias("__v")), centroids,
+        "query_id", "__v", nprobe,
+    )
     cands = (
         probes.join(members, "cent_id")
         .join(broadcast(q), "query_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         # a corpus vector can sit in only one cluster, so (query,
         # neighbor) pairs are already distinct across probes
-        .select("query_id", "neighbor_id", cosine_similarity("__qv", "__cv").alias("__sim"))
+        .select("query_id", "neighbor_id", cosine_similarity("__qv", "vec").alias("__sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("__sim").desc(), F.col("neighbor_id"))
     out_sim = F.round(F.col("__sim"), round_dp) if round_dp is not None else F.col("__sim")
@@ -183,6 +209,46 @@ def ivf_knn(
         cands.withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", out_sim.alias("cos_sim"), "rn")
+    )
+
+
+def ivf_save(centroids: DataFrame, members: DataFrame, path: str) -> None:
+    """Persist an IVF index as parquet (centroids/ + members/
+    partitioned by cent_id — a probe reads only its clusters' files)."""
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    members.write.mode("overwrite").partitionBy("cent_id").parquet(f"{path}/members")
+
+
+def ivf_load(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Load an IVF index written by ivf_save."""
+    return (
+        spark.read.parquet(f"{path}/centroids"),
+        spark.read.parquet(f"{path}/members"),
+    )
+
+
+def ivf_knn(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    nprobe: int = 10,
+    centroid_stride: int = 31,
+    lloyd_iters: int = 2,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec: str = "embedding",
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """End-to-end IVF knn: ``ivf_build`` + ``ivf_search`` in one call
+    (see those for the trainer/search design). Fully deterministic and
+    oracle-checkable; amortizing callers build once and search many."""
+    cents, members = ivf_build(
+        corpus, centroid_stride=centroid_stride, lloyd_iters=lloyd_iters,
+        corpus_id=corpus_id, vec=vec,
+    )
+    return ivf_search(
+        queries, cents, members, k=k, nprobe=nprobe,
+        query_id=query_id, vec=vec, round_dp=round_dp,
     )
 
 
@@ -309,6 +375,10 @@ def embedding_dup_pairs(
 __all__ = [
     "knn_bruteforce",
     "ivf_knn",
+    "ivf_build",
+    "ivf_search",
+    "ivf_save",
+    "ivf_load",
     "lsh_knn",
     "embedding_dup_pairs",
     "dot",

@@ -210,3 +210,28 @@ def test_dedup_clusters_surfaces_non_convergence(spark):
     assert any("did not converge" in str(x.message) for x in w)
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup_clusters(chain, max_iterations=1, strict=True)
+
+
+def test_ivf_index_save_load_roundtrip(spark, sf_dir, tmp_path):
+    """Build-once/search-many: a persisted index reloaded from parquet
+    must return exactly the same neighbors as the fresh build."""
+    from pyspark.sql import functions as F
+
+    from glue_etl_pyspark_spark.io import load_table
+    from glue_etl_pyspark_spark.operators.similarity import (
+        ivf_build,
+        ivf_load,
+        ivf_save,
+        ivf_search,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    cents, members = ivf_build(e)
+    direct = {(r.query_id, r.neighbor_id, r.rn)
+              for r in ivf_search(q, cents, members).collect()}
+    ivf_save(cents, members, str(tmp_path / "ivf"))
+    cents2, members2 = ivf_load(spark, str(tmp_path / "ivf"))
+    reloaded = {(r.query_id, r.neighbor_id, r.rn)
+                for r in ivf_search(q, cents2, members2).collect()}
+    assert direct == reloaded and len(direct) == 100

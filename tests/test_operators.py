@@ -271,3 +271,29 @@ def test_stratified_sample_fractions(spark, sf_dir):
     assert out["de"] == full["de"]
     assert set(out) == {"en", "de"}
     assert 0.05 <= out["en"] / full["en"] <= 0.6  # Bernoulli around 0.25
+
+
+def test_arrowdocs_row_group_partitioning(spark, tmp_path):
+    """With a multi-row-group file the connector must plan one
+    partition per row group and reassemble the full table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from glue_etl_pyspark_spark.sources.pyds import (
+        ArrowDocsReader,
+        _RowGroupPartition,
+        register_python_sources,
+    )
+
+    src = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "docs_rg.parquet")
+    pq.write_table(src, path, row_group_size=100)  # 500 rows -> 5 groups
+
+    r = ArrowDocsReader({"path": path})
+    parts = r.partitions()
+    assert len(parts) == 5 and all(isinstance(p, _RowGroupPartition) for p in parts)
+
+    register_python_sources(spark)
+    df = spark.read.format("arrowdocs").option("path", path).load()
+    assert df.count() == src.num_rows
+    assert df.rdd.getNumPartitions() == 5
