@@ -7,6 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from ..functions.money import dsum
 from ..io import load_table
 from ..operators import asof_join, glue_join, range_join
 from ..registry import query
@@ -158,7 +159,7 @@ def join_non_equi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MULTIWAY_ORACLE = """
-SELECT n.n_name, SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+SELECT n.n_name, CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -192,7 +193,7 @@ def join_multiway_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
         .join(broadcast(r), nation["n_regionkey"] == r["r_regionkey"])
         .groupBy("n_name")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
 
 

