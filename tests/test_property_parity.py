@@ -123,3 +123,40 @@ def test_asof_join_matches_bruteforce(spark, data):
                  if ru == u and rts <= lts]
         want[lid] = max(cands)[2] if cands else None
     assert got == want
+
+
+range_strategy = st.tuples(
+    st.lists(st.integers(0, 2000), min_size=1, max_size=25),          # point minutes
+    st.lists(st.tuples(st.integers(0, 2000), st.integers(0, 300)),    # (start, duration)
+             min_size=1, max_size=10),
+)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=range_strategy)
+def test_range_join_matches_bruteforce(spark, data):
+    """range_join (coarse-bucket prefilter + exact residual) must equal
+    the brute-force interval-containment definition — including
+    intervals spanning multiple buckets and points on boundaries
+    (start inclusive, end exclusive)."""
+    import datetime as dt
+
+    from glue_etl_pyspark_spark.operators import range_join
+
+    point_mins, intervals_raw = data
+    base = dt.datetime(2024, 1, 1)
+    points = [(i, base + dt.timedelta(minutes=m)) for i, m in enumerate(point_mins)]
+    intervals = [
+        (base + dt.timedelta(minutes=s), base + dt.timedelta(minutes=s + d), f"iv{j}")
+        for j, (s, d) in enumerate(intervals_raw)
+    ]
+    pdf = spark.createDataFrame(points, "id int, ts timestamp_ntz")
+    idf = spark.createDataFrame(
+        intervals, "start timestamp_ntz, end timestamp_ntz, label string"
+    )
+    got = {(r.id, r.label)
+           for r in range_join(pdf, idf, point="ts", start="start", end="end",
+                               bucket_seconds=3600).collect()}
+    want = {(i, lbl) for i, ts in points for s, e, lbl in intervals if s <= ts < e}
+    assert got == want
