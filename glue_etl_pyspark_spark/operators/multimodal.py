@@ -86,3 +86,95 @@ def extract_features(
             )
 
     return media_df.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "id bigint, mime string, width int, height int, media binary"
+)
+
+
+def resize_media(
+    media_df: DataFrame,
+    width: int,
+    height: int,
+    use_real_decoder: bool = False,
+) -> DataFrame:
+    """Arrow-batched image resize over media bytes (``mapInPandas``).
+
+    The real transform (PIL ``Image.resize`` — decode, resample,
+    re-encode) slots in behind ``use_real_decoder``; the stub emits a
+    deterministic fake payload of exactly ``width*height`` bytes folded
+    from a sha256 stream of the input, so output sizing, schema, and
+    batch shape are all real and testable. Output metadata carries the
+    new dimensions — downstream consumers never re-measure payloads.
+    """
+    import pandas as pd
+
+    n_out = width * height
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            if use_real_decoder:
+                raise NotImplementedError(
+                    "real image decode/resample (PIL) is not available in "
+                    "this environment; slot the codec in here"
+                )
+            out = []
+            for m in pdf["media"]:
+                buf = b""
+                seed = bytes(m)
+                while len(buf) < n_out:
+                    seed = hashlib.sha256(seed).digest()
+                    buf += seed
+                out.append(buf[:n_out])
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "mime": pdf["mime"],
+                    "width": width,
+                    "height": height,
+                    "media": out,
+                }
+            )
+
+    return media_df.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "id bigint, mime string, frame_idx int, frame binary"
+)
+
+
+def sample_frames(
+    media_df: DataFrame,
+    every_n_bytes: int = 64,
+    max_frames: int = 4,
+    use_real_decoder: bool = False,
+) -> DataFrame:
+    """Video frame sampling as a 1→N Arrow-batched expansion
+    (``mapInPandas`` rows-out ≠ rows-in — the shape a real ffmpeg
+    keyframe sampler needs). The stub treats every ``every_n_bytes``
+    slice of the payload as a 'frame'; the real decoder slots in behind
+    ``use_real_decoder``. Emits (id, mime, frame_idx, frame)."""
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            if use_real_decoder:
+                raise NotImplementedError(
+                    "real video decoding (ffmpeg) is not available in this "
+                    "environment; slot the frame sampler in here"
+                )
+            ids, mimes, idxs, frames = [], [], [], []
+            for rid, mime, m in zip(pdf["id"], pdf["mime"], pdf["media"]):
+                data = bytes(m)
+                for i in range(min(max_frames, max(1, len(data) // every_n_bytes))):
+                    ids.append(rid)
+                    mimes.append(mime)
+                    idxs.append(i)
+                    frames.append(data[i * every_n_bytes:(i + 1) * every_n_bytes])
+            yield pd.DataFrame(
+                {"id": ids, "mime": mimes, "frame_idx": idxs, "frame": frames}
+            )
+
+    return media_df.mapInPandas(batches, schema=FRAME_SCHEMA)

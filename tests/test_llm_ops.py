@@ -235,3 +235,38 @@ def test_ivf_index_save_load_roundtrip(spark, sf_dir, tmp_path):
     reloaded = {(r.query_id, r.neighbor_id, r.rn)
                 for r in ivf_search(q, cents2, members2).collect()}
     assert direct == reloaded and len(direct) == 100
+
+
+def test_multimodal_resize_and_frame_sample(spark, sf_dir):
+    """Resize emits exactly width*height bytes with updated metadata;
+    frame sampling is a deterministic 1-to-N expansion; both raise at
+    the codec seam when the real decoder is requested."""
+    from glue_etl_pyspark_spark.io import load_table
+    from glue_etl_pyspark_spark.operators.multimodal import (
+        attach_media,
+        resize_media,
+        sample_frames,
+    )
+
+    d = load_table(spark, sf_dir, "documents").limit(5)
+    media = attach_media(d, "doc_id", "text", "image/png")
+
+    resized = resize_media(media, width=4, height=3)
+    rows = resized.collect()
+    assert len(rows) == 5
+    assert all(len(bytes(r.media)) == 12 and r.width == 4 and r.height == 3
+               for r in rows)
+    again = {r.id: bytes(r.media) for r in resize_media(media, 4, 3).collect()}
+    assert all(bytes(r.media) == again[r.id] for r in rows)  # deterministic
+
+    frames = sample_frames(media, every_n_bytes=64, max_frames=3).collect()
+    per_id = {}
+    for r in frames:
+        per_id.setdefault(r.id, []).append(r.frame_idx)
+    assert all(sorted(v) == list(range(len(v))) and 1 <= len(v) <= 3
+               for v in per_id.values())
+
+    with pytest.raises(Exception, match="NotImplementedError|real image"):
+        resize_media(media, 4, 3, use_real_decoder=True).collect()
+    with pytest.raises(Exception, match="NotImplementedError|real video"):
+        sample_frames(media, use_real_decoder=True).collect()
