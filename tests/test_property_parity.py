@@ -160,3 +160,72 @@ def test_range_join_matches_bruteforce(spark, data):
                                bucket_seconds=3600).collect()}
     want = {(i, lbl) for i, ts in points for s, e, lbl in intervals if s <= ts < e}
     assert got == want
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)),
+                      min_size=1, max_size=40))
+def test_dedup_clusters_match_union_find(spark, edges):
+    """Iterative min-label propagation must produce exactly the
+    connected components a union-find gives, labels = component min."""
+    from glue_etl_pyspark_spark.operators.dedup import dedup_clusters
+
+    pairs = [(a, b) for a, b in edges if a != b]
+    if not pairs:
+        return
+    pdf = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+    got = {r.id: r.cluster_id for r in dedup_clusters(pdf, max_iterations=40).collect()}
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in pairs:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=st.lists(
+    st.lists(st.sampled_from("abcdefgh"), min_size=3, max_size=12).map(" ".join),
+    min_size=2, max_size=12))
+def test_ngram_jaccard_matches_python_bruteforce(spark, docs):
+    """The inverted-index pair miner must equal the brute-force
+    definition of n-gram Jaccard over every doc pair (both prefix-
+    filter modes; single-char 'words' maximize shingle collisions)."""
+    from glue_etl_pyspark_spark.operators.dedup import ngram_jaccard_pairs
+
+    n, tau = 2, 0.4
+    pdf = spark.createDataFrame(list(enumerate(docs)), "doc_id bigint, text string")
+
+    def sh(text):
+        toks = text.split()
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+    sets = {i: sh(t) for i, t in enumerate(docs) if sh(t)}
+    want = {}
+    ids = sorted(sets)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                inter = len(sets[i] & sets[j])
+                union_ = len(sets[i] | sets[j])
+                jac = inter / union_
+                if jac >= tau:
+                    want[(i, j)] = round(jac, 9)
+
+    for mode in (True, False):
+        got = {(r.id_a, r.id_b): round(r.jaccard, 9)
+               for r in ngram_jaccard_pairs(pdf, "doc_id", "text", n=n,
+                                            threshold=tau,
+                                            prefix_filter=mode).collect()}
+        assert got == want, f"prefix_filter={mode}"
