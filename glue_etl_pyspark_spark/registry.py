@@ -79,28 +79,33 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "window_range_frame",
     "topk_per_group",
     "topk_global",
-    # scalar function families (7; func_array_extra deferred below)
+    # scalar function families (6; func_hash/func_array_extra deferred below)
     "func_string",
     "func_date",
     "func_math",
     "func_conditional",
     "func_array",
     "func_map_json",
-    "func_hash",
-    # knn / embedding family (6)
+    # knn / embedding family (4 oracled; rows-only knn_lsh /
+    # multimodal_features deferred — weak driver signal, locally gated)
     "knn_bruteforce_cosine",
     "knn_ivf",
-    "knn_lsh",
     "embedding_dedup_pairs",
     "knn_bruteforce_numpy",
-    "multimodal_features",
-    # text-analysis family (6)
+    # text-analysis family (5; text_fingerprint deferred)
     "text_token_stats",
     "text_quality_score",
     "text_term_freq",
     "text_tfidf",
-    "text_fingerprint",
     "text_language_id",
+    # decimal-sum-changed r1-green queries: semantics changed in r2, so
+    # their r1 rows are stale — re-check (§2.4 join + §2.5 rollup reps)
+    "join_multiway_revenue",
+    "agg_rollup",
+    # one §2.1 and one §2.3 representative so every §2 area gets an
+    # r2 driver row (both r1-green)
+    "sink_partitioned_pruned",
+    "filter_compound",
     # UDF surface (5)
     "udf_pandas_scalar",
     "udf_row_scalar",
@@ -120,8 +125,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "window_tumbling_batch",
     "stream_stateful_batch",
     # --- expected 50-query cutoff is here ---
+    "knn_lsh",
+    "multimodal_features",
+    "func_hash",
+    "text_fingerprint",
     "pyds_arrowdocs_scan",
     "func_variant",
+    "func_collation",
+    "llm_corpus_curation",
     "incremental_bookmark",
     "window_session_batch",
     "window_sliding_batch",

@@ -83,6 +83,16 @@ def test_priority_prefix_covers_round1_gaps():
         "sort_limit_offset",
         "unnest_struct",
         "window_tumbling_batch",
+        # decimal-sum-changed queries whose r1 rows are stale
+        "join_multiway_revenue",
+        "agg_rollup",
+        # §2.1 / §2.3 representatives
+        "sink_partitioned_pruned",
+        "filter_compound",
     }
+    # the driver's value-hash only works on oracled queries — the whole
+    # window should be hash-checkable
+    specs = load_all()
+    assert all(specs[n].oracle is not None for n in names)
     missing = must_have - set(names)
     assert not missing, f"driver window is missing {sorted(missing)}"
