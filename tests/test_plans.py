@@ -131,3 +131,37 @@ def test_ngram_dedup_count_verify_no_array_rejoin(spark, sf_dir):
     assert n_hash_agg >= 2, f"expected partial+final pair-count aggregate: {ops}"
     # shuffle keys are xxhash64 longs, not shingle strings
     assert "xxhash64" in plan.lower()
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The AQE skew-join safety net (SCALING.md ground rule): a
+    sort-merge join with one dominant key must be re-planned at runtime
+    with the skewed partition split — pinned so a conf regression
+    can't silently reintroduce straggler tasks at scale."""
+    from pyspark.sql import functions as F
+
+    big = spark.range(2000000).select(
+        F.when(F.col("id") < 1900000, 0).otherwise((F.col("id") % 1000) + 1).alias("k"),
+        F.col("id").alias("v"), F.lit("x" * 64).alias("pad"),
+    )
+    dim = spark.range(1001).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2MB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = big.join(dim.hint("merge"), "k").select(F.sum("v").alias("s"))
+        [row] = j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+    assert "skew=true" in plan, "AQE did not split the skewed partition"
+    assert "skewed" in plan, plan[:400]
+    # semantics unchanged by the split
+    assert row.s == sum(i for i in range(2000000) if i < 1900000 or (i % 1000) + 1 <= 1000)
