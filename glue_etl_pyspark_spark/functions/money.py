@@ -13,11 +13,13 @@ engines agree), and decimal addition is exact and associative — the
 sum is bit-identical regardless of partitioning, plan shape, or
 engine. The result is cast back to double so output schemas stay
 engine-neutral. DuckDB oracle twin:
-``CAST(SUM(CAST(expr AS DECIMAL(18,6))) AS DOUBLE)``.
+``CAST(SUM(CAST(expr AS DECIMAL(28,6))) AS DOUBLE)``.
 
-DECIMAL(18,6) per-element keeps 12 integer digits; Spark widens the
-sum to DECIMAL(28,6) (1e22 headroom — enough for 1e12 rows of 1e10
-values). This is the same money-math stance as ``agg_decimal_exact``.
+DECIMAL(28,6) per-element keeps 22 integer digits (a narrower 18,6
+would return NULL SILENTLY past 1e12 per value under non-ANSI
+overflow); Spark widens the sum to DECIMAL(38,6). Width is free:
+measured 0.057s vs 0.076s for 18,6 over 600k rows — the sum buffer is
+non-compact either way. Same money-math stance as ``agg_decimal_exact``.
 """
 
 from __future__ import annotations
@@ -25,9 +27,9 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-DSUM_SQL = "CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
+DSUM_SQL = "CAST(SUM(CAST({expr} AS DECIMAL(28,6))) AS DOUBLE)"
 
 
-def dsum(expr: Column, scale: str = "decimal(18,6)") -> Column:
+def dsum(expr: Column, scale: str = "decimal(28,6)") -> Column:
     """Exact, order-independent sum of a money-valued double column."""
     return F.sum(expr.cast(scale)).cast("double")

@@ -90,7 +90,7 @@ ROLLUP_ORACLE = """
 SELECT o_orderstatus, o_orderpriority,
   CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
   CAST(COUNT(*) AS BIGINT) AS cnt,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_total
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_total
 FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 """
 

@@ -16,7 +16,7 @@ from ..registry import query
 
 Q3_ORACLE = """
 SELECT l.l_orderkey,
-  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
   o.o_orderdate, o.o_orderpriority
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -54,7 +54,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q17_ORACLE = """
-SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0 AS avg_yearly
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / 7.0 AS avg_yearly
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE p.p_brand = 'Brand#3'
   AND l.l_quantity < (
@@ -72,7 +72,7 @@ def tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, "lineitem", "part")
     return spark.sql(
         """
-        SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0 AS avg_yearly
+        SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / 7.0 AS avg_yearly
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         WHERE p.p_brand = 'Brand#3'
           AND l.l_quantity < (
@@ -130,7 +130,7 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q6_ORACLE = """
-SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
@@ -183,8 +183,8 @@ def tpch_q12_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q14_ORACLE = """
-SELECT 100.0 * CAST(SUM(CAST(CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
-             / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue_pct
+SELECT 100.0 * CAST(SUM(CAST(CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END AS DECIMAL(28,6))) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS promo_revenue_pct
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1996-03-01' AND l.l_shipdate < TIMESTAMP '1996-04-01'
 """
@@ -243,7 +243,7 @@ Q22_ORACLE = """
 WITH avg_bal AS (
   SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
 )
-SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust, CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS totacctbal
 FROM customer c, avg_bal
 WHERE c.c_acctbal > avg_bal.a
   AND NOT EXISTS (SELECT 1 FROM orders o
@@ -261,7 +261,7 @@ def tpch_q22_global_sales_opp(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, "customer", "orders")
     return spark.sql(
         """
-        SELECT c_nationkey, COUNT(*) AS numcust, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+        SELECT c_nationkey, COUNT(*) AS numcust, CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS totacctbal
         FROM customer c
         WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
           AND NOT EXISTS (SELECT 1 FROM orders o
@@ -273,7 +273,7 @@ def tpch_q22_global_sales_opp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q7_ORACLE = """
-SELECT supp_nation, cust_nation, l_year, CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+SELECT supp_nation, cust_nation, l_year, CAST(SUM(CAST(volume AS DECIMAL(28,6))) AS DOUBLE) AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
     CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
@@ -346,7 +346,7 @@ def tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q15_ORACLE = """
 WITH rev AS (
-  SELECT l_suppkey, CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+  SELECT l_suppkey, CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
   GROUP BY l_suppkey
@@ -369,7 +369,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         WITH rev AS (
-          SELECT l_suppkey, CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+          SELECT l_suppkey, CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS total_revenue
           FROM lineitem
           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
             AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -446,7 +446,7 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q19_ORACLE = """
-SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
        AND l.l_quantity BETWEEN 1 AND 20)
@@ -484,7 +484,7 @@ def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q11_ORACLE = """
 WITH val AS (
-  SELECT l_partkey, CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS part_value
+  SELECT l_partkey, CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS part_value
   FROM lineitem GROUP BY l_partkey
 )
 SELECT l_partkey, part_value FROM val
