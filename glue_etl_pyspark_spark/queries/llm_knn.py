@@ -235,3 +235,38 @@ def knn_bruteforce_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return knn_bruteforce_batch(e.filter(F.col("vec_id") < 20), e, k=5)
+
+
+MM_FINGERPRINT_ORACLE = """
+WITH b AS (
+  SELECT doc_id AS id, sha256(text) AS sha256,
+    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents
+),
+bytes AS (
+  SELECT id, sha256, n_bytes,
+    list_transform(range(1, 33), i ->
+      (strpos('0123456789abcdef', substring(sha256, 2*i-1, 1)) - 1) * 16
+      + (strpos('0123456789abcdef', substring(sha256, 2*i, 1)) - 1)) AS bs
+  FROM b
+)
+SELECT id, sha256, n_bytes,
+  round(list_sum(bs) / (255.0 * 32), 6) AS feat_mean
+FROM bytes
+"""
+
+
+@query("multimodal_fingerprint", oracle=MM_FINGERPRINT_ORACLE, category="llm-multimodal")
+def multimodal_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal mapInPandas path, hash-checked: the Arrow-batched
+    Python kernel's digest/size/feature-mean outputs are reproduced in
+    pure SQL by the oracle (sha256 + hex-parsed byte math), so the
+    §2.12 multimodal family gets a full value-checked row — not just
+    the rows-only determinism test. Atomic columns only (the float
+    feature vector stays on the rows-only query)."""
+    d = load_table(spark, sf_dir, "documents")
+    media = attach_media(d, "doc_id", "text", "text/plain")
+    feats = extract_features(media, dim=8)
+    return feats.select(
+        "id", "sha256", "n_bytes", F.round("feat_mean", 6).alias("feat_mean")
+    )
