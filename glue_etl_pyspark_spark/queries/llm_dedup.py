@@ -160,12 +160,59 @@ def dedup_simhash_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash_pairs", oracle=None, category="llm-dedup")
+SIMHASH_PAIRS_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000,
+         array_to_string(({_DUCK_TOKS})[1:len({_DUCK_TOKS}) - 1], ' ')
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS w FROM corpus
+),
+wb AS (
+  SELECT doc_id, r.i AS i,
+    CASE WHEN CAST(floor(
+        (strpos('0123456789abcdef', substring(md5(w), CAST(r.i // 4 AS INTEGER) + 1, 1)) - 1)
+        / pow(2, r.i % 4)) AS INTEGER) % 2 = 1
+      THEN 1 ELSE -1 END AS c
+  FROM toks, range(0, 64) r(i)
+),
+bits AS (
+  SELECT doc_id, i, CASE WHEN SUM(c) > 0 THEN 1 ELSE 0 END AS bit
+  FROM wb GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id, CAST(i // 16 AS INTEGER) AS band,
+         string_agg(CAST(bit AS VARCHAR), '' ORDER BY i) AS band_val
+  FROM bits GROUP BY doc_id, CAST(i // 16 AS INTEGER)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+  WHERE a.doc_id < b.doc_id
+),
+ham AS (
+  SELECT c.id_a, c.id_b,
+    CAST(SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS INTEGER) AS hamming_dist
+  FROM cand c
+  JOIN bits x ON x.doc_id = c.id_a
+  JOIN bits y ON y.doc_id = c.id_b AND y.i = x.i
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b, hamming_dist FROM ham WHERE hamming_dist <= 10
+"""
+
+
+@query("dedup_simhash_pairs", oracle=SIMHASH_PAIRS_ORACLE, category="llm-dedup")
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded SimHash near-dup pair mining (band-bucket equi-join
-    candidates, exact hamming verify). Deterministic, but the banded
-    candidate set has no tractable SQL twin → rows-only here;
-    tests assert every planted twin pair is recovered."""
+    candidates, exact hamming verify). Fully deterministic
+    (md5-derived), so the ENTIRE pipeline — bit derivation, 16-bit
+    banding, candidate join, hamming filter — is mirrored in the
+    DuckDB oracle and hash-checked; the planted-twin recovery test
+    stays as the semantic gate."""
     corpus = _with_perturbed_copies(spark, sf_dir)
     return simhash_pairs(corpus, "doc_id", "text", max_hamming=10, bands=4)
 
