@@ -228,15 +228,34 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_clusters_minlabel", oracle=None, category="llm-dedup")
+CLUSTERS_ORACLE = f"""
+WITH RECURSIVE pairs AS ({NGRAM_JACCARD_ORACLE}),
+nodes AS (SELECT DISTINCT id FROM
+          (SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs)),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach(id, lbl) AS (
+  SELECT id, id AS lbl FROM nodes
+  UNION
+  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id, CAST(MIN(lbl) AS BIGINT) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+@query("dedup_clusters_minlabel", oracle=CLUSTERS_ORACLE, category="llm-dedup")
 def dedup_clusters_minlabel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: exact 4-gram Jaccard pairs → connected
     components by iterative min-label propagation. Every planted twin
     must land in its original's cluster (asserted in tests); chains of
-    natural near-dups merge transitively. Rows-only: the iterative
-    fixpoint isn't single-statement SQL (DuckDB recursive CTEs can't
-    express the per-round global min-join over a cyclic graph simply);
-    validity is property-tested instead."""
+    natural near-dups merge transitively. Hash-checked end-to-end: the
+    oracle recomputes the pairs in SQL and takes the transitive
+    closure with a recursive CTE (reach = every label reachable from a
+    node; component label = MIN over reach) — duplicate cliques are
+    small so the closure stays tiny. The union-find property test
+    remains the semantic gate for arbitrary graphs."""
     from ..operators.dedup import dedup_clusters
 
     corpus = _with_perturbed_copies(spark, sf_dir)
