@@ -134,8 +134,14 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked: train → assign → probe 10 clusters → exact rerank.
     Candidate generation is an equi-join on cent_id; recall vs brute
     force is gated ≥0.8 in tests/test_llm_ops.py (measured 0.87 at
-    sf0.01 — near-random vectors make probe fraction the recall lever
-    at tiny corpus sizes; at scale ncents grows ~√n with nprobe fixed)."""
+    sf0.01). Measured honestly across scales: this synthetic corpus is
+    NEAR-RANDOM, so recall tracks the probed fraction — 0.87 at
+    nprobe 10/17 cents (sf0.01) but 0.58 at 10/161 (sf0.1). On real
+    embedding corpora the cluster structure IVF exploits exists and
+    fixed nprobe holds recall as ncents grows; for structureless data,
+    production tuning raises nprobe to meet a recall SLO (the operator
+    takes it as a parameter; here it is pinned so the oracle stays a
+    literal)."""
     e = load_table(spark, sf_dir, "embeddings")
     return ivf_knn(
         e.filter(F.col("vec_id") < 20), e, k=5, nprobe=10,
