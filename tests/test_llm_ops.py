@@ -270,3 +270,24 @@ def test_multimodal_resize_and_frame_sample(spark, sf_dir):
         resize_media(media, 4, 3, use_real_decoder=True).collect()
     with pytest.raises(Exception, match="NotImplementedError|real video"):
         sample_frames(media, use_real_decoder=True).collect()
+
+
+def test_ivf_clustered_recall_high_at_low_probe_fraction(spark, sf_dir):
+    """On data WITH cluster structure, IVF must keep recall ≥0.9 while
+    probing only 2 of ~33 centroids (6% of the corpus) — the property
+    that justifies the index; contrast with the near-random-table
+    query, where recall tracks probe fraction (documented)."""
+    from pyspark.sql import functions as F
+
+    from glue_etl_pyspark_spark.io import load_table
+    from glue_etl_pyspark_spark.operators.similarity import knn_bruteforce
+    from glue_etl_pyspark_spark.queries.llm_knn import _jittered_cluster_corpus
+
+    seeds = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
+    corpus = _jittered_cluster_corpus(spark, sf_dir)
+    truth = {(r.query_id, r.neighbor_id)
+             for r in knn_bruteforce(seeds, corpus, k=5).collect()}
+    ivf = {(r.query_id, r.neighbor_id)
+           for r in _run(spark, sf_dir, "knn_ivf_clustered").collect()}
+    recall = len(truth & ivf) / len(truth)
+    assert recall >= 0.9, f"clustered IVF recall {recall:.2f} < 0.9 (measured 0.99)"
