@@ -273,6 +273,7 @@ def dedup_clusters(
     pairs: DataFrame,
     max_iterations: int = 20,
     strict: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over near-dup pairs (SURVEY.md §2.12):
     every doc in a component gets the component's smallest id as its
@@ -294,6 +295,15 @@ def dedup_clusters(
     (quadratic recompute) and the analyzer re-plans an ever-deeper
     graph. ``edges`` is persisted for its 2-joins-per-round reuse.
 
+    Reliability tradeoff: ``localCheckpoint`` (the default) writes to
+    executor-local block storage, which is NOT fault-tolerant — losing
+    an executor mid-run loses blocks that truncation removed the
+    lineage to recompute, killing the whole iteration. Acceptable for
+    bounded replays/tests; for long-running or 100 TB-scale runs pass
+    ``checkpoint_dir`` (an HDFS/S3 path) and each round is reliably
+    checkpointed there instead, so executor loss costs one round's
+    recompute, not the job.
+
     If the graph hasn't converged after ``max_iterations``, raises
     (``strict=True``) or warns and returns the partial labels —
     callers must not mistake a truncated propagation for final
@@ -301,17 +311,24 @@ def dedup_clusters(
     """
     import warnings
 
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=False)
+        return df.localCheckpoint(eager=False)
+
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
         .persist()
     )
-    labels = (
+    labels = _truncate(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("cluster_id", F.col("id"))
-        .localCheckpoint(eager=False)
     )
     converged = False
     for _ in range(max_iterations):
@@ -320,7 +337,9 @@ def dedup_clusters(
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        updated = (
+        # truncate lineage: this round's plan must not contain the
+        # previous rounds' joins
+        updated = _truncate(
             labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
             .select(
                 "id",
@@ -328,9 +347,6 @@ def dedup_clusters(
                     F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
-            # truncate lineage: this round's plan must not contain the
-            # previous rounds' joins
-            .localCheckpoint(eager=False)
         )
         # convergence check: one count per round, driver-side scalar only
         changed = (

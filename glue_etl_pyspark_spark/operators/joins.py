@@ -65,7 +65,14 @@ def asof_join(
     (the registered query pre-aggregates clicks per (user, ts)) or pass
     ``tie_break``: a right-side column appended to the window ordering;
     among right rows sharing (by, on), the one with the LARGEST
-    tie_break value wins (for both directions).
+    non-NULL tie_break value wins (for both directions). tie_break
+    itself must then be unique per (by, on) — duplicate
+    (by, on, tie_break) triples tie again and the pick is arbitrary —
+    and rows with NULL tie_break sort first, i.e. always lose to any
+    non-NULL one. A synthetic id (monotonically_increasing_id) is NOT a
+    valid tie_break: its values depend on partition layout, so it only
+    hides the nondeterminism across runs. If no unique right-side
+    column exists, pre-aggregate.
 
     Plan: tag sides, union on (by, on, right-payload), then
     ``last(payload, ignorenulls=True)`` over a per-key window ordered

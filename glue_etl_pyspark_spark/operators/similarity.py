@@ -220,11 +220,19 @@ def ivf_save(centroids: DataFrame, members: DataFrame, path: str) -> None:
 
 
 def ivf_load(spark, path: str) -> tuple[DataFrame, DataFrame]:
-    """Load an IVF index written by ivf_save."""
-    return (
-        spark.read.parquet(f"{path}/centroids"),
-        spark.read.parquet(f"{path}/members"),
+    """Load an IVF index written by ivf_save.
+
+    ``cent_id`` is a partition column in members/, so partition-value
+    inference types it INT and the read-back moves it last; the built
+    index carries BIGINT at position 2. Cast and reorder so the
+    reloaded index is schema-identical to a fresh build (unions/schema
+    comparisons, not just joins, stay valid)."""
+    members = (
+        spark.read.parquet(f"{path}/members")
+        .withColumn("cent_id", F.col("cent_id").cast("bigint"))
+        .select("neighbor_id", "cent_id", "vec")
     )
+    return spark.read.parquet(f"{path}/centroids"), members
 
 
 def ivf_knn(

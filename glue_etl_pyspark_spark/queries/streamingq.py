@@ -18,7 +18,12 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..registry import query
-from ..streaming.ops import drain_to_memory, events_stream, foreach_batch_collect
+from ..streaming.ops import (
+    drain_to_memory,
+    events_stream,
+    foreach_batch_collect,
+    foreach_batch_to_parquet,
+)
 
 # --------------------------------------------------------------------------
 # tumbling window
@@ -241,6 +246,43 @@ def stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value")
     )
     return foreach_batch_collect(agg)
+
+
+FOREACHBATCH_PARQUET_ORACLE = """
+SELECT event_id, user_id, event_type, ts, value
+FROM events WHERE value > 0
+"""
+
+
+@query(
+    "stream_foreachbatch_parquet",
+    oracle=FOREACHBATCH_PARQUET_ORACLE,
+    category="streaming",
+)
+def stream_foreachbatch_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION foreachBatch shape: every micro-batch of the
+    events replay is written distributed as parquet partitioned by
+    event_type under a batch_id=N dir (idempotent per-batch overwrite
+    — the exactly-once file-sink recipe), then the sink is re-read and
+    the full row set hash-checked against the batch oracle. Nothing
+    crosses the driver; contrast with the test-only collect() demo in
+    ``stream_foreachbatch``."""
+    from ..sources.formats import scratch_dir
+
+    s = events_stream(spark, sf_dir)
+    out = s.filter(F.col("value") > 0).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "value",
+    )
+    path = scratch_dir("stream_foreachbatch_parquet")
+    foreach_batch_to_parquet(out, path, partition_by=["event_type"])
+    back = spark.read.parquet(path)
+    # batch_id / event_type come back as partition columns; restore
+    # the written order and drop the sink-internal batch_id
+    return back.select("event_id", "user_id", "event_type", "ts", "value")
 
 
 STATEFUL_BATCH_ORACLE = """

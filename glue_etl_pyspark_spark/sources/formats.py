@@ -95,3 +95,70 @@ def write_avro(df: DataFrame, path: str) -> str:
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
     """Avro scan (see write_avro note on module availability)."""
     return spark.read.format("avro").load(path)
+
+
+def jdbc_options(
+    url: str,
+    dbtable: str,
+    user: str | None = None,
+    password: str | None = None,
+    driver: str | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | str | None = None,
+    upper_bound: int | str | None = None,
+    num_partitions: int | None = None,
+    fetchsize: int = 10_000,
+    push_down_predicate: str | None = None,
+    **extra: str,
+) -> dict[str, str]:
+    """Validated option map for Spark's JDBC source (Glue
+    ``create_dynamic_frame.from_options(connection_type="jdbc")``).
+
+    Kept as a pure builder so the partitioned-read contract is unit-
+    testable without a live database (none exists in this
+    environment — no RDBMS, no network): reading in parallel requires
+    the FULL (partition_column, lower_bound, upper_bound,
+    num_partitions) quartet, otherwise Spark silently does a
+    single-connection scan — the #1 JDBC-at-scale footgun. A filter
+    passed as ``push_down_predicate`` lands in the WHERE clause of
+    every partition's query (it becomes a dbtable subquery), mirroring
+    Glue's push_down_predicate."""
+    opts: dict[str, str] = {"url": url, "fetchsize": str(fetchsize)}
+    if push_down_predicate is not None:
+        opts["dbtable"] = f"(SELECT * FROM {dbtable} WHERE {push_down_predicate}) spark_pushdown"
+    else:
+        opts["dbtable"] = dbtable
+    for k, v in (("user", user), ("password", password), ("driver", driver)):
+        if v is not None:
+            opts[k] = v
+    part = (partition_column, lower_bound, upper_bound, num_partitions)
+    if any(p is not None for p in part):
+        if any(p is None for p in part):
+            raise ValueError(
+                "partitioned JDBC reads need ALL of partition_column/"
+                "lower_bound/upper_bound/num_partitions — a partial spec "
+                "silently degrades to a single-connection scan"
+            )
+        opts["partitionColumn"] = str(partition_column)
+        opts["lowerBound"] = str(lower_bound)
+        opts["upperBound"] = str(upper_bound)
+        opts["numPartitions"] = str(num_partitions)
+    opts.update({k: str(v) for k, v in extra.items()})
+    return opts
+
+
+def read_jdbc(spark: SparkSession, url: str, dbtable: str, **kwargs) -> DataFrame:
+    """JDBC scan: ``spark.read.format("jdbc")`` with the validated
+    option map from ``jdbc_options``. Untestable end-to-end here (no
+    RDBMS/network/driver jar in the environment); the option plumbing
+    and partitioning contract are unit-tested, and the call surfaces
+    Spark's own driver-not-found guidance when no jar is present."""
+    return spark.read.format("jdbc").options(**jdbc_options(url, dbtable, **kwargs)).load()
+
+
+def write_jdbc(
+    df: DataFrame, url: str, dbtable: str, mode: str = "append", **kwargs
+) -> None:
+    """JDBC sink (same environment caveat as read_jdbc); ``mode``
+    follows DataFrameWriter semantics (append/overwrite/...)."""
+    df.write.format("jdbc").options(**jdbc_options(url, dbtable, **kwargs)).mode(mode).save()

@@ -142,7 +142,12 @@ def drain_micro_batches(
     batches (or, if None, until an idle batch follows data), then stop.
 
     recentProgress only lists completed batches, so reaching the
-    target guarantees the memory sink holds their output."""
+    target guarantees the memory sink holds their output.
+
+    Rows are accumulated per batchId across poll iterations:
+    recentProgress is a ring buffer (default 100 entries), so a drain
+    needing more micro-batches than the buffer holds would undercount
+    if re-summed from the buffer alone."""
     import time
 
     name = f"mem_sink_{os.getpid()}_{next(_MEM_COUNTER)}"
@@ -152,23 +157,28 @@ def drain_micro_batches(
         q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
         deadline = time.time() + await_seconds
         done = False
+        rows_by_batch: dict[int, int] = {}
+        last_batch_rows = None
         while time.time() < deadline:
             time.sleep(0.25)
-            progs = q.recentProgress
-            seen = sum(p["numInputRows"] for p in progs)
+            for p in q.recentProgress:
+                rows_by_batch[p["batchId"]] = p["numInputRows"]
+                last_batch_rows = p["numInputRows"]
+            seen = sum(rows_by_batch.values())
             if total_input is not None:
                 if seen >= total_input:
                     done = True
                     break
-            elif progs and seen > 0 and progs[-1]["numInputRows"] == 0:
+            elif rows_by_batch and seen > 0 and last_batch_rows == 0:
                 done = True
                 break
         q.stop()
         q.awaitTermination(await_seconds)
     if not done:
+        want = f"{total_input} rows" if total_input is not None else "an idle batch"
         raise TimeoutError(
-            f"streaming drain {name!r} did not consume "
-            f"{total_input} rows within {await_seconds}s"
+            f"streaming drain {name!r} did not reach {want} within "
+            f"{await_seconds}s (committed {sum(rows_by_batch.values())} rows)"
         )
     return df.sparkSession.table(name)
 
@@ -176,11 +186,18 @@ def drain_micro_batches(
 def foreach_batch_collect(
     df: DataFrame, await_seconds: int = 120, state_partitions: int | None = 8
 ) -> DataFrame:
-    """Drain a stream through ``foreachBatch`` (the Glue
-    streaming-sink hook), appending each micro-batch's rows into an
-    accumulator, and return them as one batch DataFrame. Only for
-    small aggregated outputs — foreachBatch itself runs the batch
-    plan distributed; the collect here is the demo sink."""
+    """TEST-ONLY demo drain: run a stream through ``foreachBatch``
+    (the Glue streaming-sink hook), appending each micro-batch's rows
+    into a DRIVER-SIDE accumulator, and return them as one batch
+    DataFrame.
+
+    The per-batch ``collect()`` makes this a driver-memory sink —
+    bounded to small aggregated outputs (≲10k rows per batch; the
+    registered query emits one row per event_type). It is never the
+    production path: at scale, foreachBatch's batch_df writes straight
+    to a distributed sink — see ``foreach_batch_to_parquet`` for that
+    shape. foreachBatch itself still runs the batch plan distributed;
+    only this demo's final hop collects."""
     spark = df.sparkSession
     batches: list = []
     schema = df.schema
@@ -203,3 +220,46 @@ def foreach_batch_collect(
             "collected batches would be partial"
         )
     return spark.createDataFrame(batches, schema) if batches else spark.createDataFrame([], schema)
+
+
+def foreach_batch_to_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    await_seconds: int = 120,
+    state_partitions: int | None = 8,
+) -> None:
+    """Production-shape foreachBatch sink: every micro-batch is
+    written DISTRIBUTED as partitioned parquet under
+    ``{path}/batch_id=N`` — nothing ever crosses the driver.
+
+    Writing each batch under its own ``batch_id=N`` directory makes
+    the sink idempotent per batch: a replayed micro-batch (restart
+    from checkpoint) overwrites its own directory instead of
+    double-appending, which is the standard exactly-once recipe for
+    file sinks without a transaction log (a table format with commits
+    — e.g. an ACID lakehouse table — replaces this at larger scale).
+    Readers scan ``path`` recursively; ``batch_id`` surfaces as a
+    partition column and is dropped on re-read by the caller."""
+    part = list(partition_by or [])
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        w = batch_df.write.mode("overwrite")
+        if part:
+            w = w.partitionBy(*part)
+        w.parquet(f"{path}/batch_id={batch_id}")
+
+    with _state_partitions_conf(df.sparkSession, state_partitions):
+        q = (
+            df.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(await_seconds)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"foreachBatch parquet sink did not finish within {await_seconds}s; "
+            f"{path} holds a partial batch set"
+        )

@@ -192,6 +192,26 @@ def test_dedup_clusters_lineage_truncated(spark):
     assert lab == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_dedup_clusters_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches lineage truncation to fault-tolerant
+    checkpoints: same labels, checkpoint files actually materialized
+    under the given dir (executor loss then costs one round, not the
+    job — the 100 TB-run option)."""
+    import os
+
+    from glue_etl_pyspark_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    ckpt = str(tmp_path / "ckpt")
+    labels = dedup_clusters(pairs, max_iterations=8, checkpoint_dir=ckpt)
+    lab = {r.id: r.cluster_id for r in labels.collect()}
+    assert lab == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    found = [f for _, _, fs in os.walk(ckpt) for f in fs]
+    assert found, "no reliable checkpoint files were written"
+
+
 def test_dedup_clusters_surfaces_non_convergence(spark):
     """A diameter-4 chain cannot converge in 1 iteration — the partial
     result must warn (default) or raise (strict)."""
@@ -232,6 +252,14 @@ def test_ivf_index_save_load_roundtrip(spark, sf_dir, tmp_path):
               for r in ivf_search(q, cents, members).collect()}
     ivf_save(cents, members, str(tmp_path / "ivf"))
     cents2, members2 = ivf_load(spark, str(tmp_path / "ivf"))
+    # schema-identical (names+types; parquet read-back is always
+    # nullable), not merely join-compatible: partition-column inference
+    # must not drift cent_id to INT or reorder columns
+    def nt(df):
+        return [(f.name, f.dataType) for f in df.schema.fields]
+
+    assert nt(members2) == nt(members)
+    assert nt(cents2) == nt(cents)
     reloaded = {(r.query_id, r.neighbor_id, r.rn)
                 for r in ivf_search(q, cents2, members2).collect()}
     assert direct == reloaded and len(direct) == 100

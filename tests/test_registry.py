@@ -64,35 +64,26 @@ def test_registry_order_is_priority_prefix():
             assert not seen_rows_only, f"oracled {n} after rows-only query"
 
 
-def test_priority_prefix_covers_round1_gaps():
-    """The expected driver window (first 50) must include the flagship,
-    the two round-1 ERR fixes, and at least one query from each family
-    that had no driver row in round 1."""
+def test_priority_window_targets_external_coverage_gaps():
+    """Round-3 rotation: the expected driver window (first 50) spends
+    its slots on queries with NO external correctness row from rounds
+    1-2, leading with the two round-1 ERR fixes whose repairs lack
+    external proof; rows-only drains are rotated in this round (round-2
+    advice) so external checking isn't permanently skewed toward
+    oracled queries."""
+    import json
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    ext: set[str] = set()
+    for fname in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+        for n, row in json.loads((root / fname).read_text()).items():
+            if isinstance(row, dict) and not row.get("err"):
+                ext.add(n)
     names = list(load_all())[:50]
-    must_have = {
-        "q1_pricing_summary",
-        "agg_collect_set",
-        "func_map_ops",
-        "tpch_q3_shipping_priority",
-        "window_ranking",
-        "func_string",
-        "knn_bruteforce_cosine",
-        "text_tfidf",
-        "udf_pandas_scalar",
-        "apply_mapping_orders",
-        "sort_limit_offset",
-        "unnest_struct",
-        "window_tumbling_batch",
-        # decimal-sum-changed queries whose r1 rows are stale
-        "join_multiway_revenue",
-        "agg_rollup",
-        # §2.1 / §2.3 representatives
-        "sink_partitioned_pruned",
-        "filter_compound",
-    }
-    # the driver's value-hash only works on oracled queries — the whole
-    # window should be hash-checkable
+    assert names[:2] == ["dedup_simhash_pairs", "dedup_clusters_minlabel"]
+    wasted = [n for n in names if n in ext]
+    assert len(wasted) <= 1, f"window re-spends slots on green queries {wasted}"
     specs = load_all()
-    assert all(specs[n].oracle is not None for n in names)
-    missing = must_have - set(names)
-    assert not missing, f"driver window is missing {sorted(missing)}"
+    rows_only = [n for n in names if specs[n].oracle is None]
+    assert len(rows_only) >= 10, "window must rotate in the rows-only drains"

@@ -53,3 +53,38 @@ def test_avro_gated_when_module_missing(spark, tmp_path):
         from glue_etl_pyspark_spark.sources.formats import read_avro
 
         assert read_avro(spark, str(tmp_path / "avro")).count() == 1
+
+
+def test_jdbc_options_contract():
+    """No RDBMS exists here, so the JDBC surface is a validated option
+    builder: the partitioned-read quartet is all-or-nothing (a partial
+    spec silently single-threads the scan in Spark), predicates become
+    a pushdown subquery, and everything stringifies."""
+    import pytest
+
+    from glue_etl_pyspark_spark.sources.formats import jdbc_options
+
+    opts = jdbc_options(
+        "jdbc:postgresql://db:5432/shop",
+        "public.orders",
+        user="etl",
+        password="pw",
+        driver="org.postgresql.Driver",
+        partition_column="o_orderkey",
+        lower_bound=1,
+        upper_bound=6_000_000,
+        num_partitions=32,
+        push_down_predicate="o_orderdate >= DATE '1997-01-01'",
+    )
+    assert opts["partitionColumn"] == "o_orderkey"
+    assert (opts["lowerBound"], opts["upperBound"], opts["numPartitions"]) == (
+        "1", "6000000", "32",
+    )
+    assert opts["dbtable"].startswith("(SELECT * FROM public.orders WHERE")
+    assert all(isinstance(v, str) for v in opts.values())
+    # partial partition spec must refuse, not silently single-thread
+    with pytest.raises(ValueError, match="ALL of partition_column"):
+        jdbc_options("jdbc:x", "t", partition_column="id", num_partitions=8)
+    # unpartitioned spec stays minimal
+    plain = jdbc_options("jdbc:x", "t")
+    assert "partitionColumn" not in plain and plain["dbtable"] == "t"
