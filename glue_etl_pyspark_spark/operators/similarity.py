@@ -85,14 +85,49 @@ def _nearest_cents(
     df: DataFrame, cents: DataFrame, id_out: str, vec_col: str, n: int
 ) -> DataFrame:
     """ids of the n nearest centroids per input row (broadcast join;
-    cosine, cent_id tie-break). cents: (cent_id, centroid)."""
-    sims = df.crossJoin(
-        broadcast(cents.select("cent_id", F.col("centroid").alias("__cent")))
-    ).select(
+    cosine, cent_id tie-break). cents: (cent_id, centroid).
+
+    Per-pair work is ONE dot product: each side's norm is computed once
+    per vector (a projected column below the join, so Catalyst
+    evaluates it pre-join) and the division reuses it — bit-identical
+    to ``cosine_similarity(vec, cent)`` (same dot, same norms, same
+    ``d/(na*nb)`` order), which keeps the DuckDB-oracled trainer
+    hash-stable, but 1 interpreted array-aggregate per pair instead of
+    3. The 10x scale probe measured the unfactored version at 275 s
+    for one 12.9M-pair assignment pass; this is the expression-path
+    fix, and ``_nearest_cents_gemm`` is the vectorized scale path.
+
+    Nearest-1 (the bulk assignment case) aggregates with ``min_by``
+    over (-cos, cent_id) — map-side partial aggregation shuffles n
+    rows, not the n·ncents pair set a window sort would. NULL cosines
+    (zero-norm vectors) map to +inf so they lose to any real
+    similarity, matching the window path's NULLS LAST; an all-NULL row
+    still picks its lowest cent_id, exactly as row_number would.
+    """
+    left = df.withColumn("__n", l2_norm(vec_col))
+    cent = broadcast(
+        cents.select(
+            "cent_id",
+            F.col("centroid").alias("__cent"),
+            l2_norm("centroid").alias("__cn"),
+        )
+    )
+    sims = left.crossJoin(cent).select(
         F.col(id_out),
         "cent_id",
-        cosine_similarity(vec_col, "__cent").alias("__cs"),
+        F.when(
+            (F.col("__n") == 0) | (F.col("__cn") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(dot(vec_col, "__cent") / (F.col("__n") * F.col("__cn")))
+        .alias("__cs"),
     )
+    if n == 1:
+        key = F.struct(
+            F.coalesce(-F.col("__cs"), F.lit(float("inf"))).alias("s"),
+            F.col("cent_id").alias("c"),
+        )
+        return sims.groupBy(id_out).agg(F.min_by("cent_id", key).alias("cent_id"))
     w = Window.partitionBy(id_out).orderBy(F.col("__cs").desc(), F.col("cent_id"))
     return (
         sims.withColumn("__r", F.row_number().over(w))
@@ -101,12 +136,61 @@ def _nearest_cents(
     )
 
 
+def _nearest_cents_gemm(
+    df: DataFrame, cents: DataFrame, id_out: str, vec_col: str, n: int
+) -> DataFrame:
+    """GEMM twin of ``_nearest_cents`` for bulk assignment at scale:
+    the (tiny) centroid matrix is normalized once and broadcast; each
+    corpus Arrow batch computes one (batch × ncents) float64 matmul
+    and takes top-n per row with a (-sim, cent_id) lexsort — same
+    tie-break and same zero-norm-loses semantics as the expression
+    path. numpy's summation order differs from the expression
+    aggregate at the ulp level, so this path is equality-tested
+    against ``_nearest_cents`` (tests/test_llm_similarity.py) rather
+    than being the oracle anchor; use ``ivf_build(assign="gemm")``
+    when the corpus is large enough that interpreted per-pair dots
+    dominate (the 10x probe: 275 s → sub-second per pass)."""
+    import numpy as np
+    import pandas as pd
+
+    cp = cents.select("cent_id", "centroid").toPandas()
+    cm = np.stack([np.asarray(v, dtype=np.float64) for v in cp["centroid"]])
+    cnorms = np.linalg.norm(cm, axis=1, keepdims=True)
+    cm = cm / np.where(cnorms == 0, np.nan, cnorms)
+    cids = cp["cent_id"].to_numpy()
+    bc = df.sparkSession.sparkContext.broadcast((cids, cm))
+
+    def batches(it):
+        cids_, cm_ = bc.value
+        take = min(n, len(cids_))
+        for pdf in it:
+            if pdf.empty:
+                continue
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__vec"]])
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            m = m / np.where(norms == 0, np.nan, norms)
+            sims = m @ cm_.T
+            sims = np.where(np.isnan(sims), -np.inf, sims)
+            order = np.lexsort(
+                (np.broadcast_to(cids_, sims.shape), -sims), axis=1
+            )[:, :take]
+            ids = pdf["__id"].to_numpy()
+            yield pd.DataFrame(
+                {id_out: np.repeat(ids, take), "cent_id": cids_[order].ravel()}
+            )
+
+    return df.select(
+        F.col(id_out).alias("__id"), F.col(vec_col).alias("__vec")
+    ).mapInPandas(batches, schema=f"{id_out} bigint, cent_id bigint")
+
+
 def ivf_build(
     corpus: DataFrame,
     centroid_stride: int = 31,
     lloyd_iters: int = 2,
     corpus_id: str = "vec_id",
     vec: str = "embedding",
+    assign: str = "expr",
 ) -> tuple[DataFrame, DataFrame]:
     """Build an IVF index: returns ``(centroids, members)`` —
     ``centroids`` (cent_id, centroid array<double>) and ``members``
@@ -130,7 +214,16 @@ def ivf_build(
     O(n·ncents·d) — sample-train, then one full assignment pass),
     ncents grows ~√n with nprobe fixed, so the probed fraction shrinks
     with scale.
+
+    ``assign`` picks the bulk-assignment kernel: ``"expr"`` (default)
+    is the pure-SQL path the DuckDB oracle mirrors hash-exactly;
+    ``"gemm"`` is the Arrow/numpy matmul path for large corpora —
+    equality-tested against expr, ulp-level float differences possible
+    (see ``_nearest_cents_gemm``).
     """
+    if assign not in ("expr", "gemm"):
+        raise ValueError(f"unknown assign {assign!r} (expr|gemm)")
+    nearest1 = _nearest_cents if assign == "expr" else _nearest_cents_gemm
     cents = corpus.filter(F.col(corpus_id) % centroid_stride == 0).select(
         F.col(corpus_id).alias("cent_id"),
         F.transform(vec, lambda x: x.cast("double")).alias("centroid"),
@@ -142,7 +235,7 @@ def ivf_build(
     # iteration is one window shuffle (assignment) + one groupBy
     # (recompute); centroid frames stay tiny and broadcast.
     for _ in range(lloyd_iters):
-        a = _nearest_cents(
+        a = nearest1(
             c.select("neighbor_id", F.col("__cv").alias("__v")), cents,
             "neighbor_id", "__v", 1,
         )
@@ -162,13 +255,20 @@ def ivf_build(
                     lambda s: s["__mean"],
                 ).alias("centroid")
             )
+            # iterative-lineage rule (same as dedup_clusters): truncate
+            # per iteration, else iteration N's broadcast re-executes
+            # every prior assignment pass — quadratic recompute that the
+            # 10x scale probe exposed (sf0.1 hid it). The frame is tiny
+            # (n/stride rows), so eager materialization is ~free; all
+            # ops are deterministic, so recompute-on-loss is identical.
+            .localCheckpoint(eager=True)
         )
 
-    assign = _nearest_cents(
+    final_assign = nearest1(
         c.select("neighbor_id", F.col("__cv").alias("__v")), cents,
         "neighbor_id", "__v", 1,
     )
-    members = c.join(assign, "neighbor_id").select(
+    members = c.join(final_assign, "neighbor_id").select(
         "neighbor_id", "cent_id",
         F.transform("__cv", lambda x: x.cast("double")).alias("vec"),
     )

@@ -139,6 +139,25 @@ def test_knn_numpy_matches_expression_impl(spark, sf_dir):
     assert a == b and len(a) == 100
 
 
+def test_ivf_gemm_assignment_matches_expression_impl(spark, sf_dir):
+    """ivf_build(assign="gemm") must produce the same trained centroids
+    and the same vector->cluster assignment as the expression path on
+    real (non-degenerate) data — ulp-level matmul-order differences
+    can only flip exact near-ties, which the fixture doesn't have."""
+    from glue_etl_pyspark_spark.io import load_table
+    from glue_etl_pyspark_spark.operators.similarity import ivf_build
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ce, me = ivf_build(emb, assign="expr")
+    cg, mg = ivf_build(emb, assign="gemm")
+    cents_e = {r.cent_id: [round(x, 9) for x in r.centroid] for r in ce.collect()}
+    cents_g = {r.cent_id: [round(x, 9) for x in r.centroid] for r in cg.collect()}
+    assert cents_e == cents_g
+    assign_e = {r.neighbor_id: r.cent_id for r in me.select("neighbor_id", "cent_id").collect()}
+    assign_g = {r.neighbor_id: r.cent_id for r in mg.select("neighbor_id", "cent_id").collect()}
+    assert assign_e == assign_g
+
+
 def test_dedup_clusters_contain_planted_twins(spark, sf_dir):
     """Cluster labels must be valid connected components: every pair's
     two endpoints share a label, and each twin joins its original."""
