@@ -547,3 +547,309 @@ def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_custkey < 200
         """
     )
+
+
+# The fixture has no partsupp table; Q2/Q9/Q20 derive one from lineitem
+# (supplycost = min observed unit price, availqty = total shipped
+# quantity per part+supplier). The derived frame keeps each original
+# query's SHAPE — correlated min over a region-filtered chain (Q2),
+# fact-to-partsupp profit join (Q9), aggregate-correlated IN (Q20) —
+# which is what exercises the planner; only the base relation differs.
+PS_SQL = """
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+    MIN(l_extendedprice / l_quantity) AS ps_supplycost,
+    SUM(l_quantity) AS ps_availqty
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+"""
+
+Q2_ORACLE = f"""
+WITH ps AS ({PS_SQL})
+SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_type
+FROM part p
+JOIN ps ON p.p_partkey = ps.ps_partkey
+JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE p.p_size = 15 AND r.r_name = 'EUROPE'
+  AND ps.ps_supplycost = (
+    SELECT MIN(ps2.ps_supplycost)
+    FROM ps ps2
+    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE'
+  )
+ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+LIMIT 100
+"""
+
+
+@query("tpch_q2_min_cost_supplier", oracle=Q2_ORACLE, category="tpch")
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar-MIN subquery whose inner query
+    repeats a 4-way join chain (part's cheapest EUROPE supplier).
+    Catalyst decorrelates the MIN into an aggregate joined back on
+    p_partkey — without decorrelation this re-runs the supplier chain
+    per part. MIN over doubles picks an existing value (no accumulation
+    order), so the comparison is cross-engine exact."""
+    register_views(spark, sf_dir, "part", "supplier", "nation", "region", "lineitem")
+    return spark.sql(Q2_ORACLE)
+
+
+Q5_ORACLE = """
+SELECT n.n_name,
+  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+"""
+
+
+@query("tpch_q5_local_supplier_volume", oracle=Q5_ORACLE, category="tpch")
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join where the supplier join carries the
+    extra same-nation equi-condition (customer and supplier co-located)
+    — revenue per nation in one region-year. Every dim broadcasts;
+    lineitem (the only big table) joins orders on its own key, so the
+    fact side needs no pre-shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        .join(broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(
+            broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+Q8_ORACLE = """
+WITH all_sales AS (
+  SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+    l.l_extendedprice * (1 - l.l_discount) AS volume,
+    n2.n_name AS supp_nation
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+  JOIN region r ON n1.n_regionkey = r.r_regionkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+  WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01'
+)
+SELECT o_year,
+  floor(
+    CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END AS DECIMAL(28,6))) AS DOUBLE)
+    / CAST(SUM(CAST(volume AS DECIMAL(28,6))) AS DOUBLE) * 1e6
+  ) / 1e6 AS mkt_share
+FROM all_sales
+GROUP BY o_year
+"""
+
+
+@query("tpch_q8_market_share", oracle=Q8_ORACLE, category="tpch")
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: 8-way join (nation twice: customer-side region
+    filter, supplier-side share target) feeding a conditional-share
+    aggregate — NATION_3's fraction of ECONOMY-part volume per year.
+    Both sums are decimal-accumulated (order-independent) so the
+    quotient is bit-identical cross-engine; the 6-dp floor scaling is
+    belt-and-braces, never a half-even/half-up coin flip."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation"))
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    s = load_table(spark, sf_dir, "supplier")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        .join(broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(broadcast(r), F.col("n1_region") == r["r_regionkey"])
+        .join(broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (
+                F.floor(
+                    dsum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0))
+                    / dsum(vol)
+                    * 1e6
+                )
+                / 1e6
+            ).alias("mkt_share")
+        )
+    )
+
+
+Q9_ORACLE = f"""
+WITH ps AS ({PS_SQL})
+SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+  CAST(SUM(CAST(
+    floor((l.l_extendedprice * (1 - l.l_discount) - ps.ps_supplycost * l.l_quantity) * 1e6) / 1e6
+  AS DECIMAL(28,6))) AS DOUBLE) AS sum_profit
+FROM lineitem l
+JOIN ps ON ps.ps_partkey = l.l_partkey AND ps.ps_suppkey = l.l_suppkey
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY n.n_name, year(o.o_orderdate)
+"""
+
+
+@query("tpch_q9_product_profit", oracle=Q9_ORACLE, category="tpch")
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: the fact table joins the (derived) partsupp on a
+    COMPOSITE key (partkey, suppkey) plus three dims — profit per
+    supplier nation per year for one part family. The ps frame scales
+    with data (never broadcast; equi-join shuffles co-partition it with
+    lineitem); per-row profit is pure double arithmetic (cross-engine
+    exact), accumulation is decimal. The profit expression is
+    floor-scaled to 6 dp BEFORE the decimal cast: supplycost*qty
+    reconstructs near-price values, so profit lands on .5e-6
+    boundaries where the cast's half-up (Spark) vs half-even (DuckDB)
+    disagree — floor of a cross-engine-identical double is safe."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = (
+        li.groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg((F.min(F.col("l_extendedprice") / F.col("l_quantity"))).alias("ps_supplycost"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    profit = (
+        F.floor(
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                - F.col("ps_supplycost") * F.col("l_quantity")
+            )
+            * 1e6
+        )
+        / 1e6
+    )
+    return (
+        li.join(broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(
+            ps,
+            (li["l_partkey"] == ps["ps_partkey"]) & (li["l_suppkey"] == ps["ps_suppkey"]),
+        )
+        .join(broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        .join(broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(dsum(profit).alias("sum_profit"))
+    )
+
+
+Q10_ORACLE = """
+SELECT c.c_custkey, c.c_name,
+  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+  c.c_acctbal, n.n_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+@query("tpch_q10_returned_items", oracle=Q10_ORACLE, category="tpch")
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-lineitem revenue per customer in one
+    quarter, global top-20 (TakeOrderedAndProject; revenue ties broken
+    by c_custkey). The returnflag filter pushes to the lineitem scan."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        .join(broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+Q20_ORACLE = f"""
+WITH ps AS ({PS_SQL})
+SELECT s.s_name, s.s_acctbal
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'EUROPE'
+  AND s.s_suppkey IN (
+    SELECT ps_suppkey FROM ps
+    WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'blue%')
+      AND ps_availqty > 0.5 * (
+        SELECT SUM(l.l_quantity) FROM lineitem l
+        WHERE l.l_partkey = ps_partkey AND l.l_suppkey = ps_suppkey
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01'
+      )
+  )
+ORDER BY s.s_name
+"""
+
+
+@query("tpch_q20_promotion_stock", oracle=Q20_ORACLE, category="tpch")
+def tpch_q20_promotion_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: IN over a derived table whose WHERE holds BOTH
+    a nested IN (part family) and an aggregate-correlated comparison
+    (stock vs half the year's shipped quantity for that part+supplier)
+    — two levels of decorrelation. Quantity sums are integer-valued
+    doubles (exact well below 2^53), so the 0.5x comparison is
+    cross-engine exact with no decimal detour."""
+    register_views(
+        spark, sf_dir, "supplier", "nation", "region", "part", "lineitem"
+    )
+    return spark.sql(Q20_ORACLE)
