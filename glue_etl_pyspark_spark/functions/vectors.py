@@ -58,3 +58,43 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     return F.when((na == 0) | (nb == 0), F.lit(None).cast("double")).otherwise(
         dot(a, b) / (na * nb)
     )
+
+
+def quantize_int8(vec: Column | str, qmin: Column | str, qmax: Column | str) -> Column:
+    """Per-vector int8 scalar quantization: maps each element of a
+    double array onto [-128, 127] against the vector's own [qmin,
+    qmax] range (code = floor((x-qmin)/(qmax-qmin)*255 + 0.5) - 128).
+    A constant vector (qmax == qmin) quantizes to all zeros.
+
+    ``qmin``/``qmax`` must be MATERIALIZED columns (array_min/array_max
+    staged via withColumn), never inline aggregate expressions — a
+    captured aggregate re-evaluates per element (the O(d²) lambda-
+    capture trap); captured column refs are O(1). floor(x + 0.5) is
+    used instead of round() deliberately: both engines floor the same
+    IEEE double, where round() would split half-up vs half-even.
+
+    At 100 TB this is the storage/bandwidth path: 4x smaller than
+    float32 (16x vs the double shuffle), so candidate generation can
+    scan codes and only the rerank touches full-precision vectors.
+    """
+    scale = _c(qmax) - _c(qmin)
+    return F.when(
+        scale == 0, F.transform(_c(vec), lambda x: F.lit(0))
+    ).otherwise(
+        F.transform(
+            _c(vec),
+            lambda x: (F.floor((x - _c(qmin)) / scale * 255 + F.lit(0.5)) - 128).cast(
+                "int"
+            ),
+        )
+    )
+
+
+def dequantize_int8(codes: Column | str, qmin: Column | str, qmax: Column | str) -> Column:
+    """Inverse of ``quantize_int8`` (lossy: ≤ half a quantization step
+    per element): x̂ = (code + 128) / 255 * (qmax - qmin) + qmin."""
+    scale = _c(qmax) - _c(qmin)
+    return F.transform(
+        _c(codes),
+        lambda c: (c.cast("double") + 128) / 255 * scale + _c(qmin),
+    )

@@ -1,0 +1,149 @@
+"""Sequence packing for LLM pretraining pipelines (SURVEY.md §2.12
+extension): assign variable-length documents to fixed-size context
+windows.
+
+Two packers, one per real-world packing discipline:
+
+- ``pack_concat_chunk`` — the GPT-style "concatenate the token stream,
+  split every ctx_len tokens" discipline. Every document's bin is a
+  pure function of its start offset in the global stream, so the whole
+  packer is running-sum arithmetic: deterministic, exactly
+  SQL-expressible (DuckDB-oracled), and the bin boundaries may split a
+  document across two bins (exactly like the real pipeline, which
+  splits at the token level).
+- ``pack_greedy_shard`` — first-fit sequential packing (no document
+  splits): walk documents in id order, append to the current bin while
+  it fits, else open a new bin. Sequential state makes it
+  non-SQL-expressible, so it runs per shard via ``applyInPandas`` and
+  is property-gated in tests (every doc assigned exactly once, no bin
+  over capacity unless a single document alone exceeds it, bins are
+  contiguous id runs within a shard).
+
+Scale design: a naive global running sum is a single-partition window
+(one task owns the whole corpus — the classic scale killer). Both
+packers shard by id range (``shard = id div shard_span``) and use the
+two-phase prefix-sum shape: per-shard local scan in parallel, then a
+prefix sum over the (tiny, one-row-per-shard) totals frame, broadcast
+back as each shard's base offset. Wall-clock is O(n/shards) + O(shards)
+instead of O(n) on one task; results are identical to the global scan
+because token counts are integers (exact arithmetic, no reorder drift).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+# greedy bins are numbered shard * _BIN_STRIDE + seq; a shard would
+# need >1e9 bins to collide, i.e. shard_span * ctx_len > 1e9 tokens
+_BIN_STRIDE = 1_000_000_000
+
+
+def _with_shard_starts(
+    df: DataFrame, id_col: str, len_col: str, shard_span: int
+) -> DataFrame:
+    """Adds ``__shard`` (id-range shard), ``__local_start`` (running
+    token offset within the shard) and ``__base`` (shard's global base
+    offset) — the distributed prefix sum both packers share."""
+    sharded = df.withColumn("__shard", F.expr(f"{id_col} div {shard_span}"))
+    w_local = (
+        Window.partitionBy("__shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = sharded.withColumn(
+        "__local_start", F.sum(len_col).over(w_local) - F.col(len_col)
+    )
+    # one row per shard; the prefix sum over it is a single-partition
+    # window over a TINY frame (n/shard_span rows), then broadcast back
+    w_shards = (
+        Window.orderBy("__shard")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bases = (
+        sharded.groupBy("__shard")
+        .agg(F.sum(len_col).alias("__shard_total"))
+        .withColumn("__base", F.sum("__shard_total").over(w_shards) - F.col("__shard_total"))
+        .select("__shard", "__base")
+    )
+    return local.join(broadcast(bases), "__shard")
+
+
+def pack_concat_chunk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    len_col: str = "n_tokens",
+    ctx_len: int = 256,
+    shard_span: int = 100_000,
+) -> DataFrame:
+    """Concat-then-chunk packing: emits (id, len, bin_id, bin_offset)
+    where ``bin_id = global_start div ctx_len`` and ``bin_offset`` is
+    the document's first-token position inside its bin. A document
+    whose span crosses a bin boundary continues into the next bin
+    (token-level split, as in real packed pretraining)."""
+    out = _with_shard_starts(df, id_col, len_col, shard_span).withColumn(
+        "__start", F.col("__base") + F.col("__local_start")
+    )
+    return out.select(
+        F.col(id_col),
+        F.col(len_col).cast("bigint").alias("n_tokens"),
+        F.expr(f"__start div {ctx_len}").alias("bin_id"),
+        (F.col("__start") % ctx_len).alias("bin_offset"),
+    )
+
+
+def pack_greedy_shard(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    len_col: str = "n_tokens",
+    ctx_len: int = 256,
+    shard_span: int = 100_000,
+) -> DataFrame:
+    """First-fit sequential packing per id-range shard: emits
+    (id, len, bin_id, bin_fill) with no document split across bins.
+    Bin ids are ``shard * 1e9 + seq`` (globally unique, ordered). A
+    document longer than ctx_len gets a bin of its own (oversized —
+    flagged by bin_fill > ctx_len, callers decide to truncate/drop).
+    Shard-local greedy is the honest distributed semantics: bins never
+    span shards, matching how a 1000-executor packer really behaves.
+    """
+    import pandas as pd
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("__id").reset_index(drop=True)
+        shard = int(pdf["__shard"].iloc[0])
+        seq, fill = 0, 0
+        bins, fills = [], []
+        for n in pdf["__len"]:
+            n = int(n)
+            if fill > 0 and fill + n > ctx_len:
+                seq += 1
+                fill = 0
+            fill += n
+            bins.append(shard * _BIN_STRIDE + seq)
+            fills.append(fill)
+        pdf["bin_id"] = bins
+        pdf["bin_fill"] = fills
+        return pdf[["__id", "__len", "bin_id", "bin_fill"]]
+
+    prepped = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(len_col).cast("bigint").alias("__len"),
+        F.expr(f"{id_col} div {shard_span}").alias("__shard"),
+    )
+    return (
+        prepped.groupBy("__shard")
+        .applyInPandas(
+            pack, schema="__id bigint, __len bigint, bin_id bigint, bin_fill bigint"
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__len").alias("n_tokens"),
+            "bin_id",
+            "bin_fill",
+        )
+    )
+
+
+__all__ = ["pack_concat_chunk", "pack_greedy_shard"]

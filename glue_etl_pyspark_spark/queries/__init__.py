@@ -13,6 +13,7 @@ from . import (  # noqa: F401
     joins_q,
     llm_dedup,
     llm_knn,
+    llm_pack,
     llm_text,
     nested,
     projection,

@@ -1,0 +1,138 @@
+"""Training-data assembly queries (SURVEY.md §2.12 extension):
+sequence packing into fixed context windows, int8 embedding
+quantization, and deterministic (reproducible) corpus sampling.
+
+These are the ops between "curated corpus" and "training batches":
+pack documents into ctx-sized sequences, shrink embedding storage 4x,
+and carve reproducible subsets without RNG state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vectors import quantize_int8
+from ..io import load_table
+from ..operators.packing import pack_concat_chunk, pack_greedy_shard
+from ..registry import query
+from .llm_text import _DUCK_TOKS
+
+_CTX = 256
+_SHARD_SPAN = 1000
+
+PACK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens FROM documents
+), st AS (
+  SELECT doc_id, n_tokens,
+    SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      - n_tokens AS s
+  FROM toks
+)
+SELECT doc_id, n_tokens, s // {_CTX} AS bin_id, s % {_CTX} AS bin_offset
+FROM st
+"""
+
+
+@query("doc_pack_sequences", oracle=PACK_ORACLE, category="llm-pack")
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing (GPT-style): every document's
+    context-window id and offset, from a sharded two-phase prefix sum
+    (see operators/packing.py — no single-partition global window).
+    The oracle is the equivalent GLOBAL running sum: integer token
+    counts make the two-phase result exactly equal."""
+    d = load_table(spark, sf_dir, "documents")
+    from ..functions.text import tokenize_ws
+
+    docs = d.select(
+        "doc_id", F.size(tokenize_ws("text")).cast("bigint").alias("n_tokens")
+    )
+    return pack_concat_chunk(
+        docs, id_col="doc_id", len_col="n_tokens", ctx_len=_CTX,
+        shard_span=_SHARD_SPAN,
+    )
+
+
+@query("doc_pack_greedy", oracle=None, category="llm-pack")
+def doc_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit sequential packing (no document splits) per id-range
+    shard via applyInPandas — sequential bin state is not
+    SQL-expressible, so this is rows-checked externally and
+    property-gated in pytest (every doc assigned once, no bin over
+    ctx_len unless a lone oversized doc, greedy tightness)."""
+    d = load_table(spark, sf_dir, "documents")
+    from ..functions.text import tokenize_ws
+
+    docs = d.select(
+        "doc_id", F.size(tokenize_ws("text")).cast("bigint").alias("n_tokens")
+    )
+    return pack_greedy_shard(
+        docs, id_col="doc_id", len_col="n_tokens", ctx_len=_CTX,
+        shard_span=_SHARD_SPAN,
+    )
+
+
+QUANT_ORACLE = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+  FROM embeddings
+), mm AS (
+  SELECT vec_id, dv,
+    list_aggregate(dv, 'min') AS qmin, list_aggregate(dv, 'max') AS qmax
+  FROM v
+)
+SELECT vec_id, qmin, qmax,
+  array_to_string(
+    CASE WHEN qmax = qmin THEN list_transform(dv, x -> 0)
+         ELSE list_transform(dv, x ->
+           CAST(floor((x - qmin) / (qmax - qmin) * 255 + 0.5) AS INTEGER) - 128)
+    END, ',') AS codes
+FROM mm
+"""
+
+
+@query("embedding_quantize_int8", oracle=QUANT_ORACLE, category="llm-knn")
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization of the embedding column —
+    the 4x storage/bandwidth path for ANN candidate generation (rerank
+    keeps full precision). qmin/qmax are staged columns (the
+    lambda-capture rule); floor(x+0.5) avoids the half-up/half-even
+    round() split. Quantized-search fidelity is recall-gated in
+    tests/test_llm_ops.py."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn("__dv", F.transform("embedding", lambda x: x.cast("double")))
+        .withColumn("qmin", F.array_min("__dv"))
+        .withColumn("qmax", F.array_max("__dv"))
+    )
+    codes = quantize_int8("__dv", "qmin", "qmax")
+    # list cells crash the driver's hash canonicalizer (round-1
+    # lesson) — serialize at the query boundary, identically in SQL
+    return e.select(
+        "vec_id", "qmin", "qmax",
+        F.array_join(F.transform(codes, lambda c: c.cast("string")), ",").alias("codes"),
+    )
+
+
+SAMPLE_DET_ORACLE = """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE (doc_id * 2654435761) % 4294967296 < 429496730
+"""
+
+
+@query("sample_docs_deterministic", oracle=SAMPLE_DET_ORACLE, category="llm-curation")
+def sample_docs_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~10% corpus subset via multiplicative hashing
+    (Knuth constant, exact BIGINT arithmetic — no RNG state, no seed
+    plumbing): the sampling decision is a pure function of doc_id, so
+    reruns, retries, and different partitionings all select the SAME
+    documents — unlike rdd-sample-based spigots, this is the
+    train/eval-split discipline a reproducible pipeline needs. Fully
+    oracled (the first sampling query that can be): both engines
+    compute identical integers."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) < 429496730
+    ).select("doc_id", "lang", "source", "n_chars")
