@@ -165,3 +165,24 @@ def test_aqe_splits_skewed_join(spark):
     assert "skewed" in plan, plan[:400]
     # semantics unchanged by the split
     assert row.s == sum(i for i in range(2000000) if i < 1900000 or (i % 1000) + 1 <= 1000)
+
+
+def test_pack_sequences_no_global_corpus_window(spark, sf_dir):
+    """The packer's running sum over the CORPUS must be partitioned by
+    shard — a single-partition window over all documents is the scale
+    killer the two-phase prefix sum exists to avoid. The only
+    SinglePartition exchange allowed is the one feeding the tiny
+    per-shard totals frame (then broadcast back)."""
+    plan = explain_str(_df(spark, sf_dir, "doc_pack_sequences"))
+    corpus_windows = [
+        line for line in plan.splitlines()
+        if "sum(n_tokens" in line and "windowspecdefinition" in line
+    ]
+    assert corpus_windows, "corpus running-sum window missing from plan"
+    for line in corpus_windows:
+        assert "windowspecdefinition(__shard" in line, (
+            "corpus window lost its shard partitioning:\n" + line
+        )
+    assert plan.count("SinglePartition") == 1, (
+        "expected exactly one SinglePartition exchange (shard totals)"
+    )
