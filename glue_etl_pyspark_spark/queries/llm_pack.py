@@ -136,3 +136,107 @@ def sample_docs_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(
         (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) < 429496730
     ).select("doc_id", "lang", "source", "n_chars")
+
+
+# Cosine between two vectors over the 64 dims (llm_knn idiom), all
+# accumulation in DOUBLE.
+_COS = (
+    "SUM(CAST({a}[r.i] AS DOUBLE) * CAST({b}[r.i] AS DOUBLE))"
+    " / (sqrt(SUM(CAST({a}[r.i] AS DOUBLE) * CAST({a}[r.i] AS DOUBLE)))"
+    " * sqrt(SUM(CAST({b}[r.i] AS DOUBLE) * CAST({b}[r.i] AS DOUBLE))))"
+)
+
+_K, _OVERFETCH = 5, 25
+
+INT8_RERANK_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+  FROM embeddings
+), mm AS (
+  SELECT vec_id, dv,
+    list_aggregate(dv, 'min') AS qmin, list_aggregate(dv, 'max') AS qmax
+  FROM v
+), dq AS (
+  SELECT vec_id,
+    CASE WHEN qmax = qmin THEN list_transform(dv, x -> qmin)
+         ELSE list_transform(dv, x ->
+           (CAST(CAST(floor((x - qmin) / (qmax - qmin) * 255 + 0.5) AS INTEGER) - 128
+             AS DOUBLE) + 128) / 255 * (qmax - qmin) + qmin)
+    END AS w
+  FROM mm
+), e AS (SELECT vec_id, embedding AS fv FROM embeddings),
+stage1 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY {_COS.format(a="q.fv", b="c.w")} DESC, c.vec_id
+      ) AS rn1
+    FROM e q, dq c, range(1, 65) r(i)
+    WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+    GROUP BY q.vec_id, c.vec_id
+  ) WHERE rn1 <= {_OVERFETCH}
+),
+rerank AS (
+  SELECT s.query_id, s.neighbor_id, {_COS.format(a="q.fv", b="c.fv")} AS cs
+  FROM stage1 s
+  JOIN e q ON q.vec_id = s.query_id
+  JOIN e c ON c.vec_id = s.neighbor_id, range(1, 65) r(i)
+  GROUP BY s.query_id, s.neighbor_id
+)
+SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim, rn FROM (
+  SELECT query_id, neighbor_id, cs,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS BIGINT) AS rn
+  FROM rerank
+) WHERE rn <= {_K}
+"""
+
+
+@query("knn_int8_rerank", oracle=INT8_RERANK_ORACLE, category="llm-knn")
+def knn_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieve-rerank, the production ANN discipline: stage
+    1 scans the int8-COMPRESSED corpus (4x less bandwidth — at 100 TB
+    the candidate scan reads codes, never full vectors) for top-25
+    candidates per full-precision query; stage 2 joins only those
+    25/query back to full-precision vectors for the exact top-5.
+    Fully deterministic end to end (quantization is floor-rounded,
+    both ranks tie-break on neighbor_id), so the whole two-stage
+    pipeline is hash-oracled — unlike LSH-style candidate generation,
+    compression loss here is verifiable, not just recall-gated."""
+    from ..functions.vectors import cosine_similarity, dequantize_int8
+    from ..operators.similarity import knn_bruteforce
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    e = load_table(spark, sf_dir, "embeddings")
+    dq = (
+        e.withColumn("__dv", F.transform("embedding", lambda x: x.cast("double")))
+        .withColumn("qmin", F.array_min("__dv"))
+        .withColumn("qmax", F.array_max("__dv"))
+        .select(
+            "vec_id",
+            dequantize_int8(
+                quantize_int8("__dv", "qmin", "qmax"), "qmin", "qmax"
+            ).alias("embedding"),
+        )
+    )
+    q = e.filter(F.col("vec_id") < 20)
+    stage1 = knn_bruteforce(q, dq, k=_OVERFETCH, round_dp=None).select(
+        "query_id", "neighbor_id"
+    )
+    fv_c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__cv"))
+    fv_q = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv"))
+    rerank = (
+        stage1.join(fv_c, "neighbor_id")
+        .join(broadcast(fv_q), "query_id")
+        .select(
+            "query_id", "neighbor_id",
+            cosine_similarity("__qv", "__cv").alias("__cs"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("__cs").desc(), "neighbor_id")
+    return (
+        rerank.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= _K)
+        .select("query_id", "neighbor_id", F.round("__cs", 6).alias("cos_sim"), "rn")
+    )
