@@ -229,3 +229,71 @@ def test_ngram_jaccard_matches_python_bruteforce(spark, docs):
                                             threshold=tau,
                                             prefix_filter=mode).collect()}
         assert got == want, f"prefix_filter={mode}"
+
+
+pack_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=60),   # id gap (shards vary)
+        st.integers(min_value=1, max_value=40),   # token count (> ctx possible vs ctx=32)
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(items=pack_strategy)
+def test_pack_concat_chunk_matches_global_scan(spark, items):
+    """The sharded two-phase prefix sum must equal the naive global
+    running sum for ANY id spacing / length mix (integer arithmetic —
+    exact), including ids that straddle shard boundaries."""
+    from glue_etl_pyspark_spark.operators.packing import pack_concat_chunk
+
+    CTX, SPAN = 32, 25
+    ids, acc = [], 0
+    for gap, _ in items:
+        acc += gap + 1
+        ids.append(acc)
+    lens = [n for _, n in items]
+    sdf = spark.createDataFrame(list(zip(ids, lens)), "doc_id bigint, n_tokens bigint")
+    got = {
+        r.doc_id: (r.n_tokens, r.bin_id, r.bin_offset)
+        for r in pack_concat_chunk(sdf, ctx_len=CTX, shard_span=SPAN).collect()
+    }
+    start = 0
+    for i, n in sorted(zip(ids, lens)):
+        assert got[i] == (n, start // CTX, start % CTX), (i, got[i], start)
+        start += n
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(items=pack_strategy)
+def test_pack_greedy_matches_sequential_reference(spark, items):
+    """Distributed greedy packing must equal a sequential first-fit
+    reference run independently per shard."""
+    from glue_etl_pyspark_spark.operators.packing import pack_greedy_shard
+
+    CTX, SPAN, STRIDE = 32, 25, 1_000_000_000
+    ids, acc = [], 0
+    for gap, _ in items:
+        acc += gap + 1
+        ids.append(acc)
+    lens = [n for _, n in items]
+    sdf = spark.createDataFrame(list(zip(ids, lens)), "doc_id bigint, n_tokens bigint")
+    got = {
+        r.doc_id: (r.bin_id, r.bin_fill)
+        for r in pack_greedy_shard(sdf, ctx_len=CTX, shard_span=SPAN).collect()
+    }
+    expected = {}
+    state = {}  # shard -> [seq, fill]
+    for i, n in sorted(zip(ids, lens)):
+        shard = i // SPAN
+        seq, fill = state.get(shard, (0, 0))
+        if fill > 0 and fill + n > CTX:
+            seq, fill = seq + 1, 0
+        fill += n
+        state[shard] = (seq, fill)
+        expected[i] = (shard * STRIDE + seq, fill)
+    assert got == expected
