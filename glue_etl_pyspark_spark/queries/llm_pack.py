@@ -240,3 +240,63 @@ def knn_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _K)
         .select("query_id", "neighbor_id", F.round("__cs", 6).alias("cos_sim"), "rn")
     )
+
+
+MANIFEST_ORACLE = f"""
+WITH quality AS (
+  SELECT doc_id, text, CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents WHERE n_chars >= 100
+),
+deduped AS (
+  SELECT * FROM quality
+  WHERE doc_id IN (SELECT MIN(doc_id) FROM quality GROUP BY md5(text))
+),
+train AS (
+  SELECT doc_id, n_tokens FROM deduped
+  WHERE (doc_id * 2654435761) % 4294967296 >= 429496730
+),
+packed AS (
+  SELECT doc_id, n_tokens,
+    (SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      - n_tokens) // {_CTX} AS bin_id
+  FROM train
+)
+SELECT bin_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM packed GROUP BY bin_id
+"""
+
+
+@query("llm_training_manifest", oracle=MANIFEST_ORACLE, category="llm-pack")
+def llm_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-batch manifest composing the §2.12 stack in
+    one declarative pipeline: length gate → exact dedup (sha2-keyed,
+    min-doc_id winner) → deterministic hash-mod train split (the ~90%
+    complement of the eval sample) → concat-then-chunk packing →
+    per-context-window manifest (docs starting in each bin, their
+    token mass, first/last doc). Each stage is one shuffle at most;
+    the whole chain stays hash-oracled because every stage is
+    deterministic — this is the query a pipeline runs nightly to know
+    what the next training epoch reads."""
+    from ..functions.text import tokenize_ws
+    from ..operators.dedup import exact_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    quality = d.filter(F.col("n_chars") >= 100).select(
+        "doc_id", "text", F.size(tokenize_ws("text")).cast("bigint").alias("n_tokens")
+    )
+    deduped = exact_dedup(quality, cols=["text"], tie_break=["doc_id"])
+    train = deduped.filter(
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) >= 429496730
+    ).select("doc_id", "n_tokens")
+    packed = pack_concat_chunk(
+        train, id_col="doc_id", len_col="n_tokens", ctx_len=_CTX,
+        shard_span=_SHARD_SPAN,
+    )
+    return packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
