@@ -54,13 +54,41 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("doc_pack_greedy", oracle=None, category="llm-pack")
+GREEDY_ORACLE = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens,
+    doc_id // {_SHARD_SPAN} AS shard
+  FROM documents
+), ordered AS (
+  SELECT doc_id, n_tokens, shard,
+    row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+  FROM toks
+), walk AS (
+  SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS seq,
+    n_tokens AS fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+    CASE WHEN w.fill > 0 AND w.fill + o.n_tokens > {_CTX}
+         THEN w.seq + 1 ELSE w.seq END,
+    CASE WHEN w.fill > 0 AND w.fill + o.n_tokens > {_CTX}
+         THEN o.n_tokens ELSE w.fill + o.n_tokens END
+  FROM walk w JOIN ordered o ON o.shard = w.shard AND o.rn = w.rn + 1
+)
+SELECT doc_id, n_tokens, shard * 1000000000 + seq AS bin_id, fill AS bin_fill
+FROM walk
+"""
+
+
+@query("doc_pack_greedy", oracle=GREEDY_ORACLE, category="llm-pack")
 def doc_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-fit sequential packing (no document splits) per id-range
-    shard via applyInPandas — sequential bin state is not
-    SQL-expressible, so this is rows-checked externally and
-    property-gated in pytest (every doc assigned once, no bin over
-    ctx_len unless a lone oversized doc, greedy tightness)."""
+    shard via applyInPandas. The sequential bin state is beyond plain
+    window SQL, but NOT beyond a recursive CTE — the oracle walks each
+    shard's documents in id order carrying (seq, fill), exactly the
+    operator's loop (dedup_clusters precedent: linear recursion makes
+    a sequential op fully hash-checkable). Also property-gated in
+    pytest (exactly-once, capacity, monotone bins)."""
     d = load_table(spark, sf_dir, "documents")
     from ..functions.text import tokenize_ws
 
