@@ -110,3 +110,42 @@ def cdc_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     untouched = customer.join(updates.select("c_custkey"), "c_custkey", "anti")
     return updates.unionByName(untouched)
+
+
+SALTED_ORACLE = """
+WITH dim(event_type, weight) AS (
+  VALUES ('click', 1.0), ('view', 0.2), ('purchase', 5.0),
+         ('signup', 2.0), ('error', 0.0)
+)
+SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(e.value * CAST(d.weight AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)
+    AS weighted_value
+FROM events e JOIN dim d USING (event_type)
+GROUP BY e.event_type
+"""
+
+
+@query("join_salted_skew", oracle=SALTED_ORACLE, category="join")
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted dimension join (SURVEY.md §4.3): the fact side gets
+    a deterministic salt from stable row content, the dimension is
+    exploded once per salt bucket, and the join keys on (key, salt) —
+    the hot key's rows spread over `buckets` shuffle partitions
+    instead of one. Salting MUST be semantically invisible, which is
+    exactly what the oracle checks: the result hash-matches a plain
+    unsalted join + aggregate. event_type is the low-cardinality hot
+    key; weights are an inline dimension (VALUES on both engines)."""
+    from ..functions.money import dsum
+    from ..operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.2), ("purchase", 5.0),
+         ("signup", 2.0), ("error", 0.0)],
+        "event_type string, weight double",
+    )
+    j = salted_join(ev, dim, on="event_type", salt_cols=["event_id"], buckets=8)
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value") * F.col("weight")).alias("weighted_value"),
+    )

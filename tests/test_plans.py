@@ -186,3 +186,11 @@ def test_pack_sequences_no_global_corpus_window(spark, sf_dir):
     assert plan.count("SinglePartition") == 1, (
         "expected exactly one SinglePartition exchange (shard totals)"
     )
+
+
+def test_salted_join_keys_carry_salt(spark, sf_dir):
+    """The salted join must actually key on (event_type, __salt) —
+    otherwise the query silently degrades to the unsalted plan and
+    the hot key lands on one partition again."""
+    plan = explain_str(_df(spark, sf_dir, "join_salted_skew"))
+    assert "__salt" in plan, "salt column missing from the physical plan"
