@@ -6,9 +6,11 @@ each module covers one SURVEY.md §2 area.
 
 from . import (  # noqa: F401
     aggregates,
+    analytics,
     etl_patterns,
     extras,
     filters,
+    governance,
     io_q,
     joins_q,
     llm_dedup,

@@ -1,0 +1,154 @@
+"""Event-analytics queries: conversion funnel and cohort retention.
+
+The shapes a clickstream warehouse runs daily: both are one shuffle on
+user_id (funnel: two window passes over the same partitioning;
+retention: first-seen aggregate joined back), then a small final
+aggregate. Fully deterministic, hash-oracled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import query
+
+FUNNEL_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+    MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+  FROM events GROUP BY user_id
+), step2 AS (
+  SELECT p.user_id, p.first_view,
+    MIN(CASE WHEN e.event_type = 'click' AND e.ts >= p.first_view
+             THEN e.ts END) AS first_click
+  FROM per_user p JOIN events e ON e.user_id = p.user_id
+  GROUP BY p.user_id, p.first_view
+), step3 AS (
+  SELECT s.user_id, s.first_view, s.first_click,
+    MIN(CASE WHEN e.event_type = 'purchase' AND e.ts >= s.first_click
+             THEN e.ts END) AS first_purchase
+  FROM step2 s JOIN events e ON e.user_id = s.user_id
+  GROUP BY s.user_id, s.first_view, s.first_click
+)
+SELECT stage, CAST(stage_idx AS INT) AS stage_idx,
+  CAST(n_users AS BIGINT) AS n_users
+FROM (
+  SELECT
+    CAST(COUNT(first_view) AS BIGINT) AS viewed,
+    CAST(COUNT(first_click) AS BIGINT) AS clicked,
+    CAST(COUNT(first_purchase) AS BIGINT) AS purchased
+  FROM step3
+) UNPIVOT (n_users FOR stage IN (viewed, clicked, purchased))
+JOIN (VALUES ('viewed', 1), ('clicked', 2), ('purchased', 3))
+  t(stage, stage_idx) USING (stage)
+"""
+
+
+@query("events_funnel", oracle=FUNNEL_ORACLE, category="analytics")
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: each
+    stage's timestamp must be >= the previous stage's (a click before
+    the first view doesn't convert). Spark computes all three stage
+    timestamps with chained window minimums over ONE user_id
+    partitioning — a single shuffle, no self-joins (the oracle uses
+    the equivalent join-per-stage formulation). Output: users
+    remaining at each stage."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    # Chained stage minimums: each references the previous stage's
+    # column, so each is staged in its own withColumn (lateral-alias
+    # rule) — all three windows share one partitioning => one shuffle.
+    staged = (
+        ev.withColumn(
+            "first_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "first_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") >= F.col("first_view")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "first_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("first_click")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.first("first_view").alias("first_view"),
+        F.first("first_click").alias("first_click"),
+        F.first("first_purchase").alias("first_purchase"),
+    )
+    counts = per_user.agg(
+        F.count("first_view").alias("viewed"),
+        F.count("first_click").alias("clicked"),
+        F.count("first_purchase").alias("purchased"),
+    )
+    tall = counts.selectExpr(
+        "stack(3, 'viewed', viewed, 1, 'clicked', clicked, 2, "
+        "'purchased', purchased, 3) AS (stage, n_users, stage_idx)"
+    )
+    return tall.select(
+        "stage", F.col("stage_idx").cast("int").alias("stage_idx"),
+        F.col("n_users").cast("bigint").alias("n_users"),
+    )
+
+
+RETENTION_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), active AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+    CAST(datediff('day', f.cohort_week, date_trunc('week', e.ts)) // 7 AS INT)
+      AS week_offset
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT CAST(cohort_week AS DATE) AS cohort_week, week_offset,
+  CAST(COUNT(*) AS BIGINT) AS n_users
+FROM active
+GROUP BY cohort_week, week_offset
+"""
+
+
+@query("retention_cohort", oracle=RETENTION_ORACLE, category="analytics")
+def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users are cohorted by the
+    ISO week of their first event; each (cohort_week, week_offset)
+    cell counts distinct users from that cohort active that many
+    weeks later. One aggregate for first-seen, a join back (the
+    cohort frame is users-sized — broadcastable when small, shuffle
+    co-partitioned on user_id otherwise), then a distinct+count."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return active.groupBy(
+        F.col("cohort_week").cast("date").alias("cohort_week"), "week_offset"
+    ).agg(F.count(F.lit(1)).alias("n_users"))

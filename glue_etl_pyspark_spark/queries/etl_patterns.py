@@ -112,6 +112,107 @@ def cdc_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return updates.unionByName(untouched)
 
 
+_Z_BITS = 10
+
+
+def _z_spark(x: str, y: str, bits: int = _Z_BITS) -> str:
+    """Spark-SQL bit-interleave expression (shiftleft/shiftright)."""
+    terms = [f"shiftleft(shiftright({x}, {i}) & 1, {2 * i})" for i in range(bits)]
+    terms += [f"shiftleft(shiftright({y}, {i}) & 1, {2 * i + 1})" for i in range(bits)]
+    return " + ".join(terms)
+
+
+def _z_duck(x: str, y: str, bits: int = _Z_BITS) -> str:
+    """Identical interleave in DuckDB operator syntax."""
+    terms = [f"((({x} >> {i}) & 1) << {2 * i})" for i in range(bits)]
+    terms += [f"((({y} >> {i}) & 1) << {2 * i + 1})" for i in range(bits)]
+    return " + ".join(terms)
+
+
+ZORDER_ORACLE = f"""
+WITH keyed AS (
+  SELECT o_orderkey,
+    CAST(o_custkey % 1024 AS BIGINT) AS zx,
+    CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 1024
+         AS BIGINT) AS zy
+  FROM orders
+)
+SELECT o_orderkey, zx, zy,
+  CAST({_z_duck("zx", "zy")} AS BIGINT) AS zval
+FROM keyed
+"""
+
+
+@query("zorder_layout", oracle=ZORDER_ORACLE, category="source-sink")
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key: interleave the low 10 bits of the
+    customer and order-date dimensions so range-partitioning on the
+    single zval column co-locates rows that are close in BOTH
+    dimensions — parquet min/max stats then prune multi-dimensional
+    predicates without a second sort column (the Delta OPTIMIZE
+    ZORDER BY recipe, done with plain Spark). The interleave is pure
+    JVM bit arithmetic generated from one term list in both dialects;
+    repartitionByRange(zval) is the write-side clustering step (plan
+    pin: RangePartitioning; locality measured in tests/test_plans.py).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    keyed = orders.selectExpr(
+        "o_orderkey",
+        "CAST(o_custkey % 1024 AS BIGINT) AS zx",
+        "CAST(datediff(o_orderdate, DATE '1992-01-01') % 1024 AS BIGINT) AS zy",
+    )
+    z = keyed.selectExpr(
+        "o_orderkey", "zx", "zy",
+        f"CAST({_z_spark('zx', 'zy')} AS BIGINT) AS zval",
+    )
+    return z.repartitionByRange(32, F.col("zval"))
+
+
+OBSERVE_ORACLE = """
+SELECT o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price
+FROM orders
+WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority
+"""
+
+
+@query("observe_metrics", oracle=OBSERVE_ORACLE, category="source-sink")
+def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.observe(): accumulator-style job metrics (rows seen, rows
+    kept, mass total) collected DURING the action with zero extra
+    passes — the Glue job-metrics/DQ-listener analog. The observation
+    rides the returned plan as a CollectMetrics node; the query result
+    itself is a plain oracled aggregate. Metric retrieval is asserted
+    in tests/test_plans.py (Observation.get after the action)."""
+    from pyspark.sql import Observation
+
+    from ..functions.money import dsum
+
+    orders = load_table(spark, sf_dir, "orders")
+    obs = Observation("observe_metrics")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias(
+            "rows_open"
+        ),
+    )
+    out = (
+        observed.filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("sum_price"),
+        )
+    )
+    # stash the Observation so a test (or caller) can read the metrics
+    # after the driver's collect; harmless for the driver itself
+    out._spark_graft_observation = obs  # type: ignore[attr-defined]
+    return out
+
+
 SALTED_ORACLE = """
 WITH dim(event_type, weight) AS (
   VALUES ('click', 1.0), ('view', 0.2), ('purchase', 5.0),

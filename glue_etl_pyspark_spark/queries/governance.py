@@ -1,0 +1,201 @@
+"""Data-governance queries: a Glue-Data-Quality-style expectation
+suite and an SCD Type 2 dimension build.
+
+Both are declarative single-pipeline shapes: the DQ suite computes
+every rule metric in ONE pass over each table (conditional
+aggregation — no per-rule scans), and the SCD2 build derives validity
+intervals from a change feed with two window functions over one
+shuffle. Oracles mirror the exact SQL semantics, so both are
+hash-checked end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import query
+
+# Thresholds are part of the rule definitions (metric >= threshold
+# passes). All metrics are exact-integer ratios — count/count division
+# of identical BIGINTs is bit-identical across engines, no rounding.
+_DQ_RULES = (
+    ("completeness_o_custkey", 1.0),
+    ("uniqueness_o_orderkey", 1.0),
+    ("referential_orders_customer", 1.0),
+    ("range_o_totalprice_0_1m", 0.99),
+    ("set_o_orderstatus", 1.0),
+    ("range_c_acctbal_min", 0.95),
+)
+
+DQ_ORACLE = """
+WITH o AS (
+  SELECT
+    CAST(COUNT(*) AS DOUBLE) AS n,
+    CAST(COUNT(o_custkey) AS DOUBLE) AS n_custkey,
+    CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) AS n_uniq,
+    CAST(SUM(CASE WHEN o_totalprice > 0 AND o_totalprice < 1000000
+                  THEN 1 ELSE 0 END) AS DOUBLE) AS n_range,
+    CAST(SUM(CASE WHEN o_orderstatus IN ('F', 'O', 'P')
+                  THEN 1 ELSE 0 END) AS DOUBLE) AS n_status
+  FROM orders
+), ri AS (
+  SELECT CAST(SUM(CASE WHEN c.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           AS n_matched
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+), c AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS cn,
+    CAST(SUM(CASE WHEN c_acctbal >= -1000 THEN 1 ELSE 0 END) AS DOUBLE)
+      AS cn_bal
+  FROM customer
+), metrics AS (
+  SELECT rule, metric, threshold FROM (
+    SELECT
+      o.n_custkey / o.n AS completeness_o_custkey,
+      o.n_uniq / o.n AS uniqueness_o_orderkey,
+      ri.n_matched / o.n AS referential_orders_customer,
+      o.n_range / o.n AS range_o_totalprice_0_1m,
+      o.n_status / o.n AS set_o_orderstatus,
+      c.cn_bal / c.cn AS range_c_acctbal_min
+    FROM o, ri, c
+  ) UNPIVOT (metric FOR rule IN (
+    completeness_o_custkey, uniqueness_o_orderkey,
+    referential_orders_customer, range_o_totalprice_0_1m,
+    set_o_orderstatus, range_c_acctbal_min))
+  JOIN (VALUES
+    ('completeness_o_custkey', 1.0), ('uniqueness_o_orderkey', 1.0),
+    ('referential_orders_customer', 1.0), ('range_o_totalprice_0_1m', 0.99),
+    ('set_o_orderstatus', 1.0), ('range_c_acctbal_min', 0.95)
+  ) t(rule, threshold) USING (rule)
+)
+SELECT rule, metric, CAST(threshold AS DOUBLE) AS threshold,
+  metric >= threshold AS passed
+FROM metrics
+"""
+
+
+@query("dq_expectations", oracle=DQ_ORACLE, category="governance")
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite (the Glue Data Quality / DQDL
+    shape: Completeness, Uniqueness, ReferentialIntegrity,
+    ColumnValues-in-range, ColumnValues-in-set): every orders-side
+    rule metric comes from ONE conditional-aggregation pass, the
+    referential check from one left join against the (broadcastable)
+    customer keys, and the tall (rule, metric, threshold, passed)
+    report from stack() — rules never fan out into per-rule scans, so
+    the suite costs two scans total at any data size."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+
+    o = orders.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.count("o_custkey").cast("double").alias("n_custkey"),
+        F.countDistinct("o_orderkey").cast("double").alias("n_uniq"),
+        F.sum(
+            F.when((F.col("o_totalprice") > 0) & (F.col("o_totalprice") < 1000000), 1)
+            .otherwise(0)
+        ).cast("double").alias("n_range"),
+        F.sum(
+            F.when(F.col("o_orderstatus").isin("F", "O", "P"), 1).otherwise(0)
+        ).cast("double").alias("n_status"),
+    )
+    ri = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey")),
+            orders["o_custkey"] == F.col("c_custkey"),
+            "left",
+        )
+        .agg(
+            F.sum(F.when(F.col("c_custkey").isNotNull(), 1).otherwise(0))
+            .cast("double")
+            .alias("n_matched")
+        )
+    )
+    c = customer.agg(
+        F.count(F.lit(1)).cast("double").alias("cn"),
+        F.sum(F.when(F.col("c_acctbal") >= -1000, 1).otherwise(0))
+        .cast("double")
+        .alias("cn_bal"),
+    )
+    wide = (
+        o.crossJoin(ri)
+        .crossJoin(c)
+        .select(
+            (F.col("n_custkey") / F.col("n")).alias("completeness_o_custkey"),
+            (F.col("n_uniq") / F.col("n")).alias("uniqueness_o_orderkey"),
+            (F.col("n_matched") / F.col("n")).alias("referential_orders_customer"),
+            (F.col("n_range") / F.col("n")).alias("range_o_totalprice_0_1m"),
+            (F.col("n_status") / F.col("n")).alias("set_o_orderstatus"),
+            (F.col("cn_bal") / F.col("cn")).alias("range_c_acctbal_min"),
+        )
+    )
+    stack_expr = "stack({}, {}) AS (rule, metric, threshold)".format(
+        len(_DQ_RULES),
+        ", ".join(f"'{r}', {r}, CAST({t} AS DOUBLE)" for r, t in _DQ_RULES),
+    )
+    tall = wide.selectExpr(stack_expr)
+    return tall.select(
+        "rule", "metric", "threshold",
+        (F.col("metric") >= F.col("threshold")).alias("passed"),
+    )
+
+
+SCD2_ORACLE = """
+WITH feed AS (
+  SELECT o_custkey AS custkey, o_orderdate AS eff_ts,
+         o_orderpriority AS priority, o_orderkey AS change_id
+  FROM orders
+), ordered AS (
+  SELECT custkey, eff_ts, priority, change_id,
+    lag(priority) OVER w AS prev_priority
+  FROM feed
+  WINDOW w AS (PARTITION BY custkey ORDER BY eff_ts, change_id)
+), changes AS (
+  SELECT custkey, eff_ts, priority, change_id
+  FROM ordered
+  WHERE prev_priority IS NULL OR priority <> prev_priority
+)
+SELECT custkey, priority, eff_ts AS valid_from,
+  lead(eff_ts) OVER w AS valid_to,
+  CAST(row_number() OVER w AS BIGINT) AS version,
+  lead(eff_ts) OVER w IS NULL AS is_current
+FROM changes
+WINDOW w AS (PARTITION BY custkey ORDER BY eff_ts, change_id)
+"""
+
+
+@query("scd2_dimension_history", oracle=SCD2_ORACLE, category="governance")
+def scd2_dimension_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 dimension build from a change feed (orders as the
+    feed: each order re-states its customer's priority attribute):
+    collapse consecutive identical values to change points (lag), then
+    derive [valid_from, valid_to) intervals, version numbers, and the
+    is_current flag (lead). Two window passes over the SAME
+    (custkey | eff_ts, change_id) ordering = one shuffle; determinism
+    comes from change_id (unique) ending every window ORDER BY. This
+    is the nightly dimension-maintenance shape of every warehouse
+    load that must answer "what was this attribute on date X"."""
+    feed = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("eff_ts"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderkey").alias("change_id"),
+    )
+    w = Window.partitionBy("custkey").orderBy("eff_ts", "change_id")
+    changes = (
+        feed.withColumn("prev_priority", F.lag("priority").over(w))
+        .filter(
+            F.col("prev_priority").isNull()
+            | (F.col("priority") != F.col("prev_priority"))
+        )
+        .drop("prev_priority")
+    )
+    return changes.select(
+        "custkey",
+        "priority",
+        F.col("eff_ts").alias("valid_from"),
+        F.lead("eff_ts").over(w).alias("valid_to"),
+        F.row_number().over(w).cast("bigint").alias("version"),
+        F.lead("eff_ts").over(w).isNull().alias("is_current"),
+    )

@@ -270,6 +270,64 @@ def knn_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK_W, _CHUNK_STRIDE = 64, 48
+
+CHUNK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS} AS t, CAST(len({_DUCK_TOKS}) AS BIGINT) AS n
+  FROM documents
+), starts AS (
+  SELECT doc_id, t, n, unnest(range(0, greatest(n, 1), {_CHUNK_STRIDE})) AS s
+  FROM toks
+)
+SELECT doc_id, CAST(s // {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+  s AS start_tok,
+  CAST(least(n - s, {_CHUNK_W}) AS BIGINT) AS chunk_len,
+  array_to_string(list_slice(t, s + 1, least(s + {_CHUNK_W}, n)), ' ')
+    AS chunk_text
+FROM starts
+"""
+
+
+@query("doc_chunk_overlap", oracle=CHUNK_ORACLE, category="llm-pack")
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (RAG / long-context prep):
+    window of 64 tokens advancing by 48 (16-token overlap keeps
+    context across boundaries). Pure JVM expressions — tokenize once,
+    sequence() the chunk starts, explode, slice — no Python in the
+    path, no shuffle at all (narrow per-row fan-out, ~n_tokens/stride
+    chunks per doc), so it streams at scan speed at any corpus size.
+    The trailing chunk is the natural remainder (< window tokens)."""
+    from ..functions.text import tokenize_ws
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        tokenize_ws("text").alias("t"),
+    ).withColumn("n", F.size("t").cast("bigint"))
+    starts = toks.select(
+        "doc_id", "t", "n",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("bigint"),
+                F.greatest(F.col("n") - 1, F.lit(0).cast("bigint")),
+                F.lit(_CHUNK_STRIDE).cast("bigint"),
+            )
+        ).alias("s"),
+    )
+    return starts.select(
+        "doc_id",
+        F.floor(F.col("s") / _CHUNK_STRIDE).cast("bigint").alias("chunk_id"),
+        F.col("s").alias("start_tok"),
+        F.least(F.col("n") - F.col("s"), F.lit(_CHUNK_W).cast("bigint"))
+        .cast("bigint")
+        .alias("chunk_len"),
+        F.concat_ws(
+            " ", F.slice(F.col("t"), F.col("s").cast("int") + 1, _CHUNK_W)
+        ).alias("chunk_text"),
+    )
+
+
 MANIFEST_ORACLE = f"""
 WITH quality AS (
   SELECT doc_id, text, CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens

@@ -130,6 +130,48 @@ def udf_mapinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(stats, schema="doc_id bigint, n_bytes_text bigint, n_tokens bigint")
 
 
+UDAF_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+  round(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 6) AS wavg_price,
+  CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("udaf_grouped_agg", oracle=UDAF_ORACLE, category="udf")
+def udaf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas_udf (Series -> scalar), the UDAF leg
+    of the §2.11 matrix: quantity-weighted mean price per group,
+    plus a count UDAF (Spark disallows mixing GROUPED_AGG with
+    non-pandas aggregates in one .agg()). The oracle is the
+    SQL SUM-ratio — the ratio's error cancels enough that round(6) is
+    stable (order-independence analysis: CLAUDE.md money rule; ratios
+    of same-order sums, unlike raw money sums, don't drift at sf0.1).
+    Scale note: GROUPED_AGG has no partial aggregation — every group
+    row shuffles to its reducer; prefer built-in SUM/ratio when the
+    math is expressible (it is here — this query exists to prove the
+    machinery against that exact equivalent)."""
+    # PandasUDFType over type hints: `from __future__ import annotations`
+    # stringifies hints, and pyspark can't resolve 'pd.Series' against a
+    # function-local import — the explicit eval type sidesteps inference.
+    from pyspark.sql.functions import PandasUDFType
+
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def wavg(price, qty):
+        return float((price * qty).sum() / qty.sum())
+
+    @pandas_udf("bigint", PandasUDFType.GROUPED_AGG)
+    def n_rows(price):
+        return len(price)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(wavg("l_extendedprice", "l_quantity"), 6).alias("wavg_price"),
+        n_rows("l_extendedprice").alias("n_items"),
+    )
+
+
 UDTF_ORACLE = """
 SELECT doc_id, unnest(string_split(lang || '|' || source, '|')) AS part
 FROM documents WHERE doc_id < 50

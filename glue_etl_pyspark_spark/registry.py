@@ -123,13 +123,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sample_stratified",
     # --- expected 50-query cutoff: exactly 50 above (32 oracled
     # backlog + 1 round-3 + 17 rows-only) --- green flagships follow.
-    # NOTE round-4 rotation: the 11 late-round-3 additions (tpch_q2/
+    # NOTE round-4 rotation: the 21 late-round-3 additions (tpch_q2/
     # q5/q8/q9/q10/q20, doc_pack_sequences, doc_pack_greedy,
     # embedding_quantize_int8, sample_docs_deterministic,
-    # knn_int8_rerank) are deliberately UNLISTED, so they rank after
-    # this whole tuple (oracled-first, registration order) — they must
-    # lead the round-4 window, since everything above will then have
-    # external rows through r3.
+    # knn_int8_rerank, llm_training_manifest, join_salted_skew, plus
+    # the §2.13 batch: dq_expectations, scd2_dimension_history,
+    # events_funnel, retention_cohort, doc_chunk_overlap,
+    # udaf_grouped_agg, zorder_layout, observe_metrics) are
+    # deliberately UNLISTED, so they rank after this whole tuple
+    # (oracled-first, registration order) — they must lead the
+    # round-4 window, since everything above will then have external
+    # rows through r3.
     "q1_pricing_summary",
     "join_multiway_revenue",
     "dedup_ngram_jaccard",

@@ -194,3 +194,51 @@ def test_salted_join_keys_carry_salt(spark, sf_dir):
     the hot key lands on one partition again."""
     plan = explain_str(_df(spark, sf_dir, "join_salted_skew"))
     assert "__salt" in plan, "salt column missing from the physical plan"
+
+
+def test_zorder_range_partitions_and_locality(spark, sf_dir):
+    """zorder_layout must (a) range-partition on zval — the write-side
+    clustering step — and (b) actually cluster BOTH source dimensions:
+    the mean per-partition span must be bounded in BOTH dimensions
+    (measured ~284/1024 per dim at sf0.01 with 32 partitions). A
+    sort-by-one-dim layout passes on its sort dim but leaves the
+    other at full span (~1023), so requiring both below 600 is what
+    actually pins the interleave."""
+    from pyspark.sql import functions as F
+
+    df = _df(spark, sf_dir, "zorder_layout")
+    assert "rangepartitioning(zval" in explain_str(df).lower(), (
+        "zorder output lost its RangePartitioning on zval"
+    )
+    [spans] = (
+        df.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(
+            (F.max("zx") - F.min("zx")).alias("dx"),
+            (F.max("zy") - F.min("zy")).alias("dy"),
+        )
+        .agg(F.avg("dx").alias("mdx"), F.avg("dy").alias("mdy"))
+        .collect()
+    )
+    assert spans.mdx < 600 and spans.mdy < 600, (
+        f"z-order partitions are not 2-D local: mean spans {spans}"
+    )
+
+
+def test_observe_metrics_collects_during_action(spark, sf_dir):
+    """The CollectMetrics node must deliver metrics from the SAME pass
+    that computed the result — no second scan."""
+    df = _df(spark, sf_dir, "observe_metrics")
+    rows = df.collect()
+    obs = df._spark_graft_observation
+    metrics = obs.get
+    assert metrics["rows_seen"] > metrics["rows_open"] > 0
+    # rows_open (counted pre-filter by the observation) must equal the
+    # per-priority counts the query itself returned
+    assert metrics["rows_open"] == sum(r.n_orders for r in rows)
+
+
+def test_funnel_is_monotone(spark, sf_dir):
+    """Ordered-funnel invariant: each stage can only lose users."""
+    rows = {r.stage: r.n_users for r in _df(spark, sf_dir, "events_funnel").collect()}
+    assert rows["viewed"] >= rows["clicked"] >= rows["purchased"] > 0
