@@ -225,10 +225,14 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads (binary column + mime metadata), features extracted by an
     Arrow-batched mapInPandas kernel (deterministic stub where a real
     codec would slot in). Rows-only: the sha256/feature math is
-    byte-level Python, not SQL-expressible."""
+    byte-level Python, not SQL-expressible. The float feature vector
+    is serialized to a JSON string at this driver boundary (the r3
+    driver canonicalizer can't hash list cells); the operator itself
+    stays array-typed."""
     d = load_table(spark, sf_dir, "documents")
     media = attach_media(d, "doc_id", "text", "text/plain")
-    return extract_features(media, dim=8)
+    feats = extract_features(media, dim=8)
+    return feats.withColumn("feature", F.to_json("feature"))
 
 
 @query("knn_bruteforce_numpy", oracle=KNN_BRUTE_ORACLE, category="llm-knn")
