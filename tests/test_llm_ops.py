@@ -58,11 +58,15 @@ def test_ivf_knn_recall_vs_bruteforce(spark, sf_dir):
 
 
 def test_multimodal_features_deterministic(spark, sf_dir):
+    import json
+
     feats = _run(spark, sf_dir, "multimodal_features")
     rows = {r.id: r for r in feats.collect()}
     assert len(rows) == 500
     r0 = rows[0]
-    assert len(r0.sha256) == 64 and len(r0.feature) == 8
+    # the query serializes the feature vector to JSON at the driver
+    # boundary (list cells break the driver's hash canonicalizer)
+    assert len(r0.sha256) == 64 and len(json.loads(r0.feature)) == 8
     again = {r.id: r for r in _run(spark, sf_dir, "multimodal_features").collect()}
     assert again[0].sha256 == r0.sha256 and again[0].feature == r0.feature
 
