@@ -357,3 +357,162 @@ def func_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM mixed GROUP BY ALL
         """
     )
+
+
+REGEXP_ORACLE = """
+SELECT doc_id,
+  regexp_extract(text, '[a-z]{6,}') AS first_long,
+  CAST(len(regexp_extract_all(text, '\\bthe\\b')) AS BIGINT) AS n_the,
+  coalesce(array_to_string(regexp_extract_all(text, '[a-z]{6,}'), ','), '') AS long_words,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+  CASE WHEN regexp_matches(text, 'query.*join') THEN 1 ELSE 0 END AS has_qj,
+  regexp_replace(substring(text, 1, 40), '[aeiou]+', '.', 'g') AS head_dotted
+FROM documents
+"""
+
+
+@query("func_regexp", oracle=REGEXP_ORACLE, category="function")
+def func_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp family over documents.text: extract / extract_all /
+    count / rlike / global replace — all JVM-side codegen expressions.
+    The extract_all array is serialized with array_join at the query
+    boundary (driver canonicalizer needs atomic cells); DuckDB's
+    regexp_replace needs the 'g' flag to match Spark's global-replace
+    default."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", "[a-z]{6,}", 0).alias("first_long"),
+        F.regexp_count("text", F.lit(r"\bthe\b")).cast("bigint").alias("n_the"),
+        F.array_join(F.regexp_extract_all("text", F.lit("[a-z]{6,}"), 0), ",").alias(
+            "long_words"
+        ),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.when(F.col("text").rlike("query.*join"), 1).otherwise(0).alias("has_qj"),
+        F.regexp_replace(F.substring("text", 1, 40), "[aeiou]+", ".").alias(
+            "head_dotted"
+        ),
+    )
+
+
+BITWISE_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+  l_orderkey & l_partkey AS k_and,
+  l_orderkey | l_partkey AS k_or,
+  xor(l_orderkey, l_partkey) AS k_xor,
+  ~l_orderkey AS k_not,
+  CAST(l_linenumber << 4 AS INT) AS ln_shl,
+  l_orderkey >> 3 AS k_shr,
+  CAST(bit_count(l_orderkey) AS INT) AS k_bits,
+  (l_orderkey >> 2) & 1 AS k_bit2
+FROM lineitem
+"""
+
+
+@query("func_bitwise", oracle=BITWISE_ORACLE, category="function")
+def func_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family over lineitem keys: and/or/xor/not, shifts,
+    bit_count, getbit. DuckDB spells xor as a function and getbit as
+    shift+mask; two's-complement semantics agree on BIGINT."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_orderkey").bitwiseAND(F.col("l_partkey"))).alias("k_and"),
+        (F.col("l_orderkey").bitwiseOR(F.col("l_partkey"))).alias("k_or"),
+        (F.col("l_orderkey").bitwiseXOR(F.col("l_partkey"))).alias("k_xor"),
+        F.bitwise_not(F.col("l_orderkey")).alias("k_not"),
+        F.shiftleft(F.col("l_linenumber"), 4).cast("int").alias("ln_shl"),
+        F.shiftright(F.col("l_orderkey"), 3).alias("k_shr"),
+        F.bit_count("l_orderkey").cast("int").alias("k_bits"),
+        F.getbit(F.col("l_orderkey"), F.lit(2)).cast("bigint").alias("k_bit2"),
+    )
+
+
+# Both engines synthesize the SAME url string from customer columns,
+# then Spark parses it with parse_url while the oracle re-derives the
+# parts with regexps — exact because the charset is URL-safe by
+# construction (mktsegment has no spaces; keys are digits).
+URL_ORACLE = """
+WITH u AS (
+  SELECT c_custkey, c_name,
+    concat('https://n', c_nationkey, '.example.com/cust/', c_custkey,
+           '?seg=', c_mktsegment, '&bal=',
+           CAST(FLOOR(c_acctbal) AS BIGINT)) AS url
+  FROM customer
+)
+SELECT c_custkey, url,
+  regexp_extract(url, '^https://([^/]+)', 1) AS host,
+  regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+  regexp_extract(url, '\\?(.*)$', 1) AS query,
+  regexp_extract(url, '[?&]seg=([^&]*)', 1) AS seg_param,
+  replace(c_name, '#', '%23') AS name_enc,
+  c_name AS name_roundtrip
+FROM u
+"""
+
+
+@query("func_url", oracle=URL_ORACLE, category="function")
+def func_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL family: parse_url(HOST/PATH/QUERY/param) + url_encode/
+    url_decode over synthesized customer URLs."""
+    c = load_table(spark, sf_dir, "customer")
+    u = c.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://n"),
+            F.col("c_nationkey"),
+            F.lit(".example.com/cust/"),
+            F.col("c_custkey"),
+            F.lit("?seg="),
+            F.col("c_mktsegment"),
+            F.lit("&bal="),
+            F.floor("c_acctbal").cast("bigint"),
+        ),
+    )
+    return u.select(
+        "c_custkey",
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("seg")).alias("seg_param"),
+        F.url_encode("c_name").alias("name_enc"),
+        F.url_decode(F.url_encode("c_name")).alias("name_roundtrip"),
+    )
+
+
+INTERVAL_ORACLE = """
+SELECT o_orderkey,
+  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+  CAST(o_orderdate - INTERVAL 14 DAY AS DATE) AS minus_2w,
+  o_orderdate + INTERVAL 90 MINUTE AS plus_90min,
+  CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS quarter_start,
+  make_date(CAST(year(o_orderdate) AS INT), CAST(month(o_orderdate) AS INT), 1)
+    AS month_anchor,
+  CAST(o_orderdate AS DATE)
+    + CAST((7 - dayofweek(o_orderdate)) % 7 + 1 AS INT) AS next_monday
+FROM orders
+"""
+
+
+@query("func_interval", oracle=INTERVAL_ORACLE, category="function")
+def func_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic over orders.o_orderdate: month/day/minute
+    offsets, quarter truncation, make_date, next_day. The oracle
+    models next_day('Mon') with DuckDB's 0-based dayofweek
+    (k = (7-dow)%7 + 1 days ahead)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.add_months(F.to_date("o_orderdate"), 3).alias("plus_3m"),
+        F.date_sub(F.to_date("o_orderdate"), 14).alias("minus_2w"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 MINUTE")).alias("plus_90min"),
+        F.date_trunc("quarter", "o_orderdate").cast("timestamp_ntz").alias(
+            "quarter_start"
+        ),
+        F.make_date(F.year("o_orderdate"), F.month("o_orderdate"), F.lit(1)).alias(
+            "month_anchor"
+        ),
+        F.next_day(F.to_date("o_orderdate"), "Mon").alias("next_monday"),
+    )
