@@ -16,6 +16,7 @@ from . import (  # noqa: F401
     llm_dedup,
     llm_knn,
     llm_pack,
+    llm_quality,
     llm_text,
     nested,
     projection,

@@ -1,0 +1,353 @@
+"""LLM-corpus quality & governance queries: PII redaction (the Glue
+Detect-PII transform shape), Gopher-style repetition filtering,
+train/eval n-gram contamination, and corpus-wide line dedup.
+
+The `documents` fixture is single-line text, so line-level ops derive
+deterministic pseudo-lines (8-token chunks) — the plumbing (explode,
+window-over-line, ratios) is exactly what real newline-split corpora
+need, and every step is mirrored in the DuckDB oracle so the whole
+family is hash-checked.
+
+Scale notes (100 TB): PII redaction and repetition scoring are narrow
+per-row expression trees — no shuffle at all, they run at scan
+parallelism inside whole-stage codegen. Line dedup and contamination
+shuffle once on the line/gram value; at real scale the shuffle key
+becomes xxhash64(line) (8-byte keys, same dedup_ngram_jaccard stance)
+— kept as strings here so the oracle shares the key verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles, tokenize_ws
+from ..io import load_table
+from ..registry import query
+
+# --- PII redaction -----------------------------------------------------
+
+# Both engines synthesize the SAME pii-bearing text from customer
+# columns (emails/phones/SSNs with known shapes), then redact with the
+# same patterns — detection counts + redacted text are exact.
+_PII_TEXT_SPARK = (
+    "concat(c_name, ' contact ', lower(replace(c_name, '#', '.')), "
+    "'@example.com or 555-', lpad(cast(c_custkey % 10000 as string), 4, '0'), "
+    "' ssn ', lpad(cast(c_custkey % 900 as string), 3, '0'), '-', "
+    "lpad(cast(c_nationkey as string), 2, '0'), '-', "
+    "lpad(cast(c_custkey % 10000 as string), 4, '0'))"
+)
+_PII_TEXT_DUCK = _PII_TEXT_SPARK.replace("as string", "as varchar")
+
+_EMAIL_RE = r"[a-z0-9.]+@[a-z0-9.]+\.[a-z]+"
+_SSN_RE = r"\d{3}-\d{2}-\d{4}"
+_PHONE_RE = r"\b555-\d{4}\b"
+
+PII_ORACLE = f"""
+WITH raw AS (
+  SELECT c_custkey, {_PII_TEXT_DUCK} AS pii_text FROM customer
+)
+SELECT c_custkey,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(pii_text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+      '{_SSN_RE}', '[SSN]', 'g'),
+    '{_PHONE_RE}', '[PHONE]', 'g') AS redacted,
+  CAST(len(regexp_extract_all(pii_text, '{_EMAIL_RE}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(pii_text, '{_SSN_RE}')) AS BIGINT) AS n_ssn,
+  CAST(len(regexp_extract_all(
+    regexp_replace(pii_text, '{_SSN_RE}', '[SSN]', 'g'), '{_PHONE_RE}'))
+    AS BIGINT) AS n_phone
+FROM raw
+"""
+
+
+@query("text_pii_redaction", oracle=PII_ORACLE, category="llm-quality")
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Glue Detect-PII shape: regex detection + masking of emails,
+    SSNs, phone numbers, with per-row detection counts. SSNs are
+    redacted before phones so the overlapping digit-dash shapes can't
+    double-match (the phone count is likewise taken post-SSN-mask on
+    both engines). All redaction is regexp_replace in codegen — the
+    100 TB cost is one scan, no shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    raw = c.withColumn("pii_text", F.expr(_PII_TEXT_SPARK))
+    no_ssn = F.regexp_replace("pii_text", _SSN_RE, "[SSN]")
+    return raw.select(
+        "c_custkey",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace("pii_text", _EMAIL_RE, "[EMAIL]"),
+                _SSN_RE,
+                "[SSN]",
+            ),
+            _PHONE_RE,
+            "[PHONE]",
+        ).alias("redacted"),
+        F.regexp_count("pii_text", F.lit(_EMAIL_RE)).cast("bigint").alias("n_email"),
+        F.regexp_count("pii_text", F.lit(_SSN_RE)).cast("bigint").alias("n_ssn"),
+        F.regexp_count(no_ssn, F.lit(_PHONE_RE)).cast("bigint").alias("n_phone"),
+    )
+
+
+# --- pseudo-lines (8-token chunks), shared by the line-level queries ---
+
+_LINE_W = 8
+
+# DuckDB fragment: doc_id, line_no, line — one row per 8-token chunk.
+_LINES_DUCK = f"""
+  SELECT d.doc_id, t.g AS line_no,
+         array_to_string((d.toks)[t.g*{_LINE_W}+1 : t.g*{_LINE_W}+{_LINE_W}], ' ')
+           AS line
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
+             AS toks
+    FROM documents
+  ) d,
+  unnest(generate_series(
+    0, CAST(ceil(len(d.toks) / {_LINE_W}.0) - 1 AS BIGINT))) AS t(g)
+"""
+
+
+def _with_lines(df: DataFrame) -> DataFrame:
+    """Stage toks then lines as separate columns: HOF lambdas re-eval
+    captured *expressions* per element, so the token array must be a
+    materialized column before transform() touches it."""
+    toks = df.withColumn("toks", tokenize_ws("text"))
+    return toks.withColumn(
+        "lines",
+        F.when(
+            F.size("toks") > 0,
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.size("toks") - 1) / _LINE_W).cast("int"),
+                ),
+                lambda g: F.array_join(
+                    F.slice("toks", g * _LINE_W + 1, _LINE_W), " "
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+
+
+REPETITION_ORACLE = f"""
+WITH lines AS ({_LINES_DUCK}),
+per_line AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(COUNT(DISTINCT line) AS BIGINT) AS n_uniq_lines
+  FROM lines GROUP BY doc_id
+),
+grams AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, len(toks) - 1),
+           i -> toks[i] || ' ' || toks[i + 1]) AS g2
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
+             AS toks
+    FROM documents
+  )
+),
+per_gram AS (
+  SELECT doc_id,
+         CAST(len(g2) AS BIGINT) AS n_grams2,
+         CAST(list_max(list_transform(
+           list_distinct(g2), x -> len(list_filter(g2, y -> y = x))))
+           AS BIGINT) AS max_gram2
+  FROM grams WHERE len(g2) > 0
+)
+SELECT l.doc_id, l.n_lines, l.n_uniq_lines, g.n_grams2, g.max_gram2,
+  floor((l.n_lines - l.n_uniq_lines) * 1e6 / l.n_lines) / 1e6
+    AS dup_line_frac,
+  floor(g.max_gram2 * 1e6 / g.n_grams2) / 1e6 AS top_gram2_frac,
+  CASE WHEN floor((l.n_lines - l.n_uniq_lines) * 1e6 / l.n_lines) / 1e6 > 0.3
+         OR floor(g.max_gram2 * 1e6 / g.n_grams2) / 1e6 > 0.2
+       THEN 1 ELSE 0 END AS repetitive
+FROM per_line l JOIN per_gram g ON l.doc_id = g.doc_id
+"""
+
+
+@query("text_repetition_filter", oracle=REPETITION_ORACLE, category="llm-quality")
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality gate: duplicate-pseudo-line
+    fraction and top-2-gram mass per document, with a repetitive flag
+    at the published-style thresholds (0.3 / 0.2). Everything is a
+    narrow per-row expression tree over the token array — zero
+    shuffles, scan-parallel, whole-stage codegen; ratios floor-scaled
+    at 6 dp so the division never hash-drifts."""
+    d = _with_lines(load_table(spark, sf_dir, "documents"))
+    staged = (
+        d.withColumn("g2", shingles("toks", 2))
+        .filter(F.size("g2") > 0)
+        .withColumn("n_lines", F.size("lines").cast("bigint"))
+        .withColumn("n_uniq_lines", F.size(F.array_distinct("lines")).cast("bigint"))
+        .withColumn("n_grams2", F.size("g2").cast("bigint"))
+        .withColumn(
+            "max_gram2",
+            F.array_max(
+                F.transform(
+                    F.array_distinct("g2"),
+                    lambda x: F.size(F.filter("g2", lambda y: y == x)),
+                )
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "dup_line_frac",
+            F.floor((F.col("n_lines") - F.col("n_uniq_lines")) * 1e6 / F.col("n_lines"))
+            / 1e6,
+        )
+        .withColumn(
+            "top_gram2_frac",
+            F.floor(F.col("max_gram2") * 1e6 / F.col("n_grams2")) / 1e6,
+        )
+    )
+    return staged.select(
+        "doc_id",
+        "n_lines",
+        "n_uniq_lines",
+        "n_grams2",
+        "max_gram2",
+        "dup_line_frac",
+        "top_gram2_frac",
+        F.when(
+            (F.col("dup_line_frac") > 0.3) | (F.col("top_gram2_frac") > 0.2), 1
+        )
+        .otherwise(0)
+        .alias("repetitive"),
+    )
+
+
+CONTAMINATION_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
+           AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(toks) - 7),
+           i -> array_to_string(toks[i : i + 7], ' '))) AS g8
+  FROM toks WHERE len(toks) >= 8
+),
+ev AS (
+  SELECT doc_id, unnest(g8) AS gram FROM grams WHERE doc_id % 10 = 7
+),
+tr AS (
+  SELECT DISTINCT unnest(g8) AS gram FROM grams WHERE doc_id % 10 <> 7
+)
+SELECT ev.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_grams,
+  CAST(SUM(CASE WHEN tr.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_hit,
+  floor(SUM(CASE WHEN tr.gram IS NOT NULL THEN 1 ELSE 0 END) * 1e6
+        / COUNT(*)) / 1e6 AS contam_frac,
+  CASE WHEN SUM(CASE WHEN tr.gram IS NOT NULL THEN 1 ELSE 0 END) > 0
+       THEN 1 ELSE 0 END AS contaminated
+FROM ev LEFT JOIN tr ON ev.gram = tr.gram
+GROUP BY ev.doc_id
+"""
+
+
+@query(
+    "contamination_ngram_overlap", oracle=CONTAMINATION_ORACLE, category="llm-quality"
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination check: the fraction of each eval doc's
+    distinct 8-grams that also occur anywhere in the train split
+    (deterministic hash-mod split on doc_id). One shuffle on the gram
+    value (xxhash64(gram) at real scale — string keys here so the
+    oracle shares them); the train side is aggregated to distinct
+    grams before the join, so hot boilerplate grams can't fan out.
+    Docs with fewer than 8 tokens have no grams and drop out
+    identically on both engines."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", tokenize_ws("text")
+    )
+    grams = (
+        d.filter(F.size("toks") >= 8)
+        .withColumn("g8", F.array_distinct(shingles("toks", 8)))
+        .select("doc_id", "g8")
+    )
+    ev = grams.filter(F.col("doc_id") % 10 == 7).select(
+        "doc_id", F.explode("g8").alias("gram")
+    )
+    tr = (
+        grams.filter(F.col("doc_id") % 10 != 7)
+        .select(F.explode("g8").alias("gram"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        ev.join(tr, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hit",
+            (F.floor(F.col("n_hit") * 1e6 / F.col("n_grams")) / 1e6).alias(
+                "contam_frac"
+            ),
+            F.when(F.col("n_hit") > 0, 1).otherwise(0).alias("contaminated"),
+        )
+    )
+
+
+LINE_DEDUP_ORACLE = f"""
+WITH lines AS ({_LINES_DUCK}),
+ranked AS (
+  SELECT doc_id, line_no,
+         ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, line_no)
+           AS occ
+  FROM lines
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_lines,
+  CAST(SUM(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  floor(SUM(CASE WHEN occ = 1 THEN 1 ELSE 0 END) * 1e6 / COUNT(*)) / 1e6
+    AS kept_frac
+FROM ranked GROUP BY doc_id
+"""
+
+
+@query("line_dedup_corpus", oracle=LINE_DEDUP_ORACLE, category="llm-quality")
+def line_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide line-level dedup (the C4/RefinedWeb boilerplate
+    killer): every pseudo-line keeps only its first occurrence across
+    the whole corpus — first = smallest (doc_id, line_no), so the
+    survivor is deterministic — and each doc reports how much of it
+    survived. One shuffle on the line value; the per-line window
+    groups are tiny (duplicate counts), so there's no skew cliff; at
+    real scale the shuffle key becomes xxhash64(line)."""
+    d = _with_lines(load_table(spark, sf_dir, "documents"))
+    lines = d.select(
+        "doc_id", F.posexplode("lines").alias("line_no", "line")
+    )
+    w = Window.partitionBy("line").orderBy("doc_id", "line_no")
+    ranked = lines.withColumn("occ", F.row_number().over(w))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(F.col("occ") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .select(
+            "doc_id",
+            "n_lines",
+            "n_kept",
+            (F.floor(F.col("n_kept") * 1e6 / F.col("n_lines")) / 1e6).alias(
+                "kept_frac"
+            ),
+        )
+    )

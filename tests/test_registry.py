@@ -65,25 +65,45 @@ def test_registry_order_is_priority_prefix():
 
 
 def test_priority_window_targets_external_coverage_gaps():
-    """Round-3 rotation: the expected driver window (first 50) spends
-    its slots on queries with NO external correctness row from rounds
-    1-2, leading with the two round-1 ERR fixes whose repairs lack
-    external proof; rows-only drains are rotated in this round (round-2
-    advice) so external checking isn't permanently skewed toward
-    oracled queries."""
+    """Round-4 rotation: the expected driver window (first 50) leads
+    with every query that has NO hash-green external row through round
+    3 — the r3 multimodal_features ERR fix first, then the late-r3
+    additions that never saw a driver window, then the new round-4
+    queries — before refreshing the stalest (round-1-green) evidence.
+    Rows-only queries earned their external rows in r3, so this window
+    returns to oracled-first."""
     import json
     import pathlib
 
     root = pathlib.Path(__file__).resolve().parents[1]
-    ext: set[str] = set()
-    for fname in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+    green: set[str] = set()
+    checked: set[str] = set()
+    for fname in (
+        "CORRECTNESS_r01.json",
+        "CORRECTNESS_r02.json",
+        "CORRECTNESS_r03.json",
+    ):
         for n, row in json.loads((root / fname).read_text()).items():
-            if isinstance(row, dict) and not row.get("err"):
-                ext.add(n)
-    names = list(load_all())[:50]
-    assert names[:2] == ["dedup_simhash_pairs", "dedup_clusters_minlabel"]
-    wasted = [n for n in names if n in ext]
-    assert len(wasted) <= 1, f"window re-spends slots on green queries {wasted}"
+            if not isinstance(row, dict):
+                continue
+            checked.add(n)
+            if row.get("hash_match"):
+                green.add(n)
     specs = load_all()
-    rows_only = [n for n in names if specs[n].oracle is None]
-    assert len(rows_only) >= 10, "window must rotate in the rows-only drains"
+    names = list(specs)[:50]
+    assert names[0] == "multimodal_features"
+    # never-hash-green oracled queries must all sit inside the window
+    never_green = [
+        n for n in specs if specs[n].oracle is not None and n not in green
+    ]
+    missing = [n for n in never_green if n not in names]
+    assert not missing, f"oracled-but-never-green queries outside window: {missing}"
+    # the window must not re-spend slots on queries already green in r2/r3
+    # (r1-green rotation refreshes are the intended filler)
+    recent: set[str] = set()
+    for fname in ("CORRECTNESS_r02.json", "CORRECTNESS_r03.json"):
+        for n, row in json.loads((root / fname).read_text()).items():
+            if isinstance(row, dict) and row.get("hash_match"):
+                recent.add(n)
+    wasted = [n for n in names if n in recent]
+    assert len(wasted) <= 2, f"window re-spends slots on recently-green {wasted}"
