@@ -22,6 +22,7 @@ from . import (  # noqa: F401
     projection,
     relational,
     scalars,
+    sketches,
     setops,
     streamingq,
     tpch_like,

@@ -242,3 +242,70 @@ def test_funnel_is_monotone(spark, sf_dir):
     """Ordered-funnel invariant: each stage can only lose users."""
     rows = {r.stage: r.n_users for r in _df(spark, sf_dir, "events_funnel").collect()}
     assert rows["viewed"] >= rows["clicked"] >= rows["purchased"] > 0
+
+
+def test_bloom_prune_join_broadcasts_and_prunes(spark, sf_dir):
+    """The bloom-pruned join must (a) plan every probe + the exact join
+    as broadcast-hash (the fact side never shuffles pre-aggregation)
+    and (b) actually prune: candidates surviving the two bit-probes
+    must number well under the full fact table while containing every
+    true match (no false negatives by construction)."""
+    from pyspark.sql import functions as F
+
+    from glue_etl_pyspark_spark.io import load_table
+    from glue_etl_pyspark_spark.queries.sketches import (
+        _BLOOM_POS,
+        _BLOOM_POS_FACT,
+        bloom_words,
+    )
+
+    df = _df(spark, sf_dir, "bloom_prune_join")
+    assert_broadcast_joins(df, at_least=3)
+    assert_no_sort_merge_join(df)
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = o.filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.year("o_orderdate") == 1995)
+    ).select("o_orderkey")
+    words = bloom_words(dim, "o_orderkey", _BLOOM_POS)
+
+    fact = li.select(
+        "l_orderkey",
+        *[F.expr(f).cast("bigint").alias(p) for p, f in _BLOOM_POS_FACT.items()],
+    )
+    surviving = fact
+    for p in _BLOOM_POS_FACT:
+        probe = words.select(
+            F.col("word").alias(f"__w_{p}"), F.col("mask").alias(f"__m_{p}")
+        )
+        surviving = (
+            surviving.join(
+                F.broadcast(probe), F.shiftright(F.col(p), 6) == F.col(f"__w_{p}")
+            )
+            .filter(
+                F.expr(
+                    f"(__m_{p} & shiftleft(cast(1 as bigint), "
+                    f"cast({p} % 64 as int))) != 0"
+                )
+            )
+            .drop(f"__w_{p}", f"__m_{p}")
+        )
+    n_fact = li.count()
+    n_candidates = surviving.count()
+    n_true = li.join(dim, li.l_orderkey == dim.o_orderkey, "left_semi").count()
+    assert n_true <= n_candidates, "bloom dropped a true match (false negative!)"
+    assert n_candidates < n_fact * 0.3, (
+        f"bloom prefilter barely prunes: {n_candidates}/{n_fact} survive "
+        f"({n_true} true matches)"
+    )
+
+
+def test_count_min_sketch_one_sided_error(spark, sf_dir):
+    """CMS guarantee: the estimate NEVER undercounts — est >= true for
+    every key, and the top-20 overcounts are bounded by the sketch
+    collision budget (n/w per row ~ small multiples here)."""
+    rows = _df(spark, sf_dir, "agg_count_min_topk").collect()
+    assert len(rows) == 20
+    assert all(r.est >= r.true_cnt for r in rows), "CMS undercounted a key"
+    assert all(r.overcount == r.est - r.true_cnt for r in rows)
