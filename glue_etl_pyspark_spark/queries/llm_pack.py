@@ -9,9 +9,10 @@ and carve reproducible subsets without RNG state.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import tokenize_ws
 from ..functions.vectors import quantize_int8
 from ..io import load_table
 from ..operators.packing import pack_concat_chunk, pack_greedy_shard
@@ -385,4 +386,134 @@ def llm_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("sum_tokens"),
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
+    )
+
+
+# Per-lang (base_copies, extra_threshold) resampling plan in pure
+# integer math: a doc yields base copies plus one more when its
+# Knuth-hash uniform u < threshold (thresholds are exact multiples of
+# 2^31, so both engines compare identical BIGINTs — no float rates).
+_MIX_PLAN = {
+    "en": (0, 2147483648),  # 0.5x downsample
+    "de": (1, 0),           # keep
+    "es": (2, 0),           # 2x upsample
+    "fr": (2, 2147483648),  # 2.5x upsample
+    "zh": (0, 0),           # drop
+}
+
+_MIX_BASE_SQL = (
+    "CASE lang "
+    + " ".join(f"WHEN '{l}' THEN {b}" for l, (b, _) in _MIX_PLAN.items())
+    + " ELSE 1 END"
+)
+_MIX_THR_SQL = (
+    "CASE lang "
+    + " ".join(f"WHEN '{l}' THEN {t}" for l, (_, t) in _MIX_PLAN.items())
+    + " ELSE 0 END"
+)
+
+MIX_RESAMPLE_ORACLE = f"""
+WITH plan AS (
+  SELECT doc_id, lang, source,
+    {_MIX_BASE_SQL}
+      + CASE WHEN (doc_id * 2654435761) % 4294967296 < {_MIX_THR_SQL}
+             THEN 1 ELSE 0 END AS n_copies
+  FROM documents
+)
+SELECT doc_id, lang, source, CAST(t.g AS BIGINT) AS rep
+FROM plan, unnest(generate_series(1, n_copies)) AS t(g)
+WHERE n_copies > 0
+"""
+
+
+@query("corpus_mix_resample", oracle=MIX_RESAMPLE_ORACLE, category="llm-curation")
+def corpus_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixing: reweight languages to a target mix
+    by integer-exact replicate-or-drop — each doc yields base_copies
+    plus one extra iff its Knuth-hash uniform clears the per-lang
+    threshold (fractional rates as exact 2^31 multiples, so the whole
+    decision is BIGINT math and fully oracled — the standard
+    domain-reweighting step in training-data pipelines, reproducible
+    across reruns and partitionings). Replication is a narrow explode
+    (no shuffle); downsampling is a scan-level filter."""
+    d = load_table(spark, sf_dir, "documents")
+    plan = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        (
+            F.expr(_MIX_BASE_SQL)
+            + F.when(
+                (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+                < F.expr(_MIX_THR_SQL),
+                1,
+            ).otherwise(0)
+        ).alias("n_copies"),
+    ).filter(F.col("n_copies") > 0)
+    # filter-before-sequence matters: Spark's sequence(1, 0) counts
+    # DOWN ([1,0]) instead of returning empty like generate_series
+    return plan.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(
+            F.sequence(F.lit(1).cast("bigint"), F.col("n_copies").cast("bigint"))
+        ).alias("rep"),
+    )
+
+
+_BUCKET_SQL = (
+    "CASE WHEN n_tokens <= 16 THEN 16 WHEN n_tokens <= 32 THEN 32 "
+    "WHEN n_tokens <= 64 THEN 64 WHEN n_tokens <= 128 THEN 128 "
+    "WHEN n_tokens <= 256 THEN 256 ELSE 512 END"
+)
+
+LENGTH_BUCKET_ORACLE = f"""
+WITH sized AS (
+  SELECT doc_id, CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+bucketed AS (
+  SELECT doc_id, n_tokens, CAST({_BUCKET_SQL} AS BIGINT) AS bucket_len,
+    ROW_NUMBER() OVER (
+      PARTITION BY {_BUCKET_SQL} ORDER BY doc_id) AS rn
+  FROM sized
+)
+SELECT bucket_len, CAST(floor((rn - 1) / 8.0) AS BIGINT) AS batch_id,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+  CAST(COUNT(*) AS BIGINT) * bucket_len - CAST(SUM(n_tokens) AS BIGINT)
+    AS pad_tokens
+FROM bucketed
+GROUP BY bucket_len, CAST(floor((rn - 1) / 8.0) AS BIGINT)
+"""
+
+
+@query("length_bucket_packing", oracle=LENGTH_BUCKET_ORACLE, category="llm-curation")
+def length_bucket_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch packing (the dynamic-padding trainer
+    feed): docs land in power-of-2 token buckets, each bucket is cut
+    into fixed-size batches in deterministic doc_id order, and every
+    batch reports its padding waste — the quantity this layout
+    minimizes vs naive global batching. One shuffle (the per-bucket
+    window); with only ~6 coarse buckets the window partitions are
+    corpus-sized at 100 TB, so the scale path shards the window by
+    (bucket, doc_id range) exactly like pack_greedy_shard — noted
+    rather than done here because the oracle needs the global
+    row_number."""
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", F.size(tokenize_ws("text")).cast("bigint").alias("n_tokens")
+    )
+    bucketed = sized.withColumn("bucket_len", F.expr(_BUCKET_SQL).cast("bigint"))
+    w = Window.partitionBy("bucket_len").orderBy("doc_id")
+    batched = bucketed.withColumn(
+        "batch_id", F.floor((F.row_number().over(w) - 1) / 8).cast("bigint")
+    )
+    return batched.groupBy("bucket_len", "batch_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        (F.count("*") * F.first("bucket_len") - F.sum("n_tokens")).alias(
+            "pad_tokens"
+        ),
     )
