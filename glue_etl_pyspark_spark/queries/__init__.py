@@ -11,6 +11,7 @@ from . import (  # noqa: F401
     extras,
     filters,
     governance,
+    graph,
     io_q,
     joins_q,
     llm_dedup,

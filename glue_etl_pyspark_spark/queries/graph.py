@@ -1,0 +1,155 @@
+"""Graph analytics over the warehouse: weighted PageRank on the
+nation-level trade graph (customer nation → supplier nation, weighted
+by line-item count).
+
+The iterative rank loop is the one shape SQL can't express directly —
+but with a FIXED iteration count it unrolls into chained CTEs, so the
+whole computation (edge build + 5 damped iterations + top-k) is
+hash-checked against DuckDB rather than rows-only. Per-iteration
+floor-scaling (9 dp) pins the accumulating doubles to identical values
+on both engines (the dedup_clusters / tpch_q9 discipline).
+
+Scale notes: the edge build is the expensive part (fact-table joins —
+all dimension sides broadcast, one shuffle to aggregate edge weights);
+the iteration then runs on the aggregated graph, which for real
+property graphs means shuffles keyed on dst. Each round
+localCheckpoints (lineage rule for EVERY iterative loop — iteration N
+must not re-execute rounds 1..N-1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import query
+
+_DAMP = 0.85
+_ITERS = 5
+_TOPK = 10
+_N_NATIONS = 25  # TPC-H invariant at every SF; asserted in the query
+# both engines parse the SAME decimal string for the teleport term, so
+# the doubles are bit-identical (decimal-literal parse is exact-nearest
+# in Spark and DuckDB alike)
+_BASE = (1.0 - _DAMP) / _N_NATIONS
+_BASE_STR = repr(_BASE)
+
+_EDGES_SQL = """
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+    CAST(COUNT(*) AS BIGINT) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY c.c_nationkey, s.s_nationkey
+"""
+
+
+def _pagerank_oracle() -> str:
+    """Unroll the fixed-iteration PageRank into chained CTEs."""
+    n_cte = "SELECT n_nationkey AS nationkey, n_name FROM nation"
+    rounds = []
+    for k in range(1, _ITERS + 1):
+        rounds.append(
+            f"""r{k} AS (
+  SELECT n.nationkey,
+    floor(({_BASE_STR} + {_DAMP} * coalesce(s.acc, 0)) * 1e9) / 1e9
+      AS pr
+  FROM nodes n
+  LEFT JOIN (
+    SELECT e.dst AS nationkey, SUM(p.pr * e.w / ow.outw) AS acc
+    FROM edges e
+    JOIN r{k - 1} p ON p.nationkey = e.src
+    JOIN outw ow ON ow.src = e.src
+    GROUP BY e.dst
+  ) s ON s.nationkey = n.nationkey
+)"""
+        )
+    chained = ",\n".join(rounds)
+    return f"""
+WITH nodes AS ({n_cte}),
+edges AS ({_EDGES_SQL}),
+outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outw FROM edges GROUP BY src),
+r0 AS (
+  SELECT nationkey, floor(1e9 / {_N_NATIONS}.0) / 1e9 AS pr FROM nodes
+),
+{chained}
+SELECT n.n_name, r.nationkey, r.pr
+FROM r{_ITERS} r JOIN nodes n ON n.nationkey = r.nationkey
+ORDER BY r.pr DESC, r.nationkey
+LIMIT {_TOPK}
+"""
+
+
+PAGERANK_ORACLE = _pagerank_oracle()
+
+
+@query("graph_pagerank_topk", oracle=PAGERANK_ORACLE, category="graph")
+def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (damping 0.85, 5 iterations) over the nation
+    trade graph, top-10 by final rank. Fixed iteration count makes the
+    loop unrollable into the oracle's chained CTEs — every float is
+    floor-pinned at 9 dp per round, so the iterative computation is
+    value-checked end to end, not just rows-counted."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nationkey"), "n_name"
+    )
+
+    edges = (
+        li.join(F.broadcast(o.hint("broadcast")), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+        .persist()
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("outw"))
+    contrib_base = edges.join(outw, "src").select(
+        "src", "dst", (F.col("w") / F.col("outw")).alias("share")
+    ).persist()
+
+    n_nodes = nation.count()
+    assert n_nodes == _N_NATIONS, f"nation table has {n_nodes} rows, expected 25"
+    pr = nation.select(
+        "nationkey", (F.floor(F.lit(1e9) / F.lit(float(n_nodes))) / 1e9).alias("pr")
+    ).localCheckpoint()
+
+    for _ in range(_ITERS):
+        acc = (
+            contrib_base.join(pr, pr.nationkey == contrib_base.src)
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") * F.col("share")).alias("acc"))
+        )
+        pr = (
+            nation.select("nationkey")
+            .join(acc, nation.nationkey == acc.dst, "left")
+            .select(
+                "nationkey",
+                (
+                    F.floor(
+                        (
+                            F.lit(_BASE)
+                            + F.lit(_DAMP) * F.coalesce(F.col("acc"), F.lit(0.0))
+                        )
+                        * 1e9
+                    )
+                    / 1e9
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+
+    out = (
+        pr.join(F.broadcast(nation), "nationkey")
+        .select("n_name", "nationkey", "pr")
+        .orderBy(F.desc("pr"), "nationkey")
+        .limit(_TOPK)
+    )
+    return out

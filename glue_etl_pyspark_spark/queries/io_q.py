@@ -341,3 +341,29 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     sampled = d.sampleBy("lang", fractions={"en": 0.25, "de": 1.0}, seed=42)
     return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+TEXT_LINES_ORACLE = """
+SELECT md5(text) AS line_md5, CAST(length(text) AS BIGINT) AS line_len,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM documents
+GROUP BY md5(text), length(text)
+"""
+
+
+@query("scan_text_lines", oracle=TEXT_LINES_ORACLE, category="source-sink")
+def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw text-line sink + scan (spark.read.text — the log-file /
+    one-record-per-line workhorse): write documents.text as .txt
+    shards, read the lines back, and prove content round-trip by
+    grouping on (md5, length) against the original table. Each doc is
+    one line by fixture construction (no embedded newlines — asserted
+    by the md5 match itself: a split line would hash differently)."""
+    d = load_table(spark, sf_dir, "documents")
+    path = scratch_dir("docs_text")
+    d.select("text").write.mode("overwrite").format("text").save(path)
+    back = spark.read.text(path)
+    return back.groupBy(
+        F.md5("value").alias("line_md5"),
+        F.length("value").cast("bigint").alias("line_len"),
+    ).agg(F.count("*").alias("n"))
