@@ -352,3 +352,39 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value")
     )
+
+
+# The SAME recursive SQL text runs on both engines (Spark 4 gained
+# WITH RECURSIVE; DuckDB always had it) — only integer division needs
+# the portable floor spelling. The hierarchy is synthetic but the
+# shape (walk-to-root with accumulators) is the org-chart/BOM query
+# Glue users push to warehouses.
+_RECURSIVE_SQL = """
+WITH RECURSIVE walk(custkey, anc, depth) AS (
+  SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey <= 2047
+  UNION ALL
+  SELECT custkey, CAST(floor(anc / 2.0) AS BIGINT), depth + 1
+  FROM walk WHERE anc > 1
+)
+SELECT custkey, CAST(MAX(depth) AS BIGINT) AS depth_to_root,
+  CAST(COUNT(*) - 1 AS BIGINT) AS n_ancestors
+FROM walk GROUP BY custkey
+"""
+
+RECURSIVE_ORACLE = _RECURSIVE_SQL
+
+
+@query("sql_recursive_cte", oracle=RECURSIVE_ORACLE, category="relational")
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE, planned as UnionLoop):
+    walk a synthetic binary-tree hierarchy (parent = custkey/2) from
+    each of the first 2047 customers to the root, reporting depth and
+    ancestor count. The oracle is the IDENTICAL SQL text in DuckDB —
+    the first query here where both engines run the same recursive
+    program. Iteration count is log2-bounded (11 levels), so the loop
+    is shallow however wide the base table is — the safe recursion
+    shape at scale (per-row walks that terminate fast, not unbounded
+    graph closure; dedup_clusters covers that case with explicit
+    rounds)."""
+    register_views(spark, sf_dir, "customer")
+    return spark.sql(_RECURSIVE_SQL)

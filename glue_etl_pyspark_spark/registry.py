@@ -98,6 +98,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "length_bucket_packing",
     "graph_pagerank_topk",
     "line_dedup_corpus",
+    "sql_recursive_cte",
     # --- stalest evidence: last green in ROUND 1 (38) ---
     "join_asof_purchase_click",
     "dedup_ngram_jaccard",
