@@ -388,3 +388,52 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds)."""
     register_views(spark, sf_dir, "customer")
     return spark.sql(_RECURSIVE_SQL)
+
+
+LISTAGG_ORACLE = """
+SELECT o_orderstatus,
+  string_agg(o_orderpriority, '|' ORDER BY o_orderpriority) AS priorities,
+  CAST(COUNT(*) AS BIGINT) AS n_distinct
+FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders)
+GROUP BY o_orderstatus
+"""
+
+
+@query("agg_listagg", oracle=LISTAGG_ORACLE, category="aggregation")
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 listagg / string_agg with WITHIN GROUP ordering — the
+    ordered-concatenation aggregate (DuckDB spells it string_agg with
+    an inline ORDER BY). Deterministic because the order-by key is the
+    aggregated value itself, made unique by the pre-DISTINCT."""
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+          listagg(o_orderpriority, '|')
+            WITHIN GROUP (ORDER BY o_orderpriority) AS priorities,
+          COUNT(*) AS n_distinct
+        FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders)
+        GROUP BY o_orderstatus
+        """
+    )
+
+
+DATENAME_ORACLE = """
+SELECT o_orderkey,
+  substr(dayname(o_orderdate), 1, 3) AS dow_name,
+  substr(monthname(o_orderdate), 1, 3) AS mon_name
+FROM orders
+"""
+
+
+@query("func_datename", oracle=DATENAME_ORACLE, category="function")
+def func_datename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 dayname/monthname (3-letter English names; DuckDB
+    returns full names, so the oracle truncates to the shared
+    prefix)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.dayname("o_orderdate").alias("dow_name"),
+        F.monthname("o_orderdate").alias("mon_name"),
+    )

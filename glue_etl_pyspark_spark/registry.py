@@ -99,6 +99,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "graph_pagerank_topk",
     "line_dedup_corpus",
     "sql_recursive_cte",
+    "agg_listagg",
+    "func_datename",
     # --- stalest evidence: last green in ROUND 1 (38) ---
     "join_asof_purchase_click",
     "dedup_ngram_jaccard",
