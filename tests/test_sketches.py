@@ -1,0 +1,35 @@
+"""Unit gates for the dialect-portable sketch hash family."""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+
+from glue_etl_pyspark_spark.queries.sketches import _md5_mod
+
+
+def _ref(seed: str, key, mod: int) -> int:
+    h = hashlib.md5(f"{seed}:{key}".encode()).hexdigest()
+    return int(h[:6], 16) % mod
+
+
+def test_md5_mod_matches_hashlib_in_duckdb():
+    con = duckdb.connect()
+    for seed in ("s0", "s1", "bf0", "bf1"):
+        for key in (0, 1, 42, 65535, 123456789):
+            frag = _md5_mod(str(key), seed, 65536)
+            [(got,)] = con.sql(f"SELECT {frag}").fetchall()
+            assert got == _ref(seed, key, 65536), (seed, key)
+
+
+def test_md5_mod_matches_hashlib_in_spark(spark):
+    frags = [
+        (seed, key, _md5_mod(str(key), seed, 65536))
+        for seed in ("s0", "bf1")
+        for key in (7, 4242, 999999)
+    ]
+    sql = "SELECT " + ", ".join(f"{f} AS c{i}" for i, (_, _, f) in enumerate(frags))
+    [row] = spark.sql(sql).collect()
+    for i, (seed, key, _) in enumerate(frags):
+        assert row[f"c{i}"] == _ref(seed, key, 65536), (seed, key)
