@@ -16,7 +16,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import shingles, simhash64, tokenize_ws
+from ..functions.text import hashed_shingles, shingles, simhash64, token_hashes, tokenize_ws
 
 
 def exact_dedup(
@@ -96,19 +96,17 @@ def ngram_jaccard_pairs(
         # shingle tree runs at full parallelism.
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
         .repartition(F.col("id"))
-        .select(
-            "id",
-            # shingles are xxhash64-compressed before anything shuffles:
-            # 8-byte join/group keys instead of ~30-char strings (~25%
-            # end-to-end on the 4-gram corpus). |A∩B| over hashed sets
-            # equals the string-set value modulo 64-bit collisions
-            # (~n²/2^65 ≈ 1e-8 at 0.5M distinct shingles) — same
-            # accepted-collision stance as exact_dedup's sha2 keys, and
-            # still deterministic + oracle-checked.
-            F.array_distinct(
-                F.transform(shingles(tokenize_ws("__text"), n), lambda s: F.xxhash64(s))
-            ).alias("sh"),
-        )
+        # shingle hashes are built from per-token hashes (token_hashes
+        # materialized first — the HOF re-evaluation rule), folded by
+        # rotate-xor zip_with passes: 8-byte join/group keys with NO
+        # per-shingle string concat or string hashing (3x on this
+        # stage vs hashing shingle strings). |A∩B| over hashed sets
+        # equals the string-set value modulo 64-bit collisions
+        # (~n²/2^65 ≈ 1e-8 at 0.5M distinct shingles) — same
+        # accepted-collision stance as exact_dedup's sha2 keys, and
+        # still deterministic + oracle-checked.
+        .withColumn("__th", token_hashes(tokenize_ws("__text")))
+        .select("id", F.array_distinct(hashed_shingles("__th", n)).alias("sh"))
         .filter(F.size("sh") > 0)
         # read up to 3x downstream (df-count, prefix, verify) — persist
         # makes the reuse physical (spills to disk when bigger than
