@@ -376,3 +376,60 @@ def knn_ivf_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
     corpus = _jittered_cluster_corpus(spark, sf_dir)
     return ivf_knn(seeds, corpus, k=5, nprobe=2, centroid_stride=31, lloyd_iters=2)
+
+
+LABEL_PURITY_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding AS v, label FROM embeddings),
+sims AS (
+  SELECT q.vec_id AS query_id, q.label AS q_label,
+    c.vec_id AS neighbor_id, c.label AS n_label,
+    {_COS.format(a="q.v", b="c.v")} AS cs
+  FROM e q, e c, range(1, 65) r(i)
+  WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id
+  GROUP BY q.vec_id, q.label, c.vec_id, c.label
+),
+topk AS (
+  SELECT query_id, q_label, n_label FROM (
+    SELECT query_id, q_label, n_label,
+      row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id)
+        AS rn
+    FROM sims
+  ) WHERE rn <= 5
+)
+SELECT query_id, CAST(q_label AS INT) AS q_label,
+  CAST(SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_same_label,
+  floor(SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) * 1e6 / 5) / 1e6
+    AS purity
+FROM topk GROUP BY query_id, q_label
+"""
+
+
+@query("knn_label_purity", oracle=LABEL_PURITY_ORACLE, category="llm-knn")
+def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation against ground-truth labels (the
+    embeddings fixture carries one): top-5 cosine neighbors per query,
+    scored by label purity — the recall-eval loop every embedding-
+    search deployment runs. The knn stage is the exact brute-force
+    kernel (documented bound: 50 queries broadcast); purity is an
+    integer ratio floored at 6 dp."""
+    e = load_table(spark, sf_dir, "embeddings")
+    nn = knn_bruteforce(e.filter(F.col("vec_id") < 50), e, k=5)
+    q_labels = e.select(F.col("vec_id").alias("query_id"), F.col("label").alias("q_label"))
+    n_labels = e.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label"))
+    return (
+        nn.join(F.broadcast(q_labels), "query_id")
+        .join(F.broadcast(n_labels), "neighbor_id")
+        .groupBy("query_id", "q_label")
+        .agg(
+            F.sum(F.when(F.col("n_label") == F.col("q_label"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_same_label")
+        )
+        .select(
+            "query_id",
+            F.col("q_label").cast("int").alias("q_label"),
+            "n_same_label",
+            (F.floor(F.col("n_same_label") * 1e6 / 5) / 1e6).alias("purity"),
+        )
+    )

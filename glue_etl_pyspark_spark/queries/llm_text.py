@@ -283,3 +283,42 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", F.col("plang").alias("predicted_lang"), "hits")
     )
+
+
+VOCAB_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest({_DUCK_TOKS}) AS token FROM documents
+),
+counts AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY token
+),
+top AS (
+  SELECT token, n FROM counts ORDER BY n DESC, token LIMIT 4096
+)
+SELECT token, n,
+  CAST(row_number() OVER (ORDER BY n DESC, token) + 4 AS BIGINT) AS vocab_id
+FROM top
+"""
+
+
+@query("text_vocab_build", oracle=VOCAB_ORACLE, category="llm-text")
+def text_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary construction: corpus token frequencies →
+    top-4096 by (count, token) → dense vocab ids starting after 4
+    reserved specials (pad/bos/eos/unk). The frequency count is one
+    map-side-combined shuffle; the global top-k plans as
+    TakeOrderedAndProject (no full sort), and only the ALREADY-LIMITED
+    vocab passes through the single-partition ranking window — the
+    id-assignment step is O(vocab), not O(corpus), which is what keeps
+    this shape viable when the corpus is 100 TB but the vocab is 32k."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(tokenize_ws("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    top = counts.orderBy(F.desc("n"), "token").limit(4096)
+    w = Window.orderBy(F.desc("n"), "token")
+    return top.select(
+        "token", "n", (F.row_number().over(w) + 4).cast("bigint").alias("vocab_id")
+    )

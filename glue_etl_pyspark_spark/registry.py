@@ -101,6 +101,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sql_recursive_cte",
     "agg_listagg",
     "func_datename",
+    "knn_label_purity",
+    "text_vocab_build",
     # --- stalest evidence: last green in ROUND 1 (38) ---
     "join_asof_purchase_click",
     "dedup_ngram_jaccard",
