@@ -351,3 +351,124 @@ def line_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# Deterministic span mask: position block b = pos // 3 of doc d is
+# masked iff the Knuth hash of (d * 1000003 + b) clears a 15% (of
+# 2^32) threshold — whole 3-token blocks drop, approximating T5's
+# mean-span-3 noise with pure BIGINT math both engines replay exactly.
+_SPAN_THR = 644245094  # floor(0.15 * 2^32)
+
+SPAN_CORRUPT_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+    t.p - 1 AS pos
+  FROM toks, unnest(generate_series(1, len(toks))) AS t(p)
+),
+flagged AS (
+  SELECT doc_id, n_tokens, pos,
+    CASE WHEN ((doc_id * 1000003 + pos // 3) * 2654435761) % 4294967296
+              < {_SPAN_THR} THEN 1 ELSE 0 END AS masked
+  FROM pos
+)
+SELECT doc_id, n_tokens,
+  CAST(SUM(masked) AS BIGINT) AS n_masked,
+  CAST(COUNT(DISTINCT CASE WHEN masked = 1 THEN pos // 3 END) AS BIGINT)
+    AS n_spans,
+  floor(SUM(masked) * 1e6 / n_tokens) / 1e6 AS mask_rate
+FROM flagged GROUP BY doc_id, n_tokens
+"""
+
+
+@query("span_corruption_layout", oracle=SPAN_CORRUPT_ORACLE, category="llm-curation")
+def span_corruption_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption mask layout: 3-token blocks are
+    dropped when a Knuth hash of (doc_id, block) clears the 15%
+    threshold — deterministic across reruns and partitionings, so the
+    SAME tokens mask on every epoch pipeline run (and in the oracle).
+    Narrow explode + integer math, one groupBy back to doc grain; at
+    100 TB this runs at scan parallelism with a map-side-combined
+    aggregation."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", tokenize_ws("text")
+    )
+    pos = d.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        (F.posexplode("toks")).alias("pos", "tok"),
+    ).drop("tok")
+    flagged = pos.withColumn(
+        "masked",
+        F.when(
+            ((F.col("doc_id") * 1000003 + F.floor(F.col("pos") / 3))
+             * 2654435761) % 4294967296
+            < _SPAN_THR,
+            1,
+        ).otherwise(0),
+    )
+    return flagged.groupBy("doc_id", "n_tokens").agg(
+        F.sum("masked").cast("bigint").alias("n_masked"),
+        F.countDistinct(
+            F.when(F.col("masked") == 1, F.floor(F.col("pos") / 3))
+        ).alias("n_spans"),
+        (F.floor(F.sum("masked") * 1e6 / F.col("n_tokens")) / 1e6).alias(
+            "mask_rate"
+        ),
+    )
+
+
+IDF_QUALITY_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, unnest(toks) AS token FROM toks
+),
+freq AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS tf FROM occ GROUP BY token
+),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM occ)
+SELECT o.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  floor(SUM(-ln(f.tf / CAST(t.n AS DOUBLE))) * 1e6 / COUNT(*)) / 1e6
+    AS mean_surprisal
+FROM occ o JOIN freq f ON o.token = f.token CROSS JOIN total t
+GROUP BY o.doc_id
+"""
+
+
+@query("text_idf_quality", oracle=IDF_QUALITY_ORACLE, category="llm-quality")
+def text_idf_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-surprisal quality proxy (the cheap stand-in for a
+    perplexity filter): each doc's mean -ln(corpus unigram
+    probability). Rare-token-heavy docs score high, boilerplate
+    scores low. One token-frequency shuffle + one broadcast-size join
+    back to occurrences; the mean is floor-pinned at 6 dp (per-token
+    surprisals sum in nondeterministic order, but the values are
+    identical doubles on both engines and the fixture's token mass
+    keeps the sum well clear of the floor boundary)."""
+    d = load_table(spark, sf_dir, "documents")
+    occ = d.select("doc_id", F.explode(tokenize_ws("text")).alias("token"))
+    freq = occ.groupBy("token").agg(F.count("*").alias("tf"))
+    total = occ.count()
+    return (
+        occ.join(F.broadcast(freq), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (
+                F.floor(
+                    F.sum(-F.log(F.col("tf") / F.lit(float(total)))) * 1e6
+                    / F.count("*")
+                )
+                / 1e6
+            ).alias("mean_surprisal"),
+        )
+    )

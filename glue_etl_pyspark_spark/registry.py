@@ -103,6 +103,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "func_datename",
     "knn_label_purity",
     "text_vocab_build",
+    "span_corruption_layout",
+    "text_idf_quality",
     # --- stalest evidence: last green in ROUND 1 (38) ---
     "join_asof_purchase_click",
     "dedup_ngram_jaccard",
