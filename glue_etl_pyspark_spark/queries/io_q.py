@@ -367,3 +367,45 @@ def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("value").alias("line_md5"),
         F.length("value").cast("bigint").alias("line_len"),
     ).agg(F.count("*").alias("n"))
+
+
+MERGE_SCHEMA_ORACLE = """
+WITH unioned AS (
+  SELECT o_orderkey, o_custkey, NULL AS o_totalprice FROM orders
+  WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+  WHERE o_orderkey % 2 = 1
+)
+SELECT CAST(o_orderkey % 10 AS BIGINT) AS key_mod,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(COUNT(o_totalprice) AS BIGINT) AS n_with_price,
+  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+FROM unioned GROUP BY o_orderkey % 10
+"""
+
+
+@query("scan_merge_schema", oracle=MERGE_SCHEMA_ORACLE, category="source-sink")
+def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read (the Glue crawler / mergeSchema
+    story): two parquet generations of the same table — an old one
+    without o_totalprice, a new one with it — land in one directory
+    tree; ``mergeSchema=true`` reconciles them into the union schema
+    with NULLs for the missing column. The oracle is the equivalent
+    NULL-filled UNION ALL. At scale mergeSchema costs a footer read
+    per file (not a data scan); pin schemas in a catalog once tables
+    stabilize."""
+    o = load_table(spark, sf_dir, "orders")
+    root = scratch_dir("orders_evolving")
+    o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_custkey").write.mode(
+        "overwrite"
+    ).parquet(f"{root}/gen=0")
+    o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(f"{root}/gen=1")
+    back = spark.read.option("mergeSchema", "true").parquet(root)
+    return back.groupBy((F.col("o_orderkey") % 10).alias("key_mod")).agg(
+        F.count("*").alias("n"),
+        F.count("o_totalprice").alias("n_with_price"),
+        F.sum("o_custkey").alias("sum_cust"),
+    )

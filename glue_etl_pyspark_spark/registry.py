@@ -105,6 +105,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_vocab_build",
     "span_corruption_layout",
     "text_idf_quality",
+    "scan_merge_schema",
     # --- stalest evidence: last green in ROUND 1 (38) ---
     "join_asof_purchase_click",
     "dedup_ngram_jaccard",
