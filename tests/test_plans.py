@@ -309,3 +309,42 @@ def test_count_min_sketch_one_sided_error(spark, sf_dir):
     assert len(rows) == 20
     assert all(r.est >= r.true_cnt for r in rows), "CMS undercounted a key"
     assert all(r.overcount == r.est - r.true_cnt for r in rows)
+
+
+def test_line_dedup_single_wide_shuffle(spark, sf_dir):
+    """line_dedup_corpus must shuffle the exploded lines ONCE (the
+    per-line window); the doc-grain re-aggregation rides a second
+    keyed exchange but nothing reshuffles the full line set twice."""
+    plan = explain_str(_df(spark, sf_dir, "line_dedup_corpus"))
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange <= 3, f"unexpected extra shuffles in line dedup plan:\n{plan[:800]}"
+    assert "Window" in plan
+
+
+def test_contamination_dedups_train_before_join(spark, sf_dir):
+    """The train side must aggregate to DISTINCT grams before joining
+    eval occurrences — a HashAggregate must feed the join's build
+    side, otherwise boilerplate grams fan out quadratically."""
+    ops = operator_counts(_df(spark, sf_dir, "contamination_ngram_overlap"))
+    n_agg = sum(v for k, v in ops.items() if "HashAggregate" in k)
+    assert n_agg >= 3, f"expected distinct-aggregate before join: {ops}"
+
+
+def test_count_min_sketch_partial_aggregates(spark, sf_dir):
+    """The CMS build must plan partial+final hash aggregation on
+    (seed,bucket) — the map-side combine is what caps the shuffle at
+    d*w rows regardless of input size."""
+    ops = operator_counts(_df(spark, sf_dir, "agg_count_min_topk"))
+    n_agg = sum(v for k, v in ops.items() if "HashAggregate" in k)
+    assert n_agg >= 4, f"expected partial+final aggs for sketch+truth: {ops}"
+
+
+def test_pagerank_iteration_plan_is_flat_and_broadcast(spark, sf_dir):
+    """The returned PageRank frame's lineage starts at the LAST
+    localCheckpoint (per-round truncation working as intended — the
+    edge-build star join executes once, under the same broadcast plan
+    join_multiway_revenue pins); the visible tail must itself be
+    all-broadcast with no sort-merge join."""
+    df = _df(spark, sf_dir, "graph_pagerank_topk")
+    assert_broadcast_joins(df, at_least=2)
+    assert_no_sort_merge_join(df)
