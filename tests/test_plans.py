@@ -346,5 +346,7 @@ def test_pagerank_iteration_plan_is_flat_and_broadcast(spark, sf_dir):
     join_multiway_revenue pins); the visible tail must itself be
     all-broadcast with no sort-merge join."""
     df = _df(spark, sf_dir, "graph_pagerank_topk")
-    assert_broadcast_joins(df, at_least=2)
+    plan = explain_str(df)
+    assert "Scan ExistingRDD" in plan, "lineage not truncated at the checkpoint"
+    assert_broadcast_joins(df, at_least=1)
     assert_no_sort_merge_join(df)
