@@ -33,3 +33,29 @@ def test_md5_mod_matches_hashlib_in_spark(spark):
     [row] = spark.sql(sql).collect()
     for i, (seed, key, _) in enumerate(frags):
         assert row[f"c{i}"] == _ref(seed, key, 65536), (seed, key)
+
+
+def test_hashed_shingles_edge_cases(spark):
+    """Short docs (< n tokens) yield EMPTY shingle arrays (the
+    shingles() contract), never nulls or down-counting sequences; and
+    hashed shingles are position-sensitive."""
+    from pyspark.sql import functions as F
+
+    from glue_etl_pyspark_spark.functions.text import (
+        hashed_shingles,
+        token_hashes,
+        tokenize_ws,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b"), (3, ""), (4, "b a c d e")],
+        "id int, text string",
+    ).withColumn("__th", token_hashes(tokenize_ws("text")))
+    out = {
+        r.id: r.sh
+        for r in df.select("id", hashed_shingles("__th", 4).alias("sh")).collect()
+    }
+    assert len(out[1]) == 2 and len(out[4]) == 2
+    assert out[2] == [] and out[3] == []
+    assert out[1] != out[4], "order-insensitive collision: a b c d == b a c d"
+    assert len(set(out[1])) == 2
