@@ -516,3 +516,64 @@ def func_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.next_day(F.to_date("o_orderdate"), "Mon").alias("next_monday"),
     )
+
+
+# Error-tolerant expression family: malformed rows must degrade to
+# NULL, not kill a 1000-executor job five hours in (ANSI mode makes
+# the non-try forms THROW). The probe strings mix valid and invalid
+# numerics/dates deterministically from customer columns.
+TRY_ORACLE = """
+WITH probes AS (
+  SELECT c_custkey,
+    CASE WHEN c_custkey % 3 = 0 THEN 'not-a-number'
+         ELSE CAST(c_custkey AS VARCHAR) END AS numish,
+    CASE WHEN c_custkey % 4 = 0 THEN '1995-13-45'
+         ELSE '1995-03-07' END AS dateish,
+    c_acctbal
+  FROM customer
+)
+SELECT c_custkey,
+  TRY_CAST(numish AS BIGINT) AS maybe_num,
+  TRY_CAST(dateish AS DATE) AS maybe_date,
+  CASE WHEN c_custkey % 5 = 0 THEN NULL
+       ELSE floor(c_acctbal * 100 / NULLIF(c_custkey % 7, 0)) / 100
+  END AS safe_div,
+  COALESCE(TRY_CAST(numish AS BIGINT), -1) AS num_or_default
+FROM probes
+"""
+
+
+@query("func_try_safe", oracle=TRY_ORACLE, category="function")
+def func_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_cast / try_divide / coalesce-default — the bad-data
+    tolerance layer (Glue's ResolveChoice-cast semantics under ANSI
+    mode, where plain casts and div-by-zero THROW). Invalid probes
+    degrade to NULL identically on both engines; the division is
+    floor-pinned at 2 dp."""
+    c = load_table(spark, sf_dir, "customer")
+    probes = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 3 == 0, F.lit("not-a-number"))
+        .otherwise(F.col("c_custkey").cast("string"))
+        .alias("numish"),
+        F.when(F.col("c_custkey") % 4 == 0, F.lit("1995-13-45"))
+        .otherwise(F.lit("1995-03-07"))
+        .alias("dateish"),
+        "c_acctbal",
+    )
+    return probes.select(
+        "c_custkey",
+        F.col("numish").try_cast("bigint").alias("maybe_num"),
+        F.col("dateish").try_cast("date").alias("maybe_date"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.floor(
+                F.try_divide(F.col("c_acctbal") * 100, F.col("c_custkey") % 7)
+            )
+            / 100
+        )
+        .alias("safe_div"),
+        F.coalesce(F.col("numish").try_cast("bigint"), F.lit(-1)).alias(
+            "num_or_default"
+        ),
+    )

@@ -106,6 +106,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "span_corruption_layout",
     "text_idf_quality",
     "scan_merge_schema",
+    "func_try_safe",
     # --- stalest evidence: last green in ROUND 1 (38) ---
     "join_asof_purchase_click",
     "dedup_ngram_jaccard",
