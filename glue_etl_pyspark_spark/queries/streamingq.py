@@ -13,7 +13,7 @@ scale."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -472,3 +472,56 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("click_ts") < F.col("purchase_ts")),
     ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
     return drain_to_memory(joined, mode="append")
+
+
+CDC_APPLY_ORACLE = """
+SELECT user_id, event_id AS last_event_id,
+  ts AS last_ts, event_type AS last_type, round(value, 6) AS last_value
+FROM (
+  SELECT user_id, event_id, ts, event_type, value,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+      AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+@query("stream_cdc_apply", oracle=CDC_APPLY_ORACLE, category="streaming")
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply with last-write-wins merge semantics: the
+    events replay streams through foreachBatch into per-batch parquet
+    generations (the idempotent exactly-once sink), and the CURRENT
+    TABLE STATE is the latest row per user_id by (ts, event_id) across
+    all generations — the standard upsert-view over an append log
+    (compaction folds old generations without changing the answer).
+    Micro-batch boundaries are nondeterministic, but last-write-wins
+    is batch-order-INVARIANT, so the final state is fully
+    hash-oracled against the batch window twin — rare for a streaming
+    pipeline. At scale the per-user window shards on user_id (one
+    shuffle); generations bound the read amplification and a
+    compaction job rewrites them on a schedule."""
+    from ..sources.formats import scratch_dir
+
+    s = events_stream(spark, sf_dir)
+    out = s.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "value",
+    )
+    path = scratch_dir("stream_cdc_apply")
+    foreach_batch_to_parquet(out, path)
+    log = spark.read.parquet(path)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+            F.round("value", 6).alias("last_value"),
+        )
+    )

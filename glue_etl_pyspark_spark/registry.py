@@ -107,6 +107,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_idf_quality",
     "scan_merge_schema",
     "func_try_safe",
+    "stream_cdc_apply",
     # --- stalest evidence: last green in ROUND 1 (38) ---
     "join_asof_purchase_click",
     "dedup_ngram_jaccard",
