@@ -50,14 +50,13 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 
 
 # The driver checks the FIRST 50 queries in ``queries()`` dict-insertion
-# order (confirmed rounds 1-3).  After r3, 121 distinct queries have an
-# external row (hash-green or rows-checked); the only ones without are
-# the 21 oracled late-round-3 additions plus ``multimodal_features``
-# (r3 driver ERR — list cells in the canonicalizer — fixed by JSON-
-# serializing the vector at the query boundary).  Round-4 window:
-# those 22 first, then new round-4 queries (slot explicitly below),
-# then the 38 queries whose last external green was ROUND 1 (stalest
-# evidence) to refresh rotation.  Ext-green(r2/r3) queries rank last.
+# order (confirmed rounds 1-3).  Round-4 window (final composition,
+# audited): 46 never-hash-green queries — ``multimodal_features`` (r3
+# ERR fix) + the 21 late-r3 additions + the 24 new round-4 queries —
+# then 4 stale-r1-green refreshes (join_asof, dedup_ngram,
+# skew_salted, bucketed_join) fill to 50.  Every oracled query with no
+# external green row sits inside the window (pinned by
+# tests/test_registry.py).  Ext-green(r2/r3) queries rank last.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- never externally green: the r3 ERR fix leads ---
     "multimodal_features",
