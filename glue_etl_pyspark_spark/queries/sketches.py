@@ -227,3 +227,35 @@ def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
         )
     )
+
+
+# Order-invariant table checksum: SUM and BIT_XOR of a portable row
+# hash — commutative aggregates, so partitioning/ordering can't change
+# the answer, and DuckDB computes the identical value.
+_ROW_HASH = _md5_mod(
+    "concat(o_orderkey, '|', o_custkey, '|', o_orderstatus)", "ck", 2**31
+)
+
+CHECKSUM_ORACLE = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM({_ROW_HASH}) AS BIGINT) AS checksum_sum,
+  CAST(bit_xor({_ROW_HASH}) AS BIGINT) AS checksum_xor
+FROM orders
+"""
+
+
+@query("table_checksum", oracle=CHECKSUM_ORACLE, category="sketch")
+def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-invariant table fingerprint (cross-environment data
+    validation — the "did the migration copy every row" check): SUM +
+    BIT_XOR over a portable per-row hash. Both aggregates are
+    commutative, so partition count, task order, and file layout can't
+    move the answer; map-side combine reduces the shuffle to one row
+    per task regardless of table size."""
+    o = load_table(spark, sf_dir, "orders")
+    h = F.expr(_ROW_HASH).cast("bigint")
+    return o.select(h.alias("h")).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("h").alias("checksum_sum"),
+        F.bit_xor("h").alias("checksum_xor"),
+    )

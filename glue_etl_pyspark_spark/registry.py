@@ -107,6 +107,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "scan_merge_schema",
     "func_try_safe",
     "stream_cdc_apply",
+    "sink_compaction",
+    "table_checksum",
     # --- stalest evidence: last green in ROUND 1 (38) ---
     "join_asof_purchase_click",
     "dedup_ngram_jaccard",

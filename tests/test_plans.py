@@ -350,3 +350,18 @@ def test_pagerank_iteration_plan_is_flat_and_broadcast(spark, sf_dir):
     assert "Scan ExistingRDD" in plan, "lineage not truncated at the checkpoint"
     assert_broadcast_joins(df, at_least=1)
     assert_no_sort_merge_join(df)
+
+
+def test_compaction_reduces_file_count(spark, sf_dir):
+    """sink_compaction must actually shrink the file count (32 shards
+    → ≤2 parquet files) while preserving the row set (the parity
+    oracle pins content)."""
+    import glob
+
+    from glue_etl_pyspark_spark.sources.formats import scratch_dir
+
+    _df(spark, sf_dir, "sink_compaction").collect()
+    frag = glob.glob(f"{scratch_dir('events_fragmented')}/part-*.parquet")
+    comp = glob.glob(f"{scratch_dir('events_compacted')}/part-*.parquet")
+    assert len(frag) >= 16, f"fragmented dir not fragmented: {len(frag)} files"
+    assert len(comp) <= 2, f"compaction left {len(comp)} files"
