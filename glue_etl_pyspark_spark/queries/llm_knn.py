@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_table
-from ..operators.multimodal import attach_media, extract_features
+from ..operators.multimodal import attach_media, extract_features, resize_media
 from ..operators.similarity import (
     embedding_dup_pairs,
     ivf_knn,
@@ -432,4 +432,35 @@ def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_same_label",
             (F.floor(F.col("n_same_label") * 1e6 / 5) / 1e6).alias("purity"),
         )
+    )
+
+
+RESIZE_META_ORACLE = """
+SELECT doc_id AS id, 'text/plain' AS mime,
+  8 AS width, 8 AS height,
+  CAST(64 AS BIGINT) AS out_len,
+  sha256(text) AS head32
+FROM documents
+"""
+
+
+@query("multimodal_resize_meta", oracle=RESIZE_META_ORACLE, category="llm-multimodal")
+def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInPandas resize kernel, value-checked: the stub's output
+    payload is an iterated-sha256 stream, so its FIRST 32 bytes equal
+    sha256(input) — which DuckDB computes directly from the text. That
+    pins the Arrow batch plumbing, output sizing (width*height bytes),
+    and metadata propagation with a real hash oracle; the codec seam
+    itself stays stubbed (no image libs here), exactly like
+    multimodal_fingerprint."""
+    d = load_table(spark, sf_dir, "documents")
+    media = attach_media(d, "doc_id", "text", "text/plain")
+    resized = resize_media(media, width=8, height=8)
+    return resized.select(
+        "id",
+        "mime",
+        "width",
+        "height",
+        F.octet_length("media").cast("bigint").alias("out_len"),
+        F.lower(F.hex(F.expr("substring(media, 1, 32)"))).alias("head32"),
     )

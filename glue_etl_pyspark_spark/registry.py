@@ -109,6 +109,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_cdc_apply",
     "sink_compaction",
     "table_checksum",
+    "multimodal_resize_meta",
     # --- stalest evidence: last green in ROUND 1 (38) ---
     "join_asof_purchase_click",
     "dedup_ngram_jaccard",
