@@ -51,12 +51,12 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 
 # The driver checks the FIRST 50 queries in ``queries()`` dict-insertion
 # order (confirmed rounds 1-3).  Round-4 window (final composition,
-# audited): 46 never-hash-green queries — ``multimodal_features`` (r3
-# ERR fix) + the 21 late-r3 additions + the 24 new round-4 queries —
-# then 4 stale-r1-green refreshes (join_asof, dedup_ngram,
-# skew_salted, bucketed_join) fill to 50.  Every oracled query with no
-# external green row sits inside the window (pinned by
-# tests/test_registry.py).  Ext-green(r2/r3) queries rank last.
+# audited): 49 never-hash-green queries — ``multimodal_features`` (r3
+# ERR fix) + the 21 late-r3 additions + the 27 new round-4 queries —
+# plus one stale-r1-green refresh (join_asof_purchase_click) fills to
+# 50.  Every oracled query with no external green row sits inside the
+# window (pinned by tests/test_registry.py).  Ext-green(r2/r3)
+# queries rank last.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- never externally green: the r3 ERR fix leads ---
     "multimodal_features",
