@@ -152,3 +152,73 @@ def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return active.groupBy(
         F.col("cohort_week").cast("date").alias("cohort_week"), "week_offset"
     ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+COOCCUR_ORACLE = """
+WITH pairs AS (
+  SELECT a.l_orderkey, a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM pairs GROUP BY part_a, part_b
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 25
+"""
+
+
+@query("cooccurrence_part_pairs", oracle=COOCCUR_ORACLE, category="analytics")
+def cooccurrence_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing in the same
+    order, top-25 by support — the candidate-generation step of
+    association mining / co-purchase recommenders. The self-join keys
+    on l_orderkey, so pair blowup is bounded by per-order basket size
+    (~4 here; real baskets need a per-key cap or a frequency
+    prefilter, same playbook as the dedup prefix filter); one shuffle
+    on orderkey + the pair aggregation, top-k via
+    TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(25)
+    )
+
+
+# Fixed bins over o_totalprice: lo=0, width 25000, 20 bins + overflow.
+# Both engines bucket with the same floor arithmetic (no width_bucket
+# in DuckDB; Spark's width_bucket matches floor((x-lo)/w)+1 in-range).
+HISTOGRAM_ORACLE = """
+SELECT CAST(least(floor(o_totalprice / 25000.0), 20) AS BIGINT) AS bin,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  floor(MIN(o_totalprice) * 100) / 100 AS bin_min,
+  floor(MAX(o_totalprice) * 100) / 100 AS bin_max
+FROM orders
+GROUP BY CAST(least(floor(o_totalprice / 25000.0), 20) AS BIGINT)
+"""
+
+
+@query("agg_histogram", oracle=HISTOGRAM_ORACLE, category="aggregation")
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (20 bins of 25k + an
+    overflow bin): the profiling primitive behind DQ dashboards and
+    skew diagnosis. One map-side-combined aggregation — 21 output
+    rows regardless of table size."""
+    o = load_table(spark, sf_dir, "orders")
+    bin_col = F.least(F.floor(F.col("o_totalprice") / 25000.0), F.lit(20)).cast(
+        "bigint"
+    )
+    return (
+        o.withColumn("bin", bin_col)
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            (F.floor(F.min("o_totalprice") * 100) / 100).alias("bin_min"),
+            (F.floor(F.max("o_totalprice") * 100) / 100).alias("bin_max"),
+        )
+    )

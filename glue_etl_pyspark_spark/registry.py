@@ -51,12 +51,12 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 
 # The driver checks the FIRST 50 queries in ``queries()`` dict-insertion
 # order (confirmed rounds 1-3).  Round-4 window (final composition,
-# audited): 49 never-hash-green queries — ``multimodal_features`` (r3
-# ERR fix) + the 21 late-r3 additions + the 27 new round-4 queries —
-# plus one stale-r1-green refresh (join_asof_purchase_click) fills to
-# 50.  Every oracled query with no external green row sits inside the
-# window (pinned by tests/test_registry.py).  Ext-green(r2/r3)
-# queries rank last.
+# audited): 51 never-green queries — ``multimodal_features``
+# (rows-only, r3 ERR fix) + the 21 late-r3 additions + the 29 new
+# round-4 queries — overfill the 50-slot window by one
+# (agg_histogram, registered last, leads next round's rotation).
+# Every other oracled query has a green external row, so no slot is
+# wasted (pinned by tests/test_registry.py).
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- never externally green: the r3 ERR fix leads ---
     "multimodal_features",
@@ -110,6 +110,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sink_compaction",
     "table_checksum",
     "multimodal_resize_meta",
+    "cooccurrence_part_pairs",
+    "agg_histogram",
     # --- stalest evidence: last green in ROUND 1 (38) ---
     "join_asof_purchase_click",
     "dedup_ngram_jaccard",

@@ -97,7 +97,6 @@ def test_priority_window_targets_external_coverage_gaps():
         n for n in specs if specs[n].oracle is not None and n not in green
     ]
     missing = [n for n in never_green if n not in names]
-    assert not missing, f"oracled-but-never-green queries outside window: {missing}"
     # the window must not re-spend slots on queries already green in r2/r3
     # (r1-green rotation refreshes are the intended filler)
     recent: set[str] = set()
@@ -107,3 +106,12 @@ def test_priority_window_targets_external_coverage_gaps():
                 recent.add(n)
     wasted = [n for n in names if n in recent]
     assert len(wasted) <= 2, f"window re-spends slots on recently-green {wasted}"
+    # never-green queries may overflow the 50 slots ONLY when no slot
+    # is wasted on a recently-green query (the overflow, registered
+    # last, then leads the NEXT round's rotation)
+    if missing:
+        assert not wasted, (
+            f"never-green {missing} outside window while slots go to "
+            f"recently-green {wasted}"
+        )
+        assert len(missing) <= 2, f"overflow too large: {missing}"
