@@ -55,17 +55,25 @@ def _with_shard_starts(
     local = sharded.withColumn(
         "__local_start", F.sum(len_col).over(w_local) - F.col(len_col)
     )
-    # one row per shard; the prefix sum over it is a single-partition
-    # window over a TINY frame (n/shard_span rows), then broadcast back
-    w_shards = (
-        Window.orderBy("__shard")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # Phase 2 runs ON THE DRIVER: collect one row per shard
+    # (n/shard_span rows — the same bounded collect RDD.zipWithIndex
+    # does for its partition-count pass), prefix-sum in exact Python
+    # ints, and re-ship the bases as LITERAL data. The base offsets are
+    # therefore values, not a recomputable plan — AQE/retry can never
+    # re-derive them differently from the window+join shape this
+    # replaces (r4 driver hash flake on doc_pack_sequences).
+    totals = sorted(
+        sharded.groupBy("__shard").agg(F.sum(len_col).alias("__t")).collect(),
+        key=lambda r: (r["__shard"] is None, r["__shard"]),
     )
-    bases = (
-        sharded.groupBy("__shard")
-        .agg(F.sum(len_col).alias("__shard_total"))
-        .withColumn("__base", F.sum("__shard_total").over(w_shards) - F.col("__shard_total"))
-        .select("__shard", "__base")
+    rows, running = [], 0
+    for r in totals:
+        if r["__shard"] is None:
+            continue  # null ids never survive the inner join anyway
+        rows.append((int(r["__shard"]), running))
+        running += int(r["__t"] or 0)
+    bases = df.sparkSession.createDataFrame(
+        rows, schema="__shard bigint, __base bigint"
     )
     return local.join(broadcast(bases), "__shard")
 

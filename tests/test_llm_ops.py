@@ -439,3 +439,30 @@ def test_int8_rerank_recovers_exact_topk(spark, sf_dir):
         for r in _run(spark, sf_dir, "knn_int8_rerank").collect()
     }
     assert rr == exact and len(rr) == 100
+
+
+def test_pack_concat_chunk_repeated_run_determinism(spark, sf_dir):
+    """r4 driver-window regression pin: doc_pack_sequences hash-diverged
+    ONCE at the driver but never in local reproduction. The packer's
+    shard bases are now collected and re-shipped as literal data
+    (operators/packing.py), so no plan re-execution (AQE, broadcast
+    recompute, task retry) can change them. Stress: repeated runs under
+    varying shuffle widths must be bit-identical, including against a
+    fresh-plan run of the registry query itself."""
+    runs = []
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for parts in ("2", "8", "32", "200", "8"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            rows = sorted(
+                (r.doc_id, r.n_tokens, r.bin_id, r.bin_offset)
+                for r in _run(spark, sf_dir, "doc_pack_sequences").collect()
+            )
+            runs.append(rows)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert all(r == runs[0] for r in runs[1:]), "pack output varies with shuffle width"
+    # manifest consumes the same packer — its totals must be stable too
+    m1 = sorted(map(tuple, _run(spark, sf_dir, "llm_training_manifest").collect()))
+    m2 = sorted(map(tuple, _run(spark, sf_dir, "llm_training_manifest").collect()))
+    assert m1 == m2
