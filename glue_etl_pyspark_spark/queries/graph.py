@@ -58,7 +58,9 @@ def _pagerank_oracle() -> str:
       AS pr
   FROM nodes n
   LEFT JOIN (
-    SELECT e.dst AS nationkey, SUM(p.pr * e.w / ow.outw) AS acc
+    SELECT e.dst AS nationkey,
+      CAST(SUM(CAST(floor(p.pr * e.w / ow.outw * 1e12) AS BIGINT)) AS BIGINT)
+        / 1e12 AS acc
     FROM edges e
     JOIN r{k - 1} p ON p.nationkey = e.src
     JOIN outw ow ON ow.src = e.src
@@ -111,9 +113,11 @@ def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("outw"))
-    contrib_base = edges.join(outw, "src").select(
-        "src", "dst", (F.col("w") / F.col("outw")).alias("share")
-    ).persist()
+    # keep w and outw as separate columns so the per-edge contribution
+    # below has the SAME expression shape as the oracle (pr * w / outw,
+    # division inside the aggregate) — a precomputed w/outw share would
+    # round in a different order and can drift an ulp per round
+    contrib_base = edges.join(outw, "src").select("src", "dst", "w", "outw").persist()
 
     n_nodes = nation.count()
     assert n_nodes == _N_NATIONS, f"nation table has {n_nodes} rows, expected 25"
@@ -122,10 +126,23 @@ def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
 
     for _ in range(_ITERS):
+        # per-edge contribution floored to an INTEGER grid before the
+        # sum: bigint accumulation is exact and order-invariant on both
+        # engines (625 terms x <=1e12 stays far under 2^53 for the
+        # final exact long->double divide)
         acc = (
             contrib_base.join(pr, pr.nationkey == contrib_base.src)
             .groupBy("dst")
-            .agg(F.sum(F.col("pr") * F.col("share")).alias("acc"))
+            .agg(
+                (
+                    F.sum(
+                        F.floor(
+                            F.col("pr") * F.col("w") / F.col("outw") * F.lit(1e12)
+                        )
+                    )
+                    / F.lit(1e12)
+                ).alias("acc")
+            )
         )
         pr = (
             nation.select("nationkey")

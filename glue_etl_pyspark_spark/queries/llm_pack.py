@@ -44,8 +44,6 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is the equivalent GLOBAL running sum: integer token
     counts make the two-phase result exactly equal."""
     d = load_table(spark, sf_dir, "documents")
-    from ..functions.text import tokenize_ws
-
     docs = d.select(
         "doc_id", F.size(tokenize_ws("text")).cast("bigint").alias("n_tokens")
     )
@@ -91,8 +89,6 @@ def doc_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     a sequential op fully hash-checkable). Also property-gated in
     pytest (exactly-once, capacity, monotone bins)."""
     d = load_table(spark, sf_dir, "documents")
-    from ..functions.text import tokenize_ws
-
     docs = d.select(
         "doc_id", F.size(tokenize_ws("text")).cast("bigint").alias("n_tokens")
     )
@@ -416,7 +412,8 @@ MIX_RESAMPLE_ORACLE = f"""
 WITH plan AS (
   SELECT doc_id, lang, source,
     {_MIX_BASE_SQL}
-      + CASE WHEN (doc_id * 2654435761) % 4294967296 < {_MIX_THR_SQL}
+      + CASE WHEN ((doc_id % 1000000007) * 2654435761) % 4294967296
+               < {_MIX_THR_SQL}
              THEN 1 ELSE 0 END AS n_copies
   FROM documents
 )
@@ -443,8 +440,13 @@ def corpus_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         (
             F.expr(_MIX_BASE_SQL)
+            # fold doc_id mod 1e9+7 BEFORE the Knuth multiply: bare
+            # doc_id * 2654435761 overflows 2^63 once ids pass ~3.4e9
+            # (ANSI-mode error on Spark, silent int128 widening in
+            # DuckDB — the oracle would diverge instead of erroring)
             + F.when(
-                (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+                ((F.col("doc_id") % F.lit(1000000007)) * F.lit(2654435761))
+                % F.lit(4294967296)
                 < F.expr(_MIX_THR_SQL),
                 1,
             ).otherwise(0)

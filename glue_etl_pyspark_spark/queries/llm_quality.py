@@ -441,7 +441,8 @@ freq AS (
 total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM occ)
 SELECT o.doc_id,
   CAST(COUNT(*) AS BIGINT) AS n_tokens,
-  floor(SUM(-ln(f.tf / CAST(t.n AS DOUBLE))) * 1e6 / COUNT(*)) / 1e6
+  CAST(SUM(CAST(floor(-ln(f.tf / CAST(t.n AS DOUBLE)) * 1e9) AS BIGINT))
+       AS BIGINT) // (CAST(COUNT(*) AS BIGINT) * 1000) / 1e6
     AS mean_surprisal
 FROM occ o JOIN freq f ON o.token = f.token CROSS JOIN total t
 GROUP BY o.doc_id
@@ -454,10 +455,11 @@ def text_idf_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     perplexity filter): each doc's mean -ln(corpus unigram
     probability). Rare-token-heavy docs score high, boilerplate
     scores low. One token-frequency shuffle + one broadcast-size join
-    back to occurrences; the mean is floor-pinned at 6 dp (per-token
-    surprisals sum in nondeterministic order, but the values are
-    identical doubles on both engines and the fixture's token mass
-    keeps the sum well clear of the floor boundary)."""
+    back to occurrences. Order-invariant by construction: each token's
+    surprisal is floored to the 1e-9 integer grid FIRST, the sum is
+    exact bigint arithmetic, and the 6-dp mean is an integer division
+    — no double accumulates in nondeterministic order on either
+    engine (the money-sum rule applied to ln)."""
     d = load_table(spark, sf_dir, "documents")
     occ = d.select("doc_id", F.explode(tokenize_ws("text")).alias("token"))
     freq = occ.groupBy("token").agg(F.count("*").alias("tf"))
@@ -467,12 +469,15 @@ def text_idf_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
-            (
-                F.floor(
-                    F.sum(-F.log(F.col("tf") / F.lit(float(total)))) * 1e6
-                    / F.count("*")
-                )
-                / 1e6
-            ).alias("mean_surprisal"),
+            F.sum(
+                F.floor(-F.log(F.col("tf") / F.lit(float(total))) * F.lit(1e9))
+            ).alias("__s"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.expr("__s div (n_tokens * 1000)") / F.lit(1e6)).alias(
+                "mean_surprisal"
+            ),
         )
     )

@@ -130,10 +130,6 @@ def agg_count_min_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BLOOM_M = 65536  # bits; 1024 64-bit words — broadcasts as ≤8 KB
 
-_BLOOM_POS = {
-    "p0": _md5_mod("o_orderkey", "bf0", _BLOOM_M),
-    "p1": _md5_mod("o_orderkey", "bf1", _BLOOM_M),
-}
 _BLOOM_POS_FACT = {
     "p0": _md5_mod("l_orderkey", "bf0", _BLOOM_M),
     "p1": _md5_mod("l_orderkey", "bf1", _BLOOM_M),
@@ -153,10 +149,12 @@ GROUP BY month(o.o_orderdate)
 """
 
 
-def bloom_words(dim_keys: DataFrame, key: str, positions: dict[str, str]) -> DataFrame:
+def bloom_words(dim_keys: DataFrame, key: str, m: int = _BLOOM_M) -> DataFrame:
     """Build the Bloom bitmap as (word, mask) rows: each key sets k=2
-    bit positions; bit_or folds them into 64-bit words. The result is
-    at most m/64 rows — broadcastable at any dim size worth blooming."""
+    bit positions derived from ``key`` via the portable md5-polynomial
+    hash; bit_or folds them into 64-bit words. The result is at most
+    m/64 rows — broadcastable at any dim size worth blooming."""
+    positions = {f"p{i}": _md5_mod(key, f"bf{i}", m) for i in range(2)}
     pos = dim_keys.select(
         *[F.expr(frag).cast("bigint").alias(p) for p, frag in positions.items()]
     )
@@ -190,7 +188,7 @@ def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderpriority") == "1-URGENT") & (F.year("o_orderdate") == 1995)
     ).select("o_orderkey", F.month("o_orderdate").alias("o_month"))
 
-    words = bloom_words(dim, "o_orderkey", _BLOOM_POS)
+    words = bloom_words(dim, "o_orderkey")
 
     fact = li.select("l_orderkey", "l_quantity").select(
         "l_orderkey",

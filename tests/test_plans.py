@@ -254,7 +254,6 @@ def test_bloom_prune_join_broadcasts_and_prunes(spark, sf_dir):
 
     from glue_etl_pyspark_spark.io import load_table
     from glue_etl_pyspark_spark.queries.sketches import (
-        _BLOOM_POS,
         _BLOOM_POS_FACT,
         bloom_words,
     )
@@ -268,7 +267,7 @@ def test_bloom_prune_join_broadcasts_and_prunes(spark, sf_dir):
     dim = o.filter(
         (F.col("o_orderpriority") == "1-URGENT") & (F.year("o_orderdate") == 1995)
     ).select("o_orderkey")
-    words = bloom_words(dim, "o_orderkey", _BLOOM_POS)
+    words = bloom_words(dim, "o_orderkey")
 
     fact = li.select(
         "l_orderkey",
