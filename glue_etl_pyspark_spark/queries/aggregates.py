@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.money import dsum
+from ..functions.money import msum
 from ..io import load_table
 from ..registry import query
 
@@ -90,7 +90,7 @@ ROLLUP_ORACLE = """
 SELECT o_orderstatus, o_orderpriority,
   CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
   CAST(COUNT(*) AS BIGINT) AS cnt,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_total
+  (CAST(SUM(CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6) AS sum_total
 FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 """
 
@@ -102,7 +102,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.rollup("o_orderstatus", "o_orderpriority").agg(
         F.grouping_id().alias("gid"),
         F.count(F.lit(1)).alias("cnt"),
-        dsum(F.col("o_totalprice")).alias("sum_total"),
+        msum(F.col("o_totalprice")).alias("sum_total"),
     )
 
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.money import dsum
+from ..functions.money import msum
 from ..io import load_table
 from ..registry import query
 
@@ -20,10 +20,10 @@ Q1_ORACLE = """
 SELECT
   l_returnflag,
   l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty,
+  (CAST(SUM(CAST(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6) AS sum_base_price,
+  (CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6) AS sum_disc_price,
+  (CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6) AS sum_charge,
   AVG(l_quantity) AS avg_qty,
   AVG(l_extendedprice) AS avg_price,
   AVG(l_discount) AS avg_disc,
@@ -40,7 +40,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q1-style pricing summary over lineitem.
 
     Filter is pushed to the parquet scan; aggregation is a
-    partial+final HashAggregate pair (verify with .explain).
+    partial+final HashAggregate pair (verify with .explain). Money
+    sums accumulate via ``msum`` (floor-scaled integer micro-units:
+    order-invariant like dsum, without the per-row BigDecimal parse);
+    quantity is integral, so a plain long sum is already exact.
     """
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -48,10 +51,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum(F.col("l_quantity")).alias("sum_qty"),
-            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
-            dsum(disc_price).alias("sum_disc_price"),
-            dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.sum(F.col("l_quantity").cast("bigint")).cast("double").alias("sum_qty"),
+            msum(F.col("l_extendedprice")).alias("sum_base_price"),
+            msum(disc_price).alias("sum_disc_price"),
+            msum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
             F.avg("l_quantity").alias("avg_qty"),
             F.avg("l_extendedprice").alias("avg_price"),
             F.avg("l_discount").alias("avg_disc"),

@@ -170,9 +170,11 @@ def test_aqe_splits_skewed_join(spark):
 def test_pack_sequences_no_global_corpus_window(spark, sf_dir):
     """The packer's running sum over the CORPUS must be partitioned by
     shard — a single-partition window over all documents is the scale
-    killer the two-phase prefix sum exists to avoid. The only
-    SinglePartition exchange allowed is the one feeding the tiny
-    per-shard totals frame (then broadcast back)."""
+    killer the two-phase prefix sum exists to avoid. Since round 5 the
+    shard bases are collected and re-shipped as literal data (the r4
+    driver hash flake), so the plan must have NO SinglePartition
+    exchange at all — phase 2 is a driver-side prefix sum over
+    n/shard_span rows."""
     plan = explain_str(_df(spark, sf_dir, "doc_pack_sequences"))
     corpus_windows = [
         line for line in plan.splitlines()
@@ -183,8 +185,8 @@ def test_pack_sequences_no_global_corpus_window(spark, sf_dir):
         assert "windowspecdefinition(__shard" in line, (
             "corpus window lost its shard partitioning:\n" + line
         )
-    assert plan.count("SinglePartition") == 1, (
-        "expected exactly one SinglePartition exchange (shard totals)"
+    assert plan.count("SinglePartition") == 0, (
+        "expected no SinglePartition exchange (bases are literal data)"
     )
 
 
