@@ -497,20 +497,44 @@ def length_bucket_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed): docs land in power-of-2 token buckets, each bucket is cut
     into fixed-size batches in deterministic doc_id order, and every
     batch reports its padding waste — the quantity this layout
-    minimizes vs naive global batching. One shuffle (the per-bucket
-    window); with only ~6 coarse buckets the window partitions are
-    corpus-sized at 100 TB, so the scale path shards the window by
-    (bucket, doc_id range) exactly like pack_greedy_shard — noted
-    rather than done here because the oracle needs the global
-    row_number."""
+    minimizes vs naive global batching. Scale path (round 5): with
+    only ~6 coarse buckets a per-bucket window is corpus-sized at
+    100 TB, so the global row number is computed the same two-phase
+    way as pack_concat_chunk — a (bucket, id-range-shard) local
+    row_number at scan parallelism, plus per-(bucket, shard) counts
+    collected to the driver (6 x n/shard_span rows), prefix-summed in
+    Python, and re-shipped as literal base offsets. Counts are
+    integers, so the result is EXACTLY the global window's — the
+    oracle keeps the global ROW_NUMBER."""
     d = load_table(spark, sf_dir, "documents")
     sized = d.select(
         "doc_id", F.size(tokenize_ws("text")).cast("bigint").alias("n_tokens")
     )
-    bucketed = sized.withColumn("bucket_len", F.expr(_BUCKET_SQL).cast("bigint"))
-    w = Window.partitionBy("bucket_len").orderBy("doc_id")
-    batched = bucketed.withColumn(
-        "batch_id", F.floor((F.row_number().over(w) - 1) / 8).cast("bigint")
+    # persist the NARROW frame (4 bigint-ish cols, no text): the
+    # counts job below is a second full pass — without this it would
+    # re-tokenize the whole corpus
+    bucketed = (
+        sized.withColumn("bucket_len", F.expr(_BUCKET_SQL).cast("bigint"))
+        .withColumn("__shard", F.expr(f"doc_id div {_SHARD_SPAN}"))
+        .persist()
+    )
+    w_local = Window.partitionBy("bucket_len", "__shard").orderBy("doc_id")
+    local = bucketed.withColumn("__lrn", F.row_number().over(w_local))
+    counts = sorted(
+        bucketed.groupBy("bucket_len", "__shard").count().collect(),
+        key=lambda r: (r["bucket_len"], r["__shard"]),
+    )
+    rows, running, cur = [], 0, None
+    for r in counts:
+        if r["bucket_len"] != cur:
+            cur, running = r["bucket_len"], 0
+        rows.append((r["bucket_len"], r["__shard"], running))
+        running += r["count"]
+    bases = spark.createDataFrame(
+        rows, "bucket_len bigint, __shard bigint, __base bigint"
+    )
+    batched = local.join(F.broadcast(bases), ["bucket_len", "__shard"]).withColumn(
+        "batch_id", F.expr("(__base + __lrn - 1) div 8")
     )
     return batched.groupBy("bucket_len", "batch_id").agg(
         F.count("*").alias("n_docs"),

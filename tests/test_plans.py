@@ -366,3 +366,20 @@ def test_compaction_reduces_file_count(spark, sf_dir):
     comp = glob.glob(f"{scratch_dir('events_compacted')}/part-*.parquet")
     assert len(frag) >= 16, f"fragmented dir not fragmented: {len(frag)} files"
     assert len(comp) <= 2, f"compaction left {len(comp)} files"
+
+
+def test_length_bucket_packing_window_is_sharded(spark, sf_dir):
+    """The batch row-number must be a (bucket, id-range-shard) window —
+    a bare per-bucket window is one corpus-sized task per bucket at
+    100 TB. The global offsets arrive as literal data (driver prefix
+    sum), so no SinglePartition exchange may appear."""
+    plan = explain_str(_df(spark, sf_dir, "length_bucket_packing"))
+    win_lines = [
+        l for l in plan.splitlines() if "windowspecdefinition" in l
+    ]
+    assert win_lines, "row-number window missing from plan"
+    for l in win_lines:
+        assert "bucket_len" in l and "__shard" in l, (
+            "window lost its (bucket_len, __shard) partitioning:\n" + l
+        )
+    assert plan.count("SinglePartition") == 0
