@@ -40,42 +40,69 @@ from pyspark.sql.functions import broadcast
 _BIN_STRIDE = 1_000_000_000
 
 
-def _with_shard_starts(
-    df: DataFrame, id_col: str, len_col: str, shard_span: int
+def sharded_prefix_sum(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    shard_span: int,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Adds ``__shard`` (id-range shard), ``__local_start`` (running
-    token offset within the shard) and ``__base`` (shard's global base
-    offset) — the distributed prefix sum both packers share."""
+    """Distributed running sum of ``len_col`` in ``id_col`` order
+    (optionally per ``group_cols`` group): adds ``__shard`` (id-range
+    shard), ``__local_start`` (running sum within the (group, shard),
+    exclusive of the current row) and ``__base`` (the (group, shard)'s
+    base offset). ``__base + __local_start`` is exactly the global
+    per-group running sum — integer arithmetic, no reorder drift.
+
+    Phase 2 runs ON THE DRIVER: collect one row per (group, shard)
+    (n/shard_span rows — the same bounded collect RDD.zipWithIndex
+    does for its partition-count pass), prefix-sum in exact Python
+    ints, and re-ship the bases as LITERAL data. The base offsets are
+    therefore values, not a recomputable plan — AQE/retry can never
+    re-derive them differently from the window+join shape this
+    replaces (r4 driver hash flake on doc_pack_sequences). Rows with a
+    NULL group key or id drop out (inner join), matching SQL window
+    PARTITION BY semantics closely enough for the non-null corpora
+    this engine feeds."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    gs = list(group_cols)
     sharded = df.withColumn("__shard", F.expr(f"{id_col} div {shard_span}"))
     w_local = (
-        Window.partitionBy("__shard")
+        Window.partitionBy(*gs, "__shard")
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = sharded.withColumn(
         "__local_start", F.sum(len_col).over(w_local) - F.col(len_col)
     )
-    # Phase 2 runs ON THE DRIVER: collect one row per shard
-    # (n/shard_span rows — the same bounded collect RDD.zipWithIndex
-    # does for its partition-count pass), prefix-sum in exact Python
-    # ints, and re-ship the bases as LITERAL data. The base offsets are
-    # therefore values, not a recomputable plan — AQE/retry can never
-    # re-derive them differently from the window+join shape this
-    # replaces (r4 driver hash flake on doc_pack_sequences).
     totals = sorted(
-        sharded.groupBy("__shard").agg(F.sum(len_col).alias("__t")).collect(),
-        key=lambda r: (r["__shard"] is None, r["__shard"]),
+        sharded.groupBy(*gs, "__shard").agg(F.sum(len_col).alias("__t")).collect(),
+        key=lambda r: tuple(
+            (r[c] is None, r[c]) for c in (*gs, "__shard")
+        ),
     )
-    rows, running = [], 0
+    rows, running = [], {}
     for r in totals:
-        if r["__shard"] is None:
-            continue  # null ids never survive the inner join anyway
-        rows.append((int(r["__shard"]), running))
-        running += int(r["__t"] or 0)
-    bases = df.sparkSession.createDataFrame(
-        rows, schema="__shard bigint, __base bigint"
+        if r["__shard"] is None or any(r[g] is None for g in gs):
+            continue
+        key = tuple(r[g] for g in gs)
+        base = running.get(key, 0)
+        rows.append((*key, int(r["__shard"]), base))
+        running[key] = base + int(r["__t"] or 0)
+    schema = StructType(
+        [sharded.schema[g] for g in gs]
+        + [StructField("__shard", LongType()), StructField("__base", LongType())]
     )
-    return local.join(broadcast(bases), "__shard")
+    bases = df.sparkSession.createDataFrame(rows, schema=schema)
+    return local.join(broadcast(bases), [*gs, "__shard"])
+
+
+def _with_shard_starts(
+    df: DataFrame, id_col: str, len_col: str, shard_span: int
+) -> DataFrame:
+    """The ungrouped prefix sum both packers share."""
+    return sharded_prefix_sum(df, id_col, len_col, shard_span)
 
 
 def pack_concat_chunk(
@@ -154,4 +181,4 @@ def pack_greedy_shard(
     )
 
 
-__all__ = ["pack_concat_chunk", "pack_greedy_shard"]
+__all__ = ["pack_concat_chunk", "pack_greedy_shard", "sharded_prefix_sum"]

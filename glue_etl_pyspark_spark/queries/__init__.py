@@ -7,6 +7,7 @@ each module covers one SURVEY.md §2 area.
 from . import (  # noqa: F401
     aggregates,
     analytics,
+    curation,
     etl_patterns,
     extras,
     filters,

@@ -1,0 +1,304 @@
+"""Corpus-curation and audit queries (round 5): token-budget
+selection, per-language quality gating, OOV-rate scoring, referential
+integrity audit, time-grid gap fill, and the train/valid/test split.
+
+These close the remaining gaps between "scored corpus" and "training
+mix": pick documents under a per-source token budget, gate on quality
+within each language, measure tokenizer coverage, audit FK health
+before a join-heavy pipeline, regularize an event stream onto a dense
+time grid, and carve the reproducible three-way split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize_ws
+from ..io import load_table
+from ..operators.packing import sharded_prefix_sum
+from ..registry import query
+from .llm_text import _DUCK_TOKS
+
+_BUDGET = 800          # tokens per source (bites at every fixture SF)
+_BUDGET_SHARD = 250    # doc_id div span for the sharded running sum
+
+TOKEN_BUDGET_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+), st AS (
+  SELECT doc_id, source, n_tokens,
+    SUM(n_tokens) OVER (
+      PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+      AS start_tokens
+  FROM toks
+)
+SELECT doc_id, source, n_tokens, start_tokens
+FROM st WHERE start_tokens < {_BUDGET}
+"""
+
+
+@query("curation_token_budget", oracle=TOKEN_BUDGET_ORACLE, category="llm-curation")
+def curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget selection (the epoch-mix quota cut):
+    walk each source's documents in doc_id order and keep those that
+    START under the budget — the deterministic "take the first N
+    tokens of every source" step of mix planning. The running sum is
+    the grouped two-phase sharded prefix sum (operators/packing.py):
+    per-(source, id-shard) window at scan parallelism + driver-side
+    literal base offsets, so no source ever becomes one corpus-sized
+    window task. The oracle is the equivalent global window."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", "source",
+        F.size(tokenize_ws("text")).cast("bigint").alias("n_tokens"),
+    )
+    summed = sharded_prefix_sum(
+        docs, "doc_id", "n_tokens", _BUDGET_SHARD, group_cols=("source",)
+    )
+    return (
+        summed.withColumn(
+            "start_tokens", F.col("__base") + F.col("__local_start")
+        )
+        .filter(F.col("start_tokens") < _BUDGET)
+        .select("doc_id", "source", "n_tokens", "start_tokens")
+    )
+
+
+QUALITY_GATE_ORACLE = """
+WITH ranked AS (
+  SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id)
+      AS r,
+    CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+  FROM documents
+)
+SELECT lang, doc_id, n_chars, CAST(r AS BIGINT) AS r, n_lang
+FROM ranked WHERE r <= (n_lang * 8) // 10
+"""
+
+
+@query("curation_quality_gate", oracle=QUALITY_GATE_ORACLE, category="llm-curation")
+def curation_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality gating: keep the top 80% of each
+    language's documents by a quality score (n_chars stands in for the
+    model score), dropping the bottom quintile — the standard
+    per-domain quality-threshold step. The 80% cut is INTEGER math
+    (r <= n*8 div 10), never a percent_rank double compare, so both
+    engines agree at every boundary; the rank's ORDER BY ends in
+    doc_id (unique tie-break, repo determinism rule). At 100 TB the
+    per-lang window shards exactly like length_bucket_packing's —
+    langs are coarse buckets; the gate itself is rank-vs-count."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), "doc_id")
+    wc = Window.partitionBy("lang")
+    ranked = d.select(
+        "lang", "doc_id", F.col("n_chars").cast("bigint").alias("n_chars")
+    ).withColumn("r", F.row_number().over(w).cast("bigint")).withColumn(
+        "n_lang", F.count("*").over(wc)
+    )
+    return ranked.filter(F.col("r") <= F.expr("(n_lang * 8) div 10"))
+
+
+_VOCAB_K = 1000
+
+OOV_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+), occ AS (
+  SELECT doc_id, unnest(toks) AS token FROM toks
+), freq AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM occ GROUP BY token
+), vocab AS (
+  SELECT token FROM freq ORDER BY c DESC, token LIMIT {_VOCAB_K}
+), j AS (
+  SELECT o.doc_id,
+    CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+  FROM occ o LEFT JOIN vocab v ON o.token = v.token
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(oov) AS BIGINT) AS n_oov,
+  (CAST(SUM(oov) AS BIGINT) * 1000000 // CAST(COUNT(*) AS BIGINT)) / 1e6
+    AS oov_rate
+FROM j GROUP BY doc_id
+"""
+
+
+@query("text_oov_rate", oracle=OOV_ORACLE, category="llm-quality")
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage scoring: each document's out-of-vocabulary
+    rate against the corpus top-1000 vocabulary. The vocab is a
+    distributed top-k (orderBy+limit plans as TakeOrderedAndProject —
+    per-partition heaps, never a global single-partition rank window),
+    then broadcasts into a left join flag. The rate is integer-scaled
+    division (n_oov*1e6 div n_tokens), exact on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    occ = d.select("doc_id", F.explode(tokenize_ws("text")).alias("token"))
+    freq = occ.groupBy("token").agg(F.count("*").alias("c"))
+    vocab = (
+        freq.orderBy(F.desc("c"), "token")
+        .limit(_VOCAB_K)
+        .select("token", F.lit(1).alias("__v"))
+    )
+    flagged = occ.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id", F.when(F.col("__v").isNull(), 1).otherwise(0).alias("oov")
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("oov").cast("bigint").alias("n_oov"),
+        )
+        .select(
+            "doc_id", "n_tokens", "n_oov",
+            (F.expr("(n_oov * 1000000) div n_tokens") / F.lit(1e6)).alias(
+                "oov_rate"
+            ),
+        )
+    )
+
+
+_FK_RELATIONS = (
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+FK_ORPHANS_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{name}' AS relation,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM {child}) AS n_rows,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM {child} ch
+   WHERE NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = ch.{fk}))
+    AS n_orphans"""
+    for name, child, fk, parent, pk in _FK_RELATIONS
+)
+
+
+@query("dq_fk_orphans", oracle=FK_ORPHANS_ORACLE, category="governance")
+def dq_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for every FK edge a
+    join-heavy pipeline depends on (an orphan silently drops rows from
+    inner joins — count them BEFORE the pipeline runs). Each edge is a
+    left-anti join aggregate (NULL FKs count as orphans on both
+    engines); the per-edge one-row crossJoin is literal-bounded, same
+    as the governance suite's."""
+    out = None
+    for name, child, fk, parent, pk in _FK_RELATIONS:
+        ch = load_table(spark, sf_dir, child)
+        pa = load_table(spark, sf_dir, parent)
+        orph = (
+            ch.join(pa, ch[fk] == pa[pk], "left_anti")
+            .agg(F.count("*").alias("n_orphans"))
+        )
+        tot = ch.agg(F.count("*").alias("n_rows"))
+        row = tot.crossJoin(orph).select(
+            F.lit(name).alias("relation"), "n_rows", "n_orphans"
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+GAP_FILL_ORACLE = """
+WITH e AS (
+  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, value
+  FROM events
+), anchors AS (
+  SELECT event_type, h, MAX(value) AS v FROM e GROUP BY event_type, h
+), spans AS (
+  SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM anchors
+  GROUP BY event_type
+), grid AS (
+  SELECT s.event_type, CAST(t.g AS TIMESTAMP) AS h
+  FROM spans s, unnest(generate_series(s.h0, s.h1, INTERVAL 1 HOUR)) AS t(g)
+)
+SELECT g.event_type, g.h,
+  last_value(a.v IGNORE NULLS) OVER (
+    PARTITION BY g.event_type ORDER BY g.h
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+  CAST(CASE WHEN a.v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+FROM grid g LEFT JOIN anchors a
+  ON a.event_type = g.event_type AND a.h = g.h
+"""
+
+
+@query("events_gap_fill_hourly", oracle=GAP_FILL_ORACLE, category="analytics")
+def events_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-grid regularization with forward fill: every event type
+    gets a dense hourly grid over its own span; missing hours carry
+    the last observed hourly max (sensor/metric resampling). The grid
+    is a narrow per-type sequence explode (spans collapse to one row
+    per type first); the fill is last(ignorenulls) over an
+    (event_type)-partitioned window — type count is small, but each
+    partition is only the GRID (hours), never the raw events, so the
+    window input stays tiny at any corpus scale."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", "ts").alias("h"), "value"
+    )
+    anchors = e.groupBy("event_type", "h").agg(F.max("value").alias("v"))
+    spans = anchors.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = spans.select(
+        "event_type",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("h"),
+    )
+    joined = grid.join(F.broadcast(anchors), ["event_type", "h"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "h",
+        F.last("v", ignorenulls=True).over(w).alias("filled_value"),
+        F.when(F.col("v").isNull(), 1).otherwise(0).cast("bigint").alias(
+            "is_gap"
+        ),
+    )
+
+
+# exact 2^32 multiples of 0.8 / 0.9, rounded up — integer thresholds so
+# both engines compare identical BIGINTs (same discipline as
+# corpus_mix_resample)
+_SPLIT_T1 = 3435973837  # ceil(0.8 * 2^32)
+_SPLIT_T2 = 3865470566  # ceil(0.9 * 2^32)
+
+_SPLIT_SQL = f"""CASE
+  WHEN ((doc_id % 1000000007) * 2654435761) % 4294967296 < {_SPLIT_T1}
+    THEN 'train'
+  WHEN ((doc_id % 1000000007) * 2654435761) % 4294967296 < {_SPLIT_T2}
+    THEN 'valid'
+  ELSE 'test' END"""
+
+SPLIT_ORACLE = f"""
+SELECT lang, {_SPLIT_SQL} AS split_name,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+FROM documents
+GROUP BY lang, {_SPLIT_SQL}
+"""
+
+
+@query("corpus_split_assign", oracle=SPLIT_ORACLE, category="llm-curation")
+def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test assignment (80/10/10): the split
+    is a pure function of doc_id (overflow-folded Knuth hash vs exact
+    2^32-multiple thresholds), so reruns, retries, and any
+    partitioning produce the SAME split — no RNG state to plumb, no
+    shuffle beyond the reporting groupBy. Returns per-(lang, split)
+    counts; the per-doc assignment is the same expression inline."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("split_name", F.expr(_SPLIT_SQL))
+        .groupBy("lang", "split_name")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars_total"),
+        )
+    )

@@ -65,53 +65,62 @@ def test_registry_order_is_priority_prefix():
 
 
 def test_priority_window_targets_external_coverage_gaps():
-    """Round-4 rotation: the expected driver window (first 50) leads
-    with every query that has NO hash-green external row through round
-    3 — the r3 multimodal_features ERR fix first, then the late-r3
-    additions that never saw a driver window, then the new round-4
-    queries — before refreshing the stalest (round-1-green) evidence.
-    Rows-only queries earned their external rows in r3, so this window
-    returns to oracled-first."""
+    """Round-5 rotation: the driver window (first 50) leads with the
+    only never-checked query (agg_histogram), then the two r4
+    hash-FAILs whose packer was reworked, then every query whose
+    values or oracle CHANGED in round 5 (they are green in old rounds
+    but that evidence no longer describes the shipped code), then the
+    six new round-5 queries, and fills the rest with the stalest
+    (round-1-green) refresh block."""
     import json
     import pathlib
 
     root = pathlib.Path(__file__).resolve().parents[1]
     green: set[str] = set()
-    checked: set[str] = set()
     for fname in (
         "CORRECTNESS_r01.json",
         "CORRECTNESS_r02.json",
         "CORRECTNESS_r03.json",
+        "CORRECTNESS_r04.json",
     ):
         for n, row in json.loads((root / fname).read_text()).items():
-            if not isinstance(row, dict):
-                continue
-            checked.add(n)
-            if row.get("hash_match"):
+            if isinstance(row, dict) and row.get("hash_match"):
                 green.add(n)
     specs = load_all()
     names = list(specs)[:50]
-    assert names[0] == "multimodal_features"
-    # never-hash-green oracled queries must all sit inside the window
+    assert names[0] == "agg_histogram"
+    # the r4 hash-FAIL pair must re-earn evidence immediately
+    assert "doc_pack_sequences" in names[:3]
+    assert "llm_training_manifest" in names[:3]
+    # every oracled query with NO hash-green row through r4 sits inside
     never_green = [
         n for n in specs if specs[n].oracle is not None and n not in green
     ]
     missing = [n for n in never_green if n not in names]
-    # the window must not re-spend slots on queries already green in r2/r3
-    # (r1-green rotation refreshes are the intended filler)
-    recent: set[str] = set()
-    for fname in ("CORRECTNESS_r02.json", "CORRECTNESS_r03.json"):
+    assert not missing, f"never-green queries outside window: {missing}"
+    # slots re-spent on already-green queries are ONLY the documented
+    # round-5 changed set + the r1-stale refresh filler
+    r5_changed = {
+        "doc_pack_sequences", "llm_training_manifest", "corpus_mix_resample",
+        "text_idf_quality", "graph_pagerank_topk", "q1_pricing_summary",
+        "agg_rollup", "length_bucket_packing",
+    }
+    r1_only: set[str] = set()
+    r1 = json.loads((root / "CORRECTNESS_r01.json").read_text())
+    later: set[str] = set()
+    for fname in (
+        "CORRECTNESS_r02.json",
+        "CORRECTNESS_r03.json",
+        "CORRECTNESS_r04.json",
+    ):
         for n, row in json.loads((root / fname).read_text()).items():
             if isinstance(row, dict) and row.get("hash_match"):
-                recent.add(n)
-    wasted = [n for n in names if n in recent]
-    assert len(wasted) <= 2, f"window re-spends slots on recently-green {wasted}"
-    # never-green queries may overflow the 50 slots ONLY when no slot
-    # is wasted on a recently-green query (the overflow, registered
-    # last, then leads the NEXT round's rotation)
-    if missing:
-        assert not wasted, (
-            f"never-green {missing} outside window while slots go to "
-            f"recently-green {wasted}"
-        )
-        assert len(missing) <= 2, f"overflow too large: {missing}"
+                later.add(n)
+    for n, row in r1.items():
+        if isinstance(row, dict) and row.get("hash_match") and n not in later:
+            r1_only.add(n)
+    unexplained = [
+        n for n in names
+        if n in green and n not in r5_changed and n not in r1_only
+    ]
+    assert not unexplained, f"window wastes slots on {unexplained}"
