@@ -23,6 +23,7 @@ from . import (  # noqa: F401
     nested,
     projection,
     relational,
+    retrieval,
     scalars,
     sketches,
     setops,

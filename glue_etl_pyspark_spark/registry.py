@@ -55,11 +55,9 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 # 1 never-checked (agg_histogram) + 2 r4 hash-FAILs re-fixed
 # (pack determinism rework) + 6 whose values or oracles changed this
 # round (mix fold / surprisal floor / pagerank floor / msum x2 /
-# sharded bucket packing) + 6 new round-5 queries + the first 35 of
-# the 38-name r1-stale-evidence block = 50 exactly. The last 3 stale
-# names (join_non_equi_pairs, join_range_weekly, dedup_exact,
-# dedup_simhash_twins minus the 35 cut) trail at positions 51+ and
-# lead round 6. Pinned by tests/test_registry.py.
+# sharded bucket packing) + 8 new round-5 queries + the first 33 of
+# the 38-name r1-stale-evidence block = 50 exactly. The last 5 stale
+# names trail at positions 51+ and lead round 6. Pinned by tests/test_registry.py.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- never externally checked ---
     "agg_histogram",
@@ -80,6 +78,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dq_fk_orphans",
     "events_gap_fill_hourly",
     "corpus_split_assign",
+    "text_bm25_topk",
+    "dedup_minhash_portable",
     # --- stalest evidence: last green in ROUND 1 (first 35 of 38) ---
     "join_asof_purchase_click",
     "dedup_ngram_jaccard",
@@ -115,8 +115,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "join_left_anti",
     "join_full_outer",
     "join_cross",
-    "join_non_equi_pairs",
     # --- overflow: lead round 6 ---
+    "join_non_equi_pairs",
     "join_range_weekly",
     "dedup_exact",
     "dedup_simhash_twins",
