@@ -302,3 +302,121 @@ def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("n_chars_total"),
         )
     )
+
+
+INCR_DEDUP_ORACLE = f"""
+WITH batch AS (
+  SELECT doc_id + 20000 AS doc_id,
+    CASE WHEN doc_id % 2 = 0 THEN text
+         ELSE array_to_string(({_DUCK_TOKS})[1:len({_DUCK_TOKS}) - 1], ' ')
+    END AS text
+  FROM documents
+), corpus_digests AS (
+  SELECT DISTINCT sha256(text) AS digest FROM documents
+)
+SELECT b.doc_id, sha256(b.text) AS digest,
+  CAST(CASE WHEN c.digest IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
+FROM batch b LEFT JOIN corpus_digests c ON c.digest = sha256(b.text)
+"""
+
+
+@query("dedup_incremental_batch", oracle=INCR_DEDUP_ORACLE, category="llm-dedup")
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (new-batch-vs-corpus) exact dedup — the daily-crawl
+    shape: the batch joins the EXISTING corpus's content digests, not
+    itself, so yesterday's corpus is a build-once digest table and the
+    daily cost is one hash join on constant-width sha256 keys. The
+    fixture batch replays documents with shifted ids: even doc_ids are
+    byte-identical (dups), odd doc_ids drop their last word (new).
+    At 100 TB the digest table is the thing you bucket/persist;
+    the batch side streams against it."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = tokenize_ws("text")
+    batch = d.select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.col("text"))
+        .otherwise(
+            F.array_join(
+                F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))), " "
+            )
+        )
+        .alias("text"),
+    ).withColumn("digest", F.sha2("text", 256))
+    corpus_digests = d.select(
+        F.sha2("text", 256).alias("digest")
+    ).distinct().withColumn("__hit", F.lit(1))
+    return batch.join(corpus_digests, "digest", "left").select(
+        "doc_id",
+        "digest",
+        F.when(F.col("__hit").isNull(), 0).otherwise(1).cast("bigint").alias(
+            "is_dup"
+        ),
+    )
+
+
+_TOK_VOCAB_K = 1000
+
+TOKENIZE_IDS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+), occ AS (
+  SELECT doc_id, toks[r.i] AS token, CAST(r.i AS BIGINT) AS pos
+  FROM toks, unnest(range(1, len(toks) + 1)) AS r(i)
+), freq AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM occ GROUP BY token
+), ranked AS (
+  SELECT token, row_number() OVER (ORDER BY c DESC, token) AS vid
+  FROM (SELECT * FROM freq ORDER BY c DESC, token LIMIT {_TOK_VOCAB_K})
+)
+SELECT o.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(CASE WHEN r.vid IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+  array_to_string(list(coalesce(r.vid, 0) ORDER BY o.pos), ',') AS ids
+FROM occ o LEFT JOIN ranked r ON r.token = o.token
+GROUP BY o.doc_id
+"""
+
+
+@query("text_tokenize_to_ids", oracle=TOKENIZE_IDS_ORACLE, category="llm-text")
+def text_tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenize step that feeds packing: map every document's
+    token stream to vocab ids (top-1000 by frequency, UNK=0) and emit
+    the id sequence in document order (serialized — atomic-column
+    rule). The ranking window runs over the LIMITed 1000-row vocab
+    only (TakeOrdered first); reassembly sorts (pos, id) structs
+    per document — posexplode positions are unique, so the order is
+    total. The id-sequence column is exactly what doc_pack_sequences'
+    token counts summarize."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokenize_ws("text").alias("toks"))
+    occ = toks.select(
+        "doc_id", F.posexplode("toks").alias("pos", "token")
+    ).withColumn("pos", F.col("pos") + 1)
+    freq = occ.groupBy("token").agg(F.count("*").alias("c"))
+    w = Window.orderBy(F.desc("c"), "token")
+    ranked = (
+        freq.orderBy(F.desc("c"), "token")
+        .limit(_TOK_VOCAB_K)
+        .withColumn("vid", F.row_number().over(w).cast("bigint"))
+        .select("token", "vid")
+    )
+    flagged = occ.join(F.broadcast(ranked), "token", "left").select(
+        "doc_id",
+        "pos",
+        F.coalesce(F.col("vid"), F.lit(0)).alias("vid"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("vid") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_unk"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "vid"))
+                ),
+                lambda s: s["vid"].cast("string"),
+            ),
+            ",",
+        ).alias("ids"),
+    )

@@ -55,8 +55,8 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 # 1 never-checked (agg_histogram) + 2 r4 hash-FAILs re-fixed
 # (pack determinism rework) + 6 whose values or oracles changed this
 # round (mix fold / surprisal floor / pagerank floor / msum x2 /
-# sharded bucket packing) + 8 new round-5 queries + the first 33 of
-# the 38-name r1-stale-evidence block = 50 exactly. The last 5 stale
+# sharded bucket packing) + 10 new round-5 queries + the first 31 of
+# the 38-name r1-stale-evidence block = 50 exactly. The last 7 stale
 # names trail at positions 51+ and lead round 6. Pinned by tests/test_registry.py.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- never externally checked ---
@@ -80,6 +80,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_split_assign",
     "text_bm25_topk",
     "dedup_minhash_portable",
+    "dedup_incremental_batch",
+    "text_tokenize_to_ids",
     # --- stalest evidence: last green in ROUND 1 (first 35 of 38) ---
     "join_asof_purchase_click",
     "dedup_ngram_jaccard",
@@ -113,9 +115,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "join_inner_equi",
     "join_left_semi",
     "join_left_anti",
+    # --- overflow: lead round 6 ---
     "join_full_outer",
     "join_cross",
-    # --- overflow: lead round 6 ---
     "join_non_equi_pairs",
     "join_range_weekly",
     "dedup_exact",
