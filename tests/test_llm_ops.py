@@ -466,3 +466,39 @@ def test_pack_concat_chunk_repeated_run_determinism(spark, sf_dir):
     m1 = sorted(map(tuple, _run(spark, sf_dir, "llm_training_manifest").collect()))
     m2 = sorted(map(tuple, _run(spark, sf_dir, "llm_training_manifest").collect()))
     assert m1 == m2
+
+
+def test_minhash_portable_recall_vs_exact(spark, sf_dir):
+    """The value-oracled MinHash banding must still be a GOOD LSH:
+    every planted (doc, doc-minus-last-word) twin pair from the exact
+    4-gram Jaccard twin set should surface as a band collision
+    (near-identical shingle sets -> near-identical signatures)."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in _run(spark, sf_dir, "dedup_ngram_jaccard").collect()
+    }
+    cand = {
+        (r.id_a, r.id_b)
+        for r in _run(spark, sf_dir, "dedup_minhash_portable").collect()
+    }
+    twins = {(a, b) for a, b in exact if b == a + 10000}
+    hit = len(twins & cand) / len(twins)
+    assert hit >= 0.9, f"planted-twin recall {hit:.2f} < 0.9"
+
+
+def test_grouped_prefix_sum_repeated_run_determinism(spark, sf_dir):
+    """Same stress pin as the packer's, for the GROUPED variant
+    (curation_token_budget): repeated runs across shuffle widths must
+    be bit-identical — the bases are literal data by construction."""
+    runs = []
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for parts in ("2", "32", "200"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            rows = sorted(
+                map(tuple, _run(spark, sf_dir, "curation_token_budget").collect())
+            )
+            runs.append(rows)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert all(r == runs[0] for r in runs[1:])

@@ -383,3 +383,28 @@ def test_length_bucket_packing_window_is_sharded(spark, sf_dir):
             "window lost its (bucket_len, __shard) partitioning:\n" + l
         )
     assert plan.count("SinglePartition") == 0
+
+
+def test_bm25_topk_plan(spark, sf_dir):
+    """BM25 must plan as: IN-filter pruning before the tf aggregate,
+    broadcast df/stats joins, and a TakeOrderedAndProject top-k (never
+    a global sort of all scored docs)."""
+    plan = explain_str(_df(spark, sf_dir, "text_bm25_topk"))
+    assert "TakeOrderedAndProject" in plan
+    assert_broadcast_joins(_df(spark, sf_dir, "text_bm25_topk"), at_least=2)
+
+
+def test_minhash_portable_is_bucket_join(spark, sf_dir):
+    """The LSH candidate join must key on (band, k1, k2) buckets —
+    a nested-loop/cartesian pair generation defeats the whole point."""
+    plan = explain_str(_df(spark, sf_dir, "dedup_minhash_portable"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_oov_vocab_is_take_ordered(spark, sf_dir):
+    """The vocab top-k must be TakeOrderedAndProject (per-partition
+    heaps), not a single-partition rank window over all tokens."""
+    plan = explain_str(_df(spark, sf_dir, "text_oov_rate"))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("SinglePartition") == 0
