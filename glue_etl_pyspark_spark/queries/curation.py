@@ -420,3 +420,49 @@ def text_tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("ids"),
     )
+
+
+_STRAT_N = 40
+
+STRAT_EXACT_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+    ((doc_id % 1000000007) * 2654435761) % 4294967296 AS hkey
+  FROM documents
+), ranked AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+    row_number() OVER (PARTITION BY lang ORDER BY hkey, doc_id) AS rn
+  FROM keyed
+)
+SELECT lang, doc_id, n_chars, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {_STRAT_N}
+"""
+
+
+@query("sample_stratified_exact", oracle=STRAT_EXACT_ORACLE, category="llm-curation")
+def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-N-per-stratum sampling: each language contributes its
+    first N=40 documents in deterministic pseudorandom order (the
+    overflow-folded Knuth hash as the sort key, doc_id tie-break) —
+    the eval-set builder that needs EXACTLY N per stratum where
+    fraction-based sampling only gets close. The rank<=N filter plans
+    as WindowGroupLimit (per-partition partial top-N before the
+    shuffle — pinned), so no stratum ever materializes its full
+    ordered partition. Fully deterministic: reruns and repartitionings
+    pick the same N documents."""
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        (
+            ((F.col("doc_id") % F.lit(1000000007)) * F.lit(2654435761))
+            % F.lit(4294967296)
+        ).alias("hkey"),
+    )
+    w = Window.partitionBy("lang").orderBy("hkey", "doc_id")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= _STRAT_N)
+        .select("lang", "doc_id", "n_chars", "rn")
+    )

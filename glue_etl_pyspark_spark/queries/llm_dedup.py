@@ -312,3 +312,82 @@ def llm_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.min("n_tokens").alias("min_tokens"),
     )
+
+
+CANONICAL_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000,
+         array_to_string(({_DUCK_TOKS})[1:len({_DUCK_TOKS}) - 1], ' ')
+  FROM documents
+),
+assign AS (
+  SELECT id, cluster_id FROM ({CLUSTERS_ORACLE})
+),
+full_c AS (
+  SELECT c.doc_id, CAST(length(c.text) AS BIGINT) AS len,
+    coalesce(a.cluster_id, c.doc_id) AS cluster_id
+  FROM corpus c LEFT JOIN assign a ON a.id = c.doc_id
+),
+ranked AS (
+  SELECT doc_id, len, cluster_id,
+    row_number() OVER (
+      PARTITION BY cluster_id ORDER BY len DESC, doc_id) AS rn
+  FROM full_c
+),
+counts AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members FROM full_c
+  GROUP BY cluster_id
+)
+SELECT r.cluster_id, r.doc_id AS keep_id, r.len AS keep_len, c.n_members
+FROM ranked r JOIN counts c ON c.cluster_id = r.cluster_id
+WHERE r.rn = 1 AND c.n_members > 1
+"""
+
+
+@query("dedup_cluster_canonical", oracle=CANONICAL_ORACLE, category="llm-dedup")
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep-one-per-cluster step that FINISHES near-dedup: after
+    pair mining and connected components, each multi-member cluster
+    elects its canonical document (longest text, doc_id tie-break) —
+    the rewrite rule a dedup pipeline applies to the corpus. Built on
+    dedup_clusters (iterative min-label, lineage-truncated); docs in
+    no pair are singleton clusters and drop out of the report. The
+    per-cluster window partitions are clique-sized (tiny at any corpus
+    scale). Hash-checked end-to-end through the recursive-CTE closure
+    oracle — the iterative chain stays value-verified."""
+    corpus = _with_perturbed_copies(spark, sf_dir)
+    from ..operators.dedup import dedup_clusters
+
+    pairs = ngram_jaccard_pairs(
+        corpus, "doc_id", "text", n=4, threshold=0.6, prefix_filter=False
+    )
+    assign = dedup_clusters(pairs)
+    full_c = (
+        corpus.select("doc_id", F.length("text").cast("bigint").alias("len"))
+        .join(assign, corpus.doc_id == assign.id, "left")
+        .select(
+            "doc_id",
+            "len",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias(
+                "cluster_id"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("len"), "doc_id")
+    ranked = full_c.withColumn("rn", F.row_number().over(w))
+    counts = full_c.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .join(counts, "cluster_id")
+        .filter(F.col("n_members") > 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keep_id"),
+            F.col("len").alias("keep_len"),
+            "n_members",
+        )
+    )

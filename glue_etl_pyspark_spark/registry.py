@@ -55,8 +55,8 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 # 1 never-checked (agg_histogram) + 2 r4 hash-FAILs re-fixed
 # (pack determinism rework) + 6 whose values or oracles changed this
 # round (mix fold / surprisal floor / pagerank floor / msum x2 /
-# sharded bucket packing) + 10 new round-5 queries + the first 31 of
-# the 38-name r1-stale-evidence block = 50 exactly. The last 7 stale
+# sharded bucket packing) + 12 new round-5 queries + the first 29 of
+# the 38-name r1-stale-evidence block = 50 exactly. The last 9 stale
 # names trail at positions 51+ and lead round 6. Pinned by tests/test_registry.py.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- never externally checked ---
@@ -82,6 +82,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_minhash_portable",
     "dedup_incremental_batch",
     "text_tokenize_to_ids",
+    "dedup_cluster_canonical",
+    "sample_stratified_exact",
     # --- stalest evidence: last green in ROUND 1 (first 35 of 38) ---
     "join_asof_purchase_click",
     "dedup_ngram_jaccard",
@@ -114,8 +116,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "select_drop_rename",
     "join_inner_equi",
     "join_left_semi",
-    "join_left_anti",
     # --- overflow: lead round 6 ---
+    "join_left_anti",
     "join_full_outer",
     "join_cross",
     "join_non_equi_pairs",

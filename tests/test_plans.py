@@ -408,3 +408,11 @@ def test_oov_vocab_is_take_ordered(spark, sf_dir):
     plan = explain_str(_df(spark, sf_dir, "text_oov_rate"))
     assert "TakeOrderedAndProject" in plan
     assert plan.count("SinglePartition") == 0
+
+
+def test_stratified_exact_uses_window_group_limit(spark, sf_dir):
+    """rank<=N per stratum must plan as WindowGroupLimit — partial
+    per-partition top-N before the shuffle, so no stratum ever
+    materializes its full ordered partition."""
+    plan = explain_str(_df(spark, sf_dir, "sample_stratified_exact"))
+    assert "WindowGroupLimit" in plan
