@@ -18,7 +18,7 @@ from ..functions.text import tokenize_ws
 from ..io import load_table
 from ..registry import query
 from .llm_text import _DUCK_TOKS
-from .sketches import _md5_mod
+from .sketches import _md5_mod, _md5_mod_at
 
 # --- BM25 ----------------------------------------------------------
 
@@ -128,11 +128,20 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- portable MinHash-LSH ------------------------------------------
 
 _MH_K = 8          # signature length
-_MH_BANDS = 4      # bands of 2 rows each
+_MH_BANDS = 2      # bands of 4 rows each: 1-(1-s^4)^2 candidate curve
+_MH_ROWS = 4       # (4x2 was measured far too permissive on this
+                   # small-vocab corpus: moderate-similarity docs
+                   # collided at ~68% and candidates went quadratic)
 _MH_MOD = 16777216  # 2^24 — the md5-polynomial fragment's 6 hex digits
 
+# 8 hashes from TWO md5 evaluations per shingle (4 six-digit slices
+# each) — the hashing stage is the linear cost of the banding build,
+# so halving-twice the md5 count matters at corpus scale
 _MH_FRAGS = {
-    f"h{j}": _md5_mod("shingle", f"mh{j}", _MH_MOD) for j in range(_MH_K)
+    f"h{j}": _md5_mod_at(
+        "shingle", "mhA" if j < 4 else "mhB", _MH_MOD, 6 * (j % 4)
+    )
+    for j in range(_MH_K)
 }
 
 _MH_CORPUS_SQL = f"""
@@ -148,7 +157,12 @@ _MH_SIG_COLS_SQL = ",\n    ".join(
 )
 
 _MH_BAND_SQL = "\n  UNION ALL\n".join(
-    f"SELECT id, {b} AS band, h{2 * b} AS k1, h{2 * b + 1} AS k2 FROM sig"
+    "SELECT id, {b} AS band, {ks} FROM sig".format(
+        b=b,
+        ks=", ".join(
+            f"h{_MH_ROWS * b + r} AS k{r + 1}" for r in range(_MH_ROWS)
+        ),
+    )
     for b in range(_MH_BANDS)
 )
 
@@ -174,7 +188,8 @@ SELECT a.id AS id_a, b.id AS id_b,
   CAST(COUNT(*) AS BIGINT) AS n_bands
 FROM bands a
 JOIN bands b
-  ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2 AND a.id < b.id
+  ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+  AND a.k3 = b.k3 AND a.k4 = b.k4 AND a.id < b.id
 GROUP BY a.id, b.id
 """
 
@@ -187,7 +202,7 @@ GROUP BY a.id, b.id
 def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs with a VALUE oracle: 8 minhashes
     over distinct 4-gram shingles (md5-polynomial hash family — both
-    engines compute identical integers), banded 4x2; documents
+    engines compute identical integers), banded 2x4; documents
     sharing a band bucket become candidates (id_a < id_b, with the
     shared-band count). Same banding scale shape as simhash/LSH —
     bucket equi-join on (band, k1, k2), never all-pairs — but unlike
@@ -236,22 +251,23 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.col(f"h{2 * b}").alias("k1"),
-                        F.col(f"h{2 * b + 1}").alias("k2"),
+                        *[
+                            F.col(f"h{_MH_ROWS * b + r}").alias(f"k{r + 1}")
+                            for r in range(_MH_ROWS)
+                        ],
                     )
                     for b in range(_MH_BANDS)
                 ]
             )
         ).alias("bk"),
-    ).select("id", "bk.band", "bk.k1", "bk.k2")
-    left = bands.select(
-        F.col("id").alias("id_a"), "band", "k1", "k2"
+    ).select(
+        "id", "bk.band", *[f"bk.k{r + 1}" for r in range(_MH_ROWS)]
     )
-    right = bands.select(
-        F.col("id").alias("id_b"), "band", "k1", "k2"
-    )
+    keys = ["band"] + [f"k{r + 1}" for r in range(_MH_ROWS)]
+    left = bands.select(F.col("id").alias("id_a"), *keys)
+    right = bands.select(F.col("id").alias("id_b"), *keys)
     return (
-        left.join(right, ["band", "k1", "k2"])
+        left.join(right, keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_bands"))

@@ -30,9 +30,21 @@ def _md5_mod(expr: str, seed: str, mod: int) -> str:
     md5('<seed>:' || expr) as an integer, mod ``mod``. Identical
     output in Spark SQL and DuckDB (probed: both 226 for seed s0,
     key 42, mod 256)."""
+    return _md5_mod_at(expr, seed, mod, 0)
+
+
+def _md5_mod_at(expr: str, seed: str, mod: int, offset: int) -> str:
+    """Like ``_md5_mod`` but parses the 6 hex digits starting at
+    1-based position ``offset+1`` — one md5 yields FOUR independent
+    6-digit hashes (offsets 0/6/12/18 of its 32 hex chars), so a
+    k-hash family costs ceil(k/4) md5 evaluations per row instead of
+    k (4x on MinHash signatures). Still valid verbatim in both
+    dialects."""
+    assert 0 <= offset <= 26
     digits = " + ".join(
         f"(instr('0123456789abcdef', "
-        f"substr(md5(concat('{seed}', ':', {expr})), {i}, 1)) - 1) * {16 ** (6 - i)}"
+        f"substr(md5(concat('{seed}', ':', {expr})), {offset + i}, 1)) - 1)"
+        f" * {16 ** (6 - i)}"
         for i in range(1, 7)
     )
     return f"(({digits}) % {mod})"
