@@ -25,6 +25,7 @@ from . import (  # noqa: F401
     relational,
     retrieval,
     scalars,
+    selection,
     sketches,
     setops,
     streamingq,

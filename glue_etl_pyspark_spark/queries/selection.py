@@ -1,0 +1,344 @@
+"""Corpus-selection and audit queries (round 5, continued): token
+entropy gating, per-source document caps, bigram PMI collocations,
+and benchmark-contamination screening at the NEAR-duplicate level.
+
+These extend the curation surface (queries/curation.py) with the
+other half of published pretraining-data practice: drop degenerate
+low-entropy documents, balance over-represented sources (the Common
+Crawl per-domain cap), surface collocations for tokenizer/vocab
+decisions, and catch eval-set leakage that exact n-gram overlap
+misses because the leaked copy was lightly edited.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize_ws
+from ..io import load_table
+from ..registry import query
+from .llm_text import _DUCK_TOKS
+from .retrieval import _MH_BANDS, _MH_FRAGS, _MH_ROWS
+from .sketches import _md5_mod
+
+# --- token-entropy quality gate ------------------------------------
+
+_ENT_THR = 3.0  # 6-dp entropy floor; median of the fixture is ~3.09
+
+ENTROPY_ORACLE = f"""
+WITH occ AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents
+), cnt AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM occ GROUP BY doc_id, token
+), agg AS (
+  SELECT doc_id,
+    CAST(SUM(c) AS BIGINT) AS n_tokens,
+    CAST(COUNT(*) AS BIGINT) AS n_uniq,
+    CAST(SUM(CAST(floor(c * ln(c) * 1e9) AS BIGINT)) AS BIGINT) AS s
+  FROM cnt GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_uniq,
+  CAST(greatest(
+    CAST(floor(ln(n_tokens) * 1e9) AS BIGINT) * n_tokens - s, 0
+  ) // (n_tokens * 1000) AS BIGINT) / 1e6 AS entropy,
+  CAST(CAST(greatest(
+    CAST(floor(ln(n_tokens) * 1e9) AS BIGINT) * n_tokens - s, 0
+  ) // (n_tokens * 1000) AS BIGINT) / 1e6 >= {_ENT_THR} AS INTEGER) AS kept
+FROM agg
+"""
+
+
+@query("text_entropy_gate", oracle=ENTROPY_ORACLE, category="llm-quality")
+def text_entropy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution Shannon entropy per document, with the keep
+    flag of an entropy quality gate: H = ln(N) - (1/N)·Σ c·ln(c) over
+    the doc's token counts — boilerplate and keyword-stuffed pages
+    score low, natural prose high. Order-invariant by construction:
+    each count's c·ln(c) is floored to the 1e-9 integer grid FIRST,
+    the per-doc sum is exact bigint arithmetic, and the 6-dp entropy
+    is an integer division (the money-sum rule applied to ln, as in
+    text_idf_quality). One (doc, token) count shuffle with map-side
+    combine, then a doc-grain aggregate — at 100 TB this runs at scan
+    parallelism; no corpus-wide state, so it scales per-document."""
+    d = load_table(spark, sf_dir, "documents")
+    occ = d.select("doc_id", F.explode(tokenize_ws("text")).alias("token"))
+    cnt = occ.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").alias("n_uniq"),
+        F.sum(F.floor(F.col("c") * F.log("c") * F.lit(1e9))).cast("bigint").alias("__s"),
+    )
+    ent = F.expr(
+        "greatest(cast(floor(ln(n_tokens) * 1e9) as bigint) * n_tokens - __s, 0L)"
+        " div (n_tokens * 1000)"
+    ) / F.lit(1e6)
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_uniq",
+        ent.alias("entropy"),
+        (ent >= F.lit(_ENT_THR)).cast("int").alias("kept"),
+    )
+
+
+# --- per-source document cap ---------------------------------------
+
+_CAP_K = 5
+_CAP_HASH = _md5_mod("doc_id", "cap", 16777216)
+
+SOURCE_CAP_ORACLE = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+    ROW_NUMBER() OVER (
+      PARTITION BY source ORDER BY {_CAP_HASH}, doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {_CAP_K}
+"""
+
+
+@query("curation_source_cap", oracle=SOURCE_CAP_ORACLE, category="llm-curation")
+def curation_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (the Common Crawl per-domain balance
+    rule): keep at most K documents per source, chosen by a
+    deterministic portable hash rank rather than arrival order, so
+    the SAME cap sample survives reruns, repartitions, and engine
+    swaps (md5-polynomial hash — the DuckDB oracle ranks with the
+    identical integers). One window per source group: domains are
+    many and individually bounded, so the rank parallelizes across
+    the domain key at 100 TB; a pathological mega-domain would take
+    the two-phase sharded-rank treatment (operators/packing.py), and
+    an approximate pre-cut on the hash value (h < K/n_est · 2^24)
+    can shrink a hot domain's window input first."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.expr(_CAP_HASH), "doc_id")
+    return (
+        d.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= _CAP_K)
+    )
+
+
+# --- bigram PMI collocations ---------------------------------------
+
+_PMI_TOPK = 25
+
+PMI_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+), occ AS (
+  SELECT unnest(toks) AS token FROM toks
+), uni AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM occ GROUP BY token
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_tok FROM occ
+), bi AS (
+  SELECT toks[i] AS tok_a, toks[i + 1] AS tok_b
+  FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+        FROM toks WHERE len(toks) >= 2)
+), bic AS (
+  SELECT tok_a, tok_b, CAST(COUNT(*) AS BIGINT) AS c_ab FROM bi
+  GROUP BY tok_a, tok_b
+), btot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_bi FROM bi
+)
+SELECT tok_a, tok_b, c_ab,
+  floor((ln(c_ab) + ln(n_tok) + ln(n_tok) - ln(n_bi) - ln(ua.c)
+         - ln(ub.c)) * 1e6) / 1e6 AS pmi
+FROM bic
+JOIN uni ua ON bic.tok_a = ua.token
+JOIN uni ub ON bic.tok_b = ub.token
+CROSS JOIN tot CROSS JOIN btot
+ORDER BY c_ab DESC, tok_a, tok_b
+LIMIT {_PMI_TOPK}
+"""
+
+
+@query("text_bigram_pmi", oracle=PMI_ORACLE, category="llm-text")
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top bigram collocations by support, scored with pointwise
+    mutual information — the statistic behind merge decisions in
+    BPE-style vocab induction and multi-word-expression detection.
+    PMI = ln(p(a,b) / (p(a)p(b))) computed as a FIXED left-to-right
+    sum of six ln terms (identical expression shape in the oracle;
+    the handful-of-doubles rule), floor-pinned at 6 dp; counts stay
+    exact bigints. Plan: narrow adjacent-pair fan-out (no shuffle),
+    one bigram-count shuffle with map-side combine, vocab-sized
+    unigram frequency broadcast back onto pairs, top-k via
+    TakeOrderedAndProject — no corpus-sized window, no n² pair
+    space, so the shape survives 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(tokenize_ws("text").alias("toks"))
+    occ = toks.select(F.explode("toks").alias("token"))
+    uni = occ.groupBy("token").agg(F.count("*").alias("c"))
+    n_tok = occ.count()
+    bi = toks.filter(F.size("toks") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 2),
+                lambda i: F.struct(
+                    F.col("toks")[i].alias("tok_a"),
+                    F.col("toks")[i + 1].alias("tok_b"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.tok_a", "p.tok_b")
+    n_bi = bi.count()
+    bic = bi.groupBy("tok_a", "tok_b").agg(F.count("*").alias("c_ab"))
+    ua = F.broadcast(uni.select(F.col("token").alias("tok_a"), F.col("c").alias("c_a")))
+    ub = F.broadcast(uni.select(F.col("token").alias("tok_b"), F.col("c").alias("c_b")))
+    pmi = F.floor(
+        (
+            F.log("c_ab")
+            + F.log(F.lit(float(n_tok)))
+            + F.log(F.lit(float(n_tok)))
+            - F.log(F.lit(float(n_bi)))
+            - F.log("c_a")
+            - F.log("c_b")
+        )
+        * F.lit(1e6)
+    ) / F.lit(1e6)
+    return (
+        bic.join(ua, "tok_a")
+        .join(ub, "tok_b")
+        .select("tok_a", "tok_b", "c_ab", pmi.alias("pmi"))
+        .orderBy(F.desc("c_ab"), "tok_a", "tok_b")
+        .limit(_PMI_TOPK)
+    )
+
+
+# --- near-dup benchmark contamination ------------------------------
+
+_CONTAM_EVAL_MOD = 23      # every 23rd doc seeds a perturbed eval twin
+_CONTAM_EVAL_BASE = 50000  # eval ids live in their own range
+
+_SIG_COLS_SQL = ",\n    ".join(
+    f"MIN({frag}) AS h{j}" for j, frag in enumerate(_MH_FRAGS.values())
+)
+
+
+def _band_sql(src: str) -> str:
+    return "\n  UNION ALL\n".join(
+        "SELECT id, {b} AS band, {ks} FROM {src}".format(
+            b=b,
+            src=src,
+            ks=", ".join(
+                f"h{_MH_ROWS * b + r} AS k{r + 1}" for r in range(_MH_ROWS)
+            ),
+        )
+        for b in range(_MH_BANDS)
+    )
+
+
+_SHINGLE_SQL = """
+  SELECT id, unnest(list_distinct(list_transform(range(1, len(toks) - 2),
+    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+  )) AS shingle
+  FROM (SELECT id, {toks_expr} AS toks FROM {src}) WHERE len(toks) >= 4
+"""
+
+CONTAM_MINHASH_ORACLE = f"""
+WITH train AS (SELECT doc_id AS id, text FROM documents),
+evald AS (
+  SELECT doc_id + {_CONTAM_EVAL_BASE} AS id,
+     array_to_string(({_DUCK_TOKS})[1:len({_DUCK_TOKS}) - 1], ' ') AS text
+  FROM documents WHERE doc_id % {_CONTAM_EVAL_MOD} = 0
+),
+sh_t AS ({_SHINGLE_SQL.format(toks_expr=_DUCK_TOKS, src="train")}),
+sh_e AS ({_SHINGLE_SQL.format(toks_expr=_DUCK_TOKS, src="evald")}),
+sig_t AS (SELECT id, {_SIG_COLS_SQL} FROM sh_t GROUP BY id),
+sig_e AS (SELECT id, {_SIG_COLS_SQL} FROM sh_e GROUP BY id),
+bands_t AS ({_band_sql("sig_t")}),
+bands_e AS ({_band_sql("sig_e")})
+SELECT t.id AS train_id, e.id AS eval_id,
+  CAST(COUNT(*) AS BIGINT) AS n_bands
+FROM bands_t t JOIN bands_e e
+  ON t.band = e.band AND t.k1 = e.k1 AND t.k2 = e.k2
+  AND t.k3 = e.k3 AND t.k4 = e.k4
+GROUP BY t.id, e.id
+"""
+
+
+def _mh_bands(df: DataFrame) -> DataFrame:
+    """doc → distinct 4-gram shingles → 8 portable minhashes → banded
+    (band, k1..k4) keys. Mirrors dedup_minhash_portable's chain."""
+    toks = df.select(
+        F.col("id"), tokenize_ws("text").alias("toks")
+    ).filter(F.size("toks") >= 4)
+    sh = toks.select(
+        "id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 4),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.col("toks")[i],
+                        F.col("toks")[i + 1],
+                        F.col("toks")[i + 2],
+                        F.col("toks")[i + 3],
+                    ),
+                )
+            )
+        ).alias("shingle"),
+    )
+    sig = sh.groupBy("id").agg(
+        *[
+            F.min(F.expr(frag)).alias(f"h{j}")
+            for j, frag in enumerate(_MH_FRAGS.values())
+        ]
+    )
+    bands = None
+    for b in range(_MH_BANDS):
+        part = sig.select(
+            "id",
+            F.lit(b).alias("band"),
+            *[
+                F.col(f"h{_MH_ROWS * b + r}").alias(f"k{r + 1}")
+                for r in range(_MH_ROWS)
+            ],
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    return bands
+
+
+@query(
+    "contamination_minhash",
+    oracle=CONTAM_MINHASH_ORACLE,
+    category="llm-quality",
+)
+def contamination_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination at the NEAR-duplicate level: eval
+    documents (perturbed copies of every 23rd doc — the planted
+    leak fixture) are MinHash-banded with the same portable
+    md5-polynomial family as dedup_minhash_portable, and any train
+    doc sharing a band bucket with an eval doc is flagged. This
+    catches the lightly-edited leak that contamination_ngram_overlap
+    (exact 8-gram match) misses. The eval side is benchmark-sized —
+    its band table broadcasts — so the probe adds ZERO shuffle to
+    the train side beyond the signature aggregate, which runs at
+    scan parallelism; at 100 TB the cost is one pass over train.
+    Whole chain value-oracled (hash family is dialect-portable)."""
+    d = load_table(spark, sf_dir, "documents")
+    train = d.select(F.col("doc_id").alias("id"), "text")
+    ws = tokenize_ws("text")
+    evald = d.filter(F.col("doc_id") % _CONTAM_EVAL_MOD == 0).select(
+        (F.col("doc_id") + _CONTAM_EVAL_BASE).alias("id"),
+        F.array_join(
+            F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))), " "
+        ).alias("text"),
+    )
+    bt = _mh_bands(train)
+    be = F.broadcast(_mh_bands(evald))
+    keys = ["band", "k1", "k2", "k3", "k4"]
+    return (
+        bt.alias("t")
+        .join(be.alias("e"), keys)
+        .groupBy(
+            F.col("t.id").alias("train_id"), F.col("e.id").alias("eval_id")
+        )
+        .agg(F.count("*").alias("n_bands"))
+    )

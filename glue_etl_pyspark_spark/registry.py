@@ -55,9 +55,11 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 # 1 never-checked (agg_histogram) + 2 r4 hash-FAILs re-fixed
 # (pack determinism rework) + 6 whose values or oracles changed this
 # round (mix fold / surprisal floor / pagerank floor / msum x2 /
-# sharded bucket packing) + 12 new round-5 queries + the first 29 of
-# the 38-name r1-stale-evidence block = 50 exactly. The last 9 stale
-# names trail at positions 51+ and lead round 6. Pinned by tests/test_registry.py.
+# sharded bucket packing) + 16 new round-5 queries (12 early + 4
+# late: entropy gate / source cap / bigram PMI / minhash
+# contamination) + the first 25 of the 38-name r1-stale-evidence
+# block = 50 exactly. The last 13 stale names trail at positions 51+
+# and lead round 6. Pinned by tests/test_registry.py.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- never externally checked ---
     "agg_histogram",
@@ -84,7 +86,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_tokenize_to_ids",
     "dedup_cluster_canonical",
     "sample_stratified_exact",
-    # --- stalest evidence: last green in ROUND 1 (first 35 of 38) ---
+    # --- late-round-5 additions (never checked; displace 4 stale slots) ---
+    "text_entropy_gate",
+    "curation_source_cap",
+    "text_bigram_pmi",
+    "contamination_minhash",
+    # --- stalest evidence: last green in ROUND 1 (first 25 of 38) ---
     "join_asof_purchase_click",
     "dedup_ngram_jaccard",
     "skew_salted_join",
@@ -112,11 +119,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sink_csv_roundtrip",
     "sink_json_roundtrip",
     "sink_orc_roundtrip",
+    # --- overflow: lead round 6 ---
     "catalog_table_scan",
     "select_drop_rename",
     "join_inner_equi",
     "join_left_semi",
-    # --- overflow: lead round 6 ---
     "join_left_anti",
     "join_full_outer",
     "join_cross",
