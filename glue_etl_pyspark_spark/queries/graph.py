@@ -170,3 +170,104 @@ def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_TOPK)
     )
     return out
+
+
+# --- triangle counting ---------------------------------------------
+
+_TRI_TOPK = 20
+
+TRIANGLES_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e1.v = e2.u
+  JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+members AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+FROM members GROUP BY node
+ORDER BY n_tri DESC, node
+LIMIT 20
+"""
+
+
+@query("graph_triangles_topk", oracle=TRIANGLES_ORACLE, category="graph")
+def graph_triangles_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation, top-20 — the clustering
+    primitive behind community detection and link-spam scoring, on
+    the part co-purchase graph (parts sharing an order). The Spark
+    side counts each triangle ONCE by orienting every edge from its
+    lower-(degree, key) endpoint to the higher one, then intersecting
+    out-adjacency arrays per edge (edge-iterator): triangle a→b,
+    a→c, b→c exists iff c ∈ out(a) ∩ out(b). Degree orientation caps
+    every out-list at ~√(2m), so the intersection work is the m^1.5
+    wedge bound WITHOUT ever materializing or shuffling the wedge
+    set — the naive length-2-path join OOM'd a vanilla 1 GiB session
+    at sf0.1 on exactly that materialization; this shape streams.
+    The oracle orients by key (a<b<c) instead — a different DAG over
+    the same undirected graph, hence the identical triangle set —
+    because triangle identity is orientation-invariant. The
+    adjacency table is edge-mass-sized and joins by src/dst key; at
+    100 TB both joins shuffle-co-partition on the vertex key, and a
+    residual hub that survives the orientation cap is AQE skew-split
+    territory."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = F.broadcast(deg.select(F.col("node").alias("u"), F.col("deg").alias("du")))
+    dv = F.broadcast(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")))
+    oriented = (
+        pairs.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("src"), F.col("v").alias("dst")),
+            )
+            .otherwise(F.struct(F.col("v").alias("src"), F.col("u").alias("dst")))
+            .alias("e")
+        )
+        .select("e.src", "e.dst")
+    )
+    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    tri = (
+        oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .join(
+            adj.select(F.col("src").alias("a"), F.col("nbrs").alias("na")), "a"
+        )
+        .join(
+            adj.select(F.col("src").alias("b"), F.col("nbrs").alias("nb")), "b"
+        )
+        .select(
+            "a", "b",
+            F.explode(F.array_intersect("na", "nb")).alias("c"),
+        )
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_tri"))
+        .orderBy(F.desc("n_tri"), "node")
+        .limit(_TRI_TOPK)
+    )
