@@ -342,3 +342,140 @@ def contamination_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_bands"))
     )
+
+
+# --- BPE merge induction -------------------------------------------
+
+_BPE_VOCAB = 200   # corpus pass reduces to this many (word, cnt) rows
+_BPE_ROUNDS = 3
+_BPE_TOPK = 25
+
+
+def _bpe_pair_cte(src: str, pn: str) -> str:
+    return f"""{pn} AS (
+  SELECT pcs[i] AS pa, pcs[i+1] AS pb, CAST(SUM(cnt) AS BIGINT) AS total
+  FROM (SELECT cnt, pcs, unnest(range(1, len(pcs))) AS i
+        FROM (SELECT cnt, list_filter(string_split(st, '|'), x -> x <> '') AS pcs
+              FROM {src}) WHERE len(pcs) >= 2)
+  GROUP BY pa, pb
+)"""
+
+
+def _bpe_apply_cte(src: str, mn: str, sn: str) -> str:
+    pat = f"'|' || {mn}.pa || '|' || {mn}.pb || '|'"
+    rep = f"'|' || {mn}.pa || {mn}.pb || '|'"
+    return f"""{sn} AS (
+  SELECT word, cnt, replace(replace(st, {pat}, {rep}), {pat}, {rep}) AS st
+  FROM {src} CROSS JOIN {mn}
+)"""
+
+
+def _bpe_oracle() -> str:
+    ctes = [
+        f"""wf AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({_DUCK_TOKS}) AS word FROM documents)
+  WHERE regexp_matches(word, '^[a-z0-9]+$')
+  GROUP BY word ORDER BY cnt DESC, word LIMIT {_BPE_VOCAB}
+)""",
+        r"""s0 AS (
+  SELECT word, cnt, '|' || regexp_replace(word, '(.)', '\1|', 'g') AS st FROM wf
+)""",
+    ]
+    for r in range(1, _BPE_ROUNDS + 1):
+        ctes.append(_bpe_pair_cte(f"s{r - 1}", f"p{r}"))
+        ctes.append(
+            f"m{r} AS (SELECT pa, pb FROM p{r} ORDER BY total DESC, pa, pb LIMIT 1)"
+        )
+        ctes.append(_bpe_apply_cte(f"s{r - 1}", f"m{r}", f"s{r}"))
+    merge_cols = ",\n  ".join(
+        f"(SELECT pa || '+' || pb FROM m{r}) AS merge{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT word, cnt, st AS pieces,
+  {merge_cols}
+FROM s{_BPE_ROUNDS} ORDER BY cnt DESC, word LIMIT {_BPE_TOPK}
+"""
+    )
+
+
+BPE_ORACLE = _bpe_oracle()
+
+
+@query("vocab_bpe_merges", oracle=BPE_ORACLE, category="llm-text")
+def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge induction, the iterative heart of tokenizer training:
+    count word frequencies over the corpus, then repeatedly merge the
+    most frequent adjacent piece pair (3 unrolled rounds here),
+    re-segmenting the vocab after each merge. Output = the top-25
+    words' final segmentations plus the learned merges — every merge
+    choice is value-checked through the segmentations it produced.
+
+    All arithmetic is exact bigint (pair supports are integer sums),
+    so the chain is hash-stable with NO float pinning. Merge
+    application is two `replace` passes over a '|'-separated piece
+    string — leftmost-non-overlapping semantics probed IDENTICAL in
+    Spark and DuckDB on the adversarial overlap cases
+    (tests/test_selection.py pins them); vocab is restricted to
+    ^[a-z0-9]+$ words so the separator never collides.
+
+    Scale shape mirrors production BPE trainers: ONE corpus-scale
+    pass (token-count shuffle with map-side combine + TakeOrdered
+    top-V) reduces 100 TB to a vocab-sized frequency table; the merge
+    loop then runs on that reduction. Following the repo's
+    literal-data determinism rule, the vocab table is collected and
+    re-shipped via createDataFrame, so each round's argmax (a 1-row
+    bounded collect) can never be re-derived differently under AQE
+    recompute, and the loop adds zero corpus re-scans."""
+    d = load_table(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(tokenize_ws("text")).alias("word"))
+        .filter(F.col("word").rlike("^[a-z0-9]+$"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "word")
+        .limit(_BPE_VOCAB)
+    )
+    rows = [(r["word"], int(r["cnt"])) for r in wf.collect()]
+    states = spark.createDataFrame(rows, "word string, cnt bigint").withColumn(
+        "st",
+        F.concat(F.lit("|"), F.regexp_replace("word", "(.)", "$1|")),
+    )
+    merges = []
+    for _ in range(_BPE_ROUNDS):
+        staged = states.withColumn(
+            "__pcs", F.filter(F.split("st", "\\|"), lambda x: x != "")
+        ).filter(F.size("__pcs") >= 2)
+        pairs = (
+            staged.select(
+                "cnt",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("__pcs") - 2),
+                        lambda i: F.struct(
+                            F.col("__pcs")[i].alias("pa"),
+                            F.col("__pcs")[i + 1].alias("pb"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .select("cnt", "p.pa", "p.pb")
+            .groupBy("pa", "pb")
+            .agg(F.sum("cnt").cast("bigint").alias("total"))
+        )
+        top = pairs.orderBy(F.desc("total"), "pa", "pb").limit(1).collect()[0]
+        pa, pb = top["pa"], top["pb"]
+        merges.append(f"{pa}+{pb}")
+        pat, rep = F.lit(f"|{pa}|{pb}|"), F.lit(f"|{pa}{pb}|")
+        states = states.withColumn(
+            "st", F.replace(F.replace("st", pat, rep), pat, rep)
+        )
+    out = states.select(
+        "word",
+        "cnt",
+        F.col("st").alias("pieces"),
+        *[F.lit(m).alias(f"merge{i + 1}") for i, m in enumerate(merges)],
+    )
+    return out.orderBy(F.desc("cnt"), "word").limit(_BPE_TOPK)

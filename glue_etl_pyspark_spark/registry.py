@@ -55,11 +55,12 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 # 1 never-checked (agg_histogram) + 2 r4 hash-FAILs re-fixed
 # (pack determinism rework) + 6 whose values or oracles changed this
 # round (mix fold / surprisal floor / pagerank floor / msum x2 /
-# sharded bucket packing) + 17 new round-5 queries (12 early + 5
+# sharded bucket packing) + 18 new round-5 queries (12 early + 6
 # late: entropy gate / source cap / bigram PMI / minhash
-# contamination / triangle counting) + the first 24 of the 38-name
-# r1-stale-evidence block = 50 exactly. The last 14 stale names trail
-# at positions 51+ and lead round 6. Pinned by tests/test_registry.py.
+# contamination / triangle counting / BPE merges) + the first 23 of
+# the 38-name r1-stale-evidence block = 50 exactly. The last 15 stale
+# names trail at positions 51+ and lead round 6. Pinned by
+# tests/test_registry.py.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- never externally checked ---
     "agg_histogram",
@@ -92,7 +93,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_bigram_pmi",
     "contamination_minhash",
     "graph_triangles_topk",
-    # --- stalest evidence: last green in ROUND 1 (first 24 of 38) ---
+    "vocab_bpe_merges",
+    # --- stalest evidence: last green in ROUND 1 (first 23 of 38) ---
     "join_asof_purchase_click",
     "dedup_ngram_jaccard",
     "skew_salted_join",
@@ -118,8 +120,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "filter_string_pattern",
     "filter_null_safe_eq",
     "sink_csv_roundtrip",
-    "sink_json_roundtrip",
     # --- overflow: lead round 6 ---
+    "sink_json_roundtrip",
     "sink_orc_roundtrip",
     "catalog_table_scan",
     "select_drop_rename",
