@@ -416,3 +416,43 @@ def test_stratified_exact_uses_window_group_limit(spark, sf_dir):
     materializes its full ordered partition."""
     plan = explain_str(_df(spark, sf_dir, "sample_stratified_exact"))
     assert "WindowGroupLimit" in plan
+
+
+def test_contamination_minhash_broadcasts_eval_bands(spark, sf_dir):
+    """The eval (benchmark) band table must broadcast: the probe adds
+    no shuffle to the train side, and the candidate join must be a
+    keyed bucket join, never a nested loop."""
+    plan = explain_str(_df(spark, sf_dir, "contamination_minhash"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bigram_pmi_broadcasts_unigrams_and_takes_ordered(spark, sf_dir):
+    """Both unigram-frequency joins onto the pair counts are
+    vocab-sized — they must broadcast — and the top-k must be
+    per-partition heaps, not a global sort."""
+    df = _df(spark, sf_dir, "text_bigram_pmi")
+    assert_broadcast_joins(df, at_least=2)
+    assert "TakeOrderedAndProject" in explain_str(df)
+
+
+def test_triangles_never_materialize_wedges(spark, sf_dir):
+    """The triangle join must stay keyed (adjacency-intersection
+    edge-iterator): no cartesian pair generation, and the final top-k
+    is TakeOrderedAndProject."""
+    plan = explain_str(_df(spark, sf_dir, "graph_triangles_topk"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bpe_corpus_pass_is_take_ordered_once(spark, sf_dir):
+    """BPE's only corpus-scale stage is the word-frequency top-V —
+    TakeOrderedAndProject — after which the merge loop runs on a
+    literal vocab table: the plan must contain NO parquet scan of the
+    corpus (the vocab was collected and re-shipped as literal data)."""
+    df = _df(spark, sf_dir, "vocab_bpe_merges")
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "parquet" not in plan.lower(), "merge loop must not re-scan corpus"
