@@ -479,3 +479,60 @@ def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.lit(m).alias(f"merge{i + 1}") for i, m in enumerate(merges)],
     )
     return out.orderBy(F.desc("cnt"), "word").limit(_BPE_TOPK)
+
+
+# --- weighted sampling without replacement -------------------------
+
+_WS_K = 50
+_WS_MOD = 16777216
+_WS_HASH = _md5_mod("doc_id", "wsamp", _WS_MOD)
+# u in (0,1): (h+1)/(mod+2) — exactly representable inputs to ln on
+# both engines; key = ln(u)/w is the Efraimidis-Spirakis exponent
+# (monotone in u^(1/w)), floored at 9 dp so the top-k ORDER is pinned
+# to identical grids across engines, with doc_id as the unique tie-break
+_WS_KEY = (
+    f"floor(ln(({_WS_HASH} + 1) / {_WS_MOD + 2}.0)"
+    " / n_chars * 1e9) / 1e9"
+)
+
+WEIGHTED_SAMPLE_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+    {_WS_KEY} AS skey
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, weight, skey FROM keyed
+ORDER BY skey DESC, doc_id
+LIMIT {_WS_K}
+"""
+
+
+@query(
+    "sample_weighted_noreplace",
+    oracle=WEIGHTED_SAMPLE_ORACLE,
+    category="llm-curation",
+)
+def sample_weighted_noreplace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    A-ES): each doc draws key = u^(1/w) — here the monotone exponent
+    ln(u)/w — and the k largest keys ARE a weighted sample without
+    replacement; longer documents (weight = n_chars) are
+    proportionally likelier, the training-mix sampler's workhorse.
+    u comes from the portable md5-polynomial hash of doc_id, so the
+    SAME sample falls out on every run, partitioning, and engine
+    (value-oracled, unlike rand()-based sampleBy). The key is floored
+    to the 1e-9 grid with doc_id tie-break so cross-engine ordering
+    can't flip on a final-ulp difference. One narrow projection +
+    TakeOrderedAndProject per-partition heaps: no shuffle of the
+    corpus, no global sort — at 100 TB the reduction is k-sized per
+    partition, then k-sized at the driver."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    return (
+        d.select(
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("weight"),
+            F.expr(_WS_KEY).alias("skey"),
+        )
+        .orderBy(F.desc("skey"), "doc_id")
+        .limit(_WS_K)
+    )

@@ -456,3 +456,11 @@ def test_bpe_corpus_pass_is_take_ordered_once(spark, sf_dir):
     plan = explain_str(df)
     assert "TakeOrderedAndProject" in plan
     assert "parquet" not in plan.lower(), "merge loop must not re-scan corpus"
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_dir):
+    """A-ES top-k must reduce via per-partition heaps — no global
+    sort, no shuffle of the keyed corpus."""
+    plan = explain_str(_df(spark, sf_dir, "sample_weighted_noreplace"))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("SinglePartition") == 0
