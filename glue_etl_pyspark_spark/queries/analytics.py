@@ -222,3 +222,103 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.max("o_totalprice") * 100) / 100).alias("bin_max"),
         )
     )
+
+
+WINSORIZE_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, value,
+    ROW_NUMBER() OVER (
+      PARTITION BY event_type ORDER BY value, event_id) AS r,
+    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM events
+),
+cuts AS (
+  SELECT event_type, n,
+    greatest(1, n // 100) AS lo_r,
+    n - greatest(1, n // 100) + 1 AS hi_r
+  FROM ranked GROUP BY event_type, n
+)
+SELECT c.event_type, c.n,
+  MAX(CASE WHEN r.r = c.lo_r THEN r.value END) AS p01,
+  MAX(CASE WHEN r.r = c.hi_r THEN r.value END) AS p99,
+  CAST(SUM(CASE WHEN r.r < c.lo_r THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+  CAST(SUM(CASE WHEN r.r > c.hi_r THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+FROM ranked r JOIN cuts c ON r.event_type = c.event_type
+GROUP BY c.event_type, c.n
+"""
+
+
+@query("events_winsorize_bounds", oracle=WINSORIZE_ORACLE, category="analytics")
+def events_winsorize_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based winsorization bounds per event type: the exact
+    1st/99th-percentile clip values (value at integer ranks
+    max(1, n div 100) and n - that + 1 — picked order statistics, not
+    interpolated, so no cross-engine float interpolation drift) plus
+    the count of rows each tail would clip — the outlier-clipping
+    prelude to feature normalization. One rank window per event-type
+    group (groups are few and the rank parallelizes across them),
+    then a map-side-combined conditional aggregate; ties broken by
+    event_id so the picked statistic is unique."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select("event_type", "value", "event_id").withColumn(
+        "r", F.row_number().over(w)
+    ).withColumn(
+        "n", F.count("*").over(Window.partitionBy("event_type")).cast("bigint")
+    )
+    ranked = ranked.withColumn(
+        "lo_r", F.greatest(F.lit(1).cast("bigint"), F.expr("n div 100"))
+    ).withColumn("hi_r", F.col("n") - F.col("lo_r") + 1)
+    return ranked.groupBy("event_type", "n").agg(
+        F.max(F.when(F.col("r") == F.col("lo_r"), F.col("value"))).alias("p01"),
+        F.max(F.when(F.col("r") == F.col("hi_r"), F.col("value"))).alias("p99"),
+        F.sum(F.when(F.col("r") < F.col("lo_r"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_below"),
+        F.sum(F.when(F.col("r") > F.col("hi_r"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_above"),
+    )
+
+
+_TRANS_TOPK = 20
+
+TRANSITIONS_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+    LAG(event_type) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type,
+  CAST(COUNT(*) AS BIGINT) AS n_trans
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+ORDER BY n_trans DESC, prev_type, next_type
+LIMIT {_TRANS_TOPK}
+"""
+
+
+@query("events_markov_transitions", oracle=TRANSITIONS_ORACLE, category="analytics")
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-type transition pairs (first-order Markov edges) per
+    user journey — the session-flow statistic behind funnel design
+    and next-action models. One lag window per user (ordered by
+    (ts, event_id) — unique key, so the sequence is deterministic),
+    one transition-count shuffle with map-side combine, top-k via
+    TakeOrderedAndProject. The window partitions by user_id: at
+    100 TB the key is high-cardinality and AQE handles any hot-user
+    skew; no global ordering is ever required."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    return (
+        seq.groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n_trans"))
+        .orderBy(F.desc("n_trans"), "prev_type", "next_type")
+        .limit(_TRANS_TOPK)
+    )

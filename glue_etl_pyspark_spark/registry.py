@@ -55,12 +55,13 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 # 1 never-checked (agg_histogram) + 2 r4 hash-FAILs re-fixed
 # (pack determinism rework) + 6 whose values or oracles changed this
 # round (mix fold / surprisal floor / pagerank floor / msum x2 /
-# sharded bucket packing) + 19 new round-5 queries (12 early + 7
+# sharded bucket packing) + 21 new round-5 queries (12 early + 9
 # late: entropy gate / source cap / bigram PMI / minhash
 # contamination / triangle counting / BPE merges / weighted A-ES
-# sampling) + the first 22 of the 38-name r1-stale-evidence block
-# = 50 exactly. The last 16 stale names trail at positions 51+ and
-# lead round 6. Pinned by tests/test_registry.py.
+# sampling / winsorize bounds / Markov transitions) + the first 20
+# of the 38-name r1-stale-evidence block = 50 exactly. The last 18
+# stale names trail at positions 51+ and lead round 6. Pinned by
+# tests/test_registry.py.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- never externally checked ---
     "agg_histogram",
@@ -95,7 +96,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "graph_triangles_topk",
     "vocab_bpe_merges",
     "sample_weighted_noreplace",
-    # --- stalest evidence: last green in ROUND 1 (first 22 of 38) ---
+    "events_winsorize_bounds",
+    "events_markov_transitions",
+    # --- stalest evidence: last green in ROUND 1 (first 20 of 38) ---
     "join_asof_purchase_click",
     "dedup_ngram_jaccard",
     "skew_salted_join",
@@ -118,9 +121,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_sentiment_lexicon",
     "text_stopword_topterms",
     "glue_map_filter",
+    # --- overflow: lead round 6 ---
     "filter_string_pattern",
     "filter_null_safe_eq",
-    # --- overflow: lead round 6 ---
     "sink_csv_roundtrip",
     "sink_json_roundtrip",
     "sink_orc_roundtrip",
