@@ -200,3 +200,61 @@ def udf_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL split_parts(concat(d.lang, '|', d.source)) s
         """
     )
+
+
+UDTF_ANALYZE_ORACLE = """
+SELECT event_id,
+  CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+  CAST(NULL AS BIGINT) AS missing
+FROM events WHERE event_id < 200
+"""
+
+
+@query("udtf_analyze_dynamic", oracle=UDTF_ANALYZE_ORACLE, category="udf")
+def udtf_analyze_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF (Spark >= 3.5 ``analyze()``): the
+    OUTPUT SCHEMA is computed at plan time from a constant argument —
+    here a comma-separated field list ('k,missing') expanded into one
+    BIGINT column per requested JSON field, absent fields yielding
+    typed NULLs. This is the schema-on-demand shape of semi-structured
+    ETL (Glue's choice-type relatives): the caller names fields, the
+    planner gets real columns, and Catalyst prunes/optimizes them like
+    any other. Row-at-a-time Python is the API's cost — demoed on a
+    bounded slice like the other §2.11 rows; bulk JSON paths in this
+    repo go through from_json/variant (func_map_json, func_variant)."""
+    import json as _json
+
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import LongType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeResult
+
+    class ExtractFields:
+        @staticmethod
+        def analyze(props_arg, fields_arg):
+            names = [f.strip() for f in fields_arg.value.split(",")]
+            return AnalyzeResult(
+                StructType([StructField(n, LongType()) for n in names])
+            )
+
+        def __init__(self):
+            self._names = None
+
+        def eval(self, props: str, fields: str):
+            if self._names is None:
+                self._names = [f.strip() for f in fields.split(",")]
+            obj = _json.loads(props) if props else {}
+            yield tuple(
+                int(obj[n]) if n in obj and obj[n] is not None else None
+                for n in self._names
+            )
+
+    spark.udtf.register("extract_fields", udtf(ExtractFields))
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    ev.createOrReplaceTempView("events_udtf_view")
+    return spark.sql(
+        """
+        SELECT e.event_id, s.k, s.missing
+        FROM events_udtf_view e,
+             LATERAL extract_fields(e.props, 'k,missing') s
+        """
+    )
