@@ -295,8 +295,6 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     path, no shuffle at all (narrow per-row fan-out, ~n_tokens/stride
     chunks per doc), so it streams at scan speed at any corpus size.
     The trailing chunk is the natural remainder (< window tokens)."""
-    from ..functions.text import tokenize_ws
-
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
@@ -362,7 +360,6 @@ def llm_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole chain stays hash-oracled because every stage is
     deterministic — this is the query a pipeline runs nightly to know
     what the next training epoch reads."""
-    from ..functions.text import tokenize_ws
     from ..operators.dedup import exact_dedup
 
     d = load_table(spark, sf_dir, "documents")
