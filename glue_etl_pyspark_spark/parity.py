@@ -48,6 +48,49 @@ def _sort_key(row):
     return tuple((v is not None, type(v).__name__, repr(v)) for v in row)
 
 
+# Spark type name -> driver pandas kind ('i' int / 'f' float); the
+# driver hashes toPandas()/df() output, where int64 "0" and float64
+# "0.0" hash DIFFERENTLY even though fetchall()-level values compare
+# equal (python int == float). DuckDB HUGEINT (any SUM/'//' chain over
+# BIGINT) and DECIMAL land as float64 there, so an integer-valued
+# oracle column must be CAST to BIGINT. This gate caught the r4
+# doc_pack_sequences / llm_training_manifest driver hash FAILs that
+# three fresh-process fetchall()-based reproductions could not.
+_SPARK_NUM_KIND = {
+    "byte": "i", "short": "i", "integer": "i", "long": "i",
+    "float": "f", "double": "f",
+}
+
+
+def _duck_num_kind(duck_type: str) -> str | None:
+    t = duck_type.upper()
+    if t in ("HUGEINT", "UHUGEINT") or t.startswith("DECIMAL"):
+        return "f"  # pandas renders these float64
+    if t.endswith("INT"):
+        return "i"
+    if t in ("DOUBLE", "FLOAT", "REAL"):
+        return "f"
+    return None
+
+
+def _numeric_kind_mismatches(sdf, con, oracle_sql: str) -> list[str]:
+    """Columns whose int/float kind differs between the Spark schema
+    and the DuckDB result schema — i.e. columns the driver's pandas
+    canonicalizer will hash differently despite equal values.
+    DESCRIBE only binds the query; the oracle is not executed twice."""
+    skind = {
+        f.name: _SPARK_NUM_KIND.get(f.dataType.typeName())
+        for f in sdf.schema.fields
+    }
+    out = []
+    for row in con.execute(f"DESCRIBE {oracle_sql}").fetchall():
+        cname, ctype = row[0], row[1]
+        sk, ok = skind.get(cname), _duck_num_kind(ctype)
+        if sk and ok and sk != ok:
+            out.append(f"{cname}: spark {sk} vs oracle {ctype}")
+    return out
+
+
 def _normalize(rows: list[tuple], colnames: list[str]) -> list[tuple]:
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
@@ -121,12 +164,23 @@ def check_query(
     if own_con:
         con = duckdb_connect(sf_dir)
     try:
+        dtype_bad = _numeric_kind_mismatches(sdf, con, spec.oracle)
         res = con.execute(spec.oracle)
         ocols = [d[0] for d in res.description]
         orows = [tuple(r) for r in res.fetchall()]
     finally:
         if own_con:
             con.close()
+
+    if dtype_bad:
+        return ParityResult(
+            name, False, len(srows), -1,
+            "driver-dtype mismatch (int vs float at the pandas "
+            f"canonicalizer): {dtype_bad} — DuckDB SUM/''//'' over BIGINT "
+            "is HUGEINT and lands as float64 in the driver's hash even "
+            "though fetchall() compares equal; CAST the oracle column "
+            "(or align the Spark type)",
+        )
 
     if sorted(scols) != sorted(ocols):
         return ParityResult(

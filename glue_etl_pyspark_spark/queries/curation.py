@@ -29,10 +29,10 @@ WITH toks AS (
   FROM documents
 ), st AS (
   SELECT doc_id, source, n_tokens,
-    SUM(n_tokens) OVER (
+    CAST(SUM(n_tokens) OVER (
       PARTITION BY source ORDER BY doc_id
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
-      AS start_tokens
+      AS BIGINT) AS start_tokens
   FROM toks
 )
 SELECT doc_id, source, n_tokens, start_tokens

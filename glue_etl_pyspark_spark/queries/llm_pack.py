@@ -31,9 +31,15 @@ WITH toks AS (
       - n_tokens AS s
   FROM toks
 )
-SELECT doc_id, n_tokens, s // {_CTX} AS bin_id, s % {_CTX} AS bin_offset
+SELECT doc_id, n_tokens,
+  CAST(s // {_CTX} AS BIGINT) AS bin_id,
+  CAST(s % {_CTX} AS BIGINT) AS bin_offset
 FROM st
 """
+# The windowed SUM is HUGEINT in DuckDB; without the casts the driver's
+# pandas canonicalizer renders these columns float64 ("0.0") against
+# Spark's int64 ("0") and the value hash diverges — the r4 driver-only
+# hash FAIL. parity.check_query now gates on exactly this.
 
 
 @query("doc_pack_sequences", oracle=PACK_ORACLE, category="llm-pack")
@@ -338,8 +344,8 @@ train AS (
 ),
 packed AS (
   SELECT doc_id, n_tokens,
-    (SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      - n_tokens) // {_CTX} AS bin_id
+    CAST((SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      - n_tokens) // {_CTX} AS BIGINT) AS bin_id
   FROM train
 )
 SELECT bin_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
