@@ -172,3 +172,46 @@ def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(10)
     )
+
+
+ROLLING_HOURLY_ORACLE = """
+SELECT event_id, event_type,
+  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+    PARTITION BY event_type
+    ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_cents,
+  CAST(COUNT(*) OVER (
+    PARTITION BY event_type
+    ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_n
+FROM events
+"""
+
+
+@query("events_rolling_hourly", oracle=ROLLING_HOURLY_ORACLE, category="window")
+def events_rolling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval rolling window: each event's trailing-1-hour value
+    sum and count within its type — the rate-limiter / rolling-metric
+    frame, ordered by EPOCH SECONDS so the RANGE bound is a plain
+    integer offset on both engines (ntz timestamp casts to the same
+    epoch in Spark and floor(epoch(ts)) in DuckDB). Values accumulate
+    as exact integer cents (floor(v*100+0.5) — the msum discipline),
+    so the windowed sum is order-invariant bigint arithmetic; RANGE
+    frames are peer-inclusive SETS, deterministic without a
+    tie-break. One shuffle per event_type partition; at 100 TB the
+    window parallelizes across types and a single hot type shards by
+    time range (the length_bucket_packing playbook)."""
+    ev = load_table(spark, sf_dir, "events")
+    # ntz won't cast straight to long; to_unix_timestamp under the UTC
+    # session matches DuckDB's epoch() on the same ntz values
+    sec = F.expr("to_unix_timestamp(ts)")
+    frame = (
+        Window.partitionBy("event_type").orderBy(sec).rangeBetween(-3600, 0)
+    )
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.sum(cents).over(frame).cast("bigint").alias("roll_cents"),
+        F.count(F.lit(1)).over(frame).cast("bigint").alias("roll_n"),
+    )

@@ -55,13 +55,14 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 # 1 never-checked (agg_histogram) + 2 r4 hash-FAILs re-fixed
 # (pack determinism rework) + 6 whose values or oracles changed this
 # round (mix fold / surprisal floor / pagerank floor / msum x2 /
-# sharded bucket packing) + 22 new round-5 queries (12 early + 10
+# sharded bucket packing) + 23 new round-5 queries (12 early + 11
 # late: entropy gate / source cap / bigram PMI / minhash
 # contamination / triangle counting / BPE merges / weighted A-ES
 # sampling / winsorize bounds / Markov transitions / analyze-time
-# UDTF) + the first 19 of the 38-name r1-stale-evidence block = 50
-# exactly. The last 19 stale names trail at positions 51+ and lead
-# round 6. Pinned by tests/test_registry.py.
+# UDTF / hourly rolling window) + the first 18 of the 38-name
+# r1-stale-evidence block = 50 exactly. The last 20 stale names
+# trail at positions 51+ and lead round 6. Pinned by
+# tests/test_registry.py.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- never externally checked ---
     "agg_histogram",
@@ -99,7 +100,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_winsorize_bounds",
     "events_markov_transitions",
     "udtf_analyze_dynamic",
-    # --- stalest evidence: last green in ROUND 1 (first 19 of 38) ---
+    "events_rolling_hourly",
+    # --- stalest evidence: last green in ROUND 1 (first 18 of 38) ---
     "join_asof_purchase_click",
     "dedup_ngram_jaccard",
     "skew_salted_join",
@@ -120,8 +122,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "setops_intersect_all",
     "func_date_arith",
     "text_sentiment_lexicon",
-    "text_stopword_topterms",
     # --- overflow: lead round 6 ---
+    "text_stopword_topterms",
     "glue_map_filter",
     "filter_string_pattern",
     "filter_null_safe_eq",
