@@ -502,3 +502,27 @@ def test_grouped_prefix_sum_repeated_run_determinism(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
     assert all(r == runs[0] for r in runs[1:])
+
+
+def test_pq_adc_recall_floor_and_structure(spark, sf_dir):
+    """PQ-ADC on structureless vectors: recall@5 is inherently low
+    (measured 0.17 at sf0.01 / 0.09 at sf0.1 — see the query
+    docstring), so this gates a regression FLOOR plus the structural
+    invariants: full query coverage at exactly top-5 and ADC
+    distances non-negative/monotone per rank."""
+    brute = _run(spark, sf_dir, "knn_bruteforce_cosine")
+    pq = _run(spark, sf_dir, "knn_pq_adc")
+    rows = pq.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == 20
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rn)
+        assert [r.rn for r in rs] == [1, 2, 3, 4, 5]
+        assert all(r.adc >= 0 for r in rs)
+        assert all(rs[i].adc <= rs[i + 1].adc for i in range(len(rs) - 1))
+    bset = {(r.query_id, r.neighbor_id) for r in brute.collect()}
+    pset = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = len(bset & pset) / len(bset)
+    assert recall >= 0.05, f"PQ recall floor breached: {recall:.2f}"
