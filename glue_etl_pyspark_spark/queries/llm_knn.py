@@ -659,3 +659,119 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _PQ_TOPK)
         .select("query_id", "neighbor_id", "adc", "rn")
     )
+
+
+# --- portable random-hyperplane LSH --------------------------------
+
+# 16 deterministic +/-1 hyperplanes over the 64 dims, derived once from
+# hashlib.md5 at import and injected as the SAME repr'd literals into
+# both engines (the shared-constants rule) — the VALUE-oracled twin of
+# the seeded-ml.feature knn_lsh / embedding_dedup_pairs_lsh paths, the
+# same upgrade dedup_minhash_portable gave the text-side LSH.
+_HP_BITS = 16
+_HP_BAND_BITS = 8
+
+
+def _hp_coef(j: int, i: int) -> float:
+    import hashlib
+
+    return 1.0 if hashlib.md5(f"hp:{j}:{i}".encode()).digest()[0] & 1 else -1.0
+
+
+_HP = [[_hp_coef(j, i) for i in range(64)] for j in range(_HP_BITS)]
+
+_HP_SQL = "\nUNION ALL\n".join(
+    f"SELECT {j} AS j, [{', '.join(repr(c) for c in _HP[j])}] AS cv"
+    for j in range(_HP_BITS)
+)
+
+EMB_LSH_PORTABLE_ORACLE = f"""
+WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100),
+pert AS (
+  SELECT vec_id + 10000 AS vec_id,
+    list_append(list_transform(embedding[1:63], x -> CAST(x AS DOUBLE)),
+                CAST(embedding[64] AS DOUBLE) + 0.05) AS v
+  FROM base
+),
+corpus AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM base
+  UNION ALL SELECT vec_id, v FROM pert
+),
+hp AS ({_HP_SQL}),
+dots AS (
+  SELECT c.vec_id, h.j,
+    CAST(floor(SUM(h.cv[r.i] * c.v[r.i]) * 1e9) >= 0 AS BIGINT) AS b
+  FROM corpus c, hp h, range(1, 65) r(i)
+  GROUP BY c.vec_id, h.j
+),
+bands AS (
+  SELECT vec_id, 0 AS band,
+    CAST(SUM(CASE WHEN j < {_HP_BAND_BITS} THEN b * (1 << j) ELSE 0 END)
+      AS BIGINT) AS key
+  FROM dots GROUP BY vec_id
+  UNION ALL
+  SELECT vec_id, 1,
+    CAST(SUM(CASE WHEN j >= {_HP_BAND_BITS}
+             THEN b * (1 << (j - {_HP_BAND_BITS})) ELSE 0 END) AS BIGINT)
+  FROM dots GROUP BY vec_id
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  CAST(COUNT(*) AS BIGINT) AS n_bands
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+GROUP BY a.vec_id, b.vec_id
+"""
+
+
+@query(
+    "embedding_lsh_portable",
+    oracle=EMB_LSH_PORTABLE_ORACLE,
+    category="llm-knn",
+)
+def embedding_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH candidate pairs with a VALUE oracle: 16
+    sign bits from deterministic +/-1 hyperplanes (cosine LSH), banded
+    8+8 into two integer keys; vectors sharing a band bucket become
+    candidates. Unlike the seeded-murmur ml.feature LSH paths (rows
+    only by necessity), every stage here — hyperplanes, sign bits,
+    band keys, bucket join — computes identical values on both
+    engines, so the whole chain is hash-checked; the sign decision is
+    grid-pinned (floor(dot*1e9) >= 0) so a boundary dot can't flip
+    between engines. Corpus = planted-twin fixture (98/100 twins
+    collide at sf0.01; recall gated in tests/test_llm_ops.py). Scale:
+    the hyperplane table is 16 rows (broadcast), signatures are one
+    narrow pass, and candidates come from a band-key equi-join —
+    never all-pairs."""
+    corpus = _twin_corpus(spark, sf_dir).withColumnRenamed("embedding", "v")
+    hp = spark.createDataFrame(
+        [(j, _HP[j]) for j in range(_HP_BITS)], "j int, cv array<double>"
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("cv"), F.col("v"), lambda c, x: c * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dots = corpus.crossJoin(F.broadcast(hp)).select(
+        "vec_id", "j", (F.floor(dot * 1e9) >= 0).cast("bigint").alias("b")
+    )
+    b0 = dots.groupBy("vec_id").agg(
+        F.expr(
+            f"CAST(SUM(CASE WHEN j < {_HP_BAND_BITS} THEN b * shiftleft(1, j)"
+            " ELSE 0 END) AS BIGINT)"
+        ).alias("key")
+    ).withColumn("band", F.lit(0))
+    b1 = dots.groupBy("vec_id").agg(
+        F.expr(
+            f"CAST(SUM(CASE WHEN j >= {_HP_BAND_BITS}"
+            f" THEN b * shiftleft(1, j - {_HP_BAND_BITS}) ELSE 0 END) AS BIGINT)"
+        ).alias("key")
+    ).withColumn("band", F.lit(1))
+    bands = b0.unionByName(b1)
+    a = bands.select(F.col("vec_id").alias("id_a"), "band", "key")
+    b = bands.select(F.col("vec_id").alias("id_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_bands"))
+    )

@@ -55,14 +55,14 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 # 1 never-checked (agg_histogram) + 2 r4 hash-FAILs re-fixed
 # (pack determinism rework) + 6 whose values or oracles changed this
 # round (mix fold / surprisal floor / pagerank floor / msum x2 /
-# sharded bucket packing) + 24 new round-5 queries (12 early + 12
+# sharded bucket packing) + 25 new round-5 queries (12 early + 13
 # late: entropy gate / source cap / bigram PMI / minhash
 # contamination / triangle counting / BPE merges / weighted A-ES
 # sampling / winsorize bounds / Markov transitions / analyze-time
-# UDTF / hourly rolling window / PQ-ADC knn) + the first 17 of the
-# 38-name r1-stale-evidence block = 50 exactly. The last 21 stale
-# names trail at positions 51+ and lead round 6. Pinned by
-# tests/test_registry.py.
+# UDTF / hourly rolling window / PQ-ADC knn / portable hyperplane
+# LSH) + the first 16 of the 38-name r1-stale-evidence block = 50
+# exactly. The last 22 stale names trail at positions 51+ and lead
+# round 6. Pinned by tests/test_registry.py.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- never externally checked ---
     "agg_histogram",
@@ -102,7 +102,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "udtf_analyze_dynamic",
     "events_rolling_hourly",
     "knn_pq_adc",
-    # --- stalest evidence: last green in ROUND 1 (first 17 of 38) ---
+    "embedding_lsh_portable",
+    # --- stalest evidence: last green in ROUND 1 (first 16 of 38) ---
     "join_asof_purchase_click",
     "dedup_ngram_jaccard",
     "skew_salted_join",
@@ -121,8 +122,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "unpivot_stack",
     "window_analytic_extra",
     "setops_intersect_all",
-    "func_date_arith",
     # --- overflow: lead round 6 ---
+    "func_date_arith",
     "text_sentiment_lexicon",
     "text_stopword_topterms",
     "glue_map_filter",

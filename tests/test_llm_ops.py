@@ -526,3 +526,13 @@ def test_pq_adc_recall_floor_and_structure(spark, sf_dir):
     pset = {(r.query_id, r.neighbor_id) for r in rows}
     recall = len(bset & pset) / len(bset)
     assert recall >= 0.05, f"PQ recall floor breached: {recall:.2f}"
+
+
+def test_embedding_lsh_portable_twin_recall(spark, sf_dir):
+    """Planted near-dup twins must collide in at least one band:
+    measured 98/100 at sf0.01 (2 misses are genuine LSH behavior at
+    1-(1-s^8)^2); gate at >= 0.9."""
+    pairs = _run(spark, sf_dir, "embedding_lsh_portable").collect()
+    hits = {(r.id_a, r.id_b) for r in pairs}
+    recall = sum(1 for i in range(100) if (i, i + 10000) in hits) / 100
+    assert recall >= 0.9, f"twin recall {recall:.2f} < 0.9"
