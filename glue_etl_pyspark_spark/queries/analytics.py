@@ -322,3 +322,118 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_trans"), "prev_type", "next_type")
         .limit(_TRANS_TOPK)
     )
+
+
+EQUIDEPTH_ORACLE = """
+WITH t AS (
+  SELECT o_totalprice,
+    NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+  FROM orders
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+  floor(MIN(o_totalprice) * 100) / 100 AS lo,
+  floor(MAX(o_totalprice) * 100) / 100 AS hi
+FROM t GROUP BY bucket
+"""
+
+
+@query("agg_histogram_equidepth", oracle=EQUIDEPTH_ORACLE, category="aggregation")
+def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile-bucketed) histogram of order totals:
+    NTILE(10) over the totally-ordered values (o_orderkey tie-break
+    makes the bucketing deterministic — NTILE's floor-division fill
+    is SQL-standard on both engines), then per-bucket count and
+    2-dp-floored bounds. The complement of agg_histogram's fixed-width
+    bins: this is how optimizers and DQ monitors summarize skewed
+    distributions. The global NTILE is a single total sort — fine for
+    profiling output sizes; a 100 TB profile first reduces per
+    partition (approx quantiles or sampled sort) as SCALING.md's
+    global-order note prescribes."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(10).over(w).alias("bucket"))
+        .groupBy(F.col("bucket").cast("bigint").alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            (F.floor(F.min("o_totalprice") * 100) / 100).alias("lo"),
+            (F.floor(F.max("o_totalprice") * 100) / 100).alias("hi"),
+        )
+    )
+
+
+MAD_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, event_id, value,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS r,
+    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM events
+),
+med AS (
+  SELECT event_type, MAX(CASE WHEN r = (n + 1) // 2 THEN value END) AS med
+  FROM ranked GROUP BY event_type
+),
+devs AS (
+  SELECT r.event_type, r.event_id, r.value, m.med,
+    abs(r.value - m.med) AS dev,
+    ROW_NUMBER() OVER (PARTITION BY r.event_type
+                       ORDER BY abs(r.value - m.med), r.event_id) AS dr,
+    CAST(COUNT(*) OVER (PARTITION BY r.event_type) AS BIGINT) AS n
+  FROM ranked r JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, med,
+    MAX(CASE WHEN dr = (n + 1) // 2 THEN dev END) AS mad
+  FROM devs GROUP BY event_type, med
+)
+SELECT d.event_type, m.med, m.mad,
+  CAST(SUM(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_outliers,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM devs d JOIN mad m USING (event_type)
+GROUP BY d.event_type, m.med, m.mad
+"""
+
+
+@query("dq_outliers_mad", oracle=MAD_ORACLE, category="governance")
+def dq_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type via median absolute
+    deviation: median and MAD are PICKED order statistics (value at
+    integer rank (n+1) div 2, ties broken by event_id — no
+    interpolation, no accumulation, so every number is an exact input
+    value or an exact subtraction both engines compute identically),
+    then the classic |v - med| > 3*MAD rule counts outliers. Two rank
+    windows per type group + one conditional aggregate; the same
+    rank-statistic discipline as events_winsorize_bounds, resistant
+    to the very outliers z-scores get skewed by."""
+    ev = load_table(spark, sf_dir, "events")
+    wv = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select("event_type", "event_id", "value").withColumn(
+        "r", F.row_number().over(wv)
+    ).withColumn("n", F.count("*").over(wn).cast("bigint"))
+    med = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("r") == F.expr("(n + 1) div 2"), F.col("value"))
+        ).alias("med")
+    )
+    devs = ranked.join(med, "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    wd = Window.partitionBy("event_type").orderBy("dev", "event_id")
+    devs = devs.withColumn("dr", F.row_number().over(wd))
+    mad = devs.groupBy("event_type", "med").agg(
+        F.max(
+            F.when(F.col("dr") == F.expr("(n + 1) div 2"), F.col("dev"))
+        ).alias("mad")
+    )
+    return (
+        devs.join(mad.select("event_type", "mad"), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.sum(
+                F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+            F.count("*").alias("n"),
+        )
+    )
