@@ -482,7 +482,7 @@ _PQ_L2 = (
     " * (CAST({a}[r.i] AS DOUBLE) - CAST({b}[r.i] AS DOUBLE))) * 1e6) / 1e6"
 )
 
-KNN_PQ_ORACLE = f"""
+_PQ_CORE_CTES = f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
@@ -537,12 +537,40 @@ adc AS (
   JOIN d2 q ON q.sub = codes.sub AND q.cent_id = codes.cent_id
   WHERE q.vec_id < {_PQ_NQ} AND codes.vec_id <> q.vec_id
   GROUP BY q.vec_id, codes.vec_id
-)
+)"""
+
+KNN_PQ_ORACLE = f"""{_PQ_CORE_CTES}
 SELECT query_id, neighbor_id, adc, rn FROM (
   SELECT query_id, neighbor_id, adc,
     CAST(row_number() OVER (
       PARTITION BY query_id ORDER BY adc, neighbor_id) AS BIGINT) AS rn
   FROM adc) WHERE rn <= {_PQ_TOPK}
+"""
+
+_PQ_SHORTLIST = 25
+
+KNN_PQ_RERANK_ORACLE = f"""{_PQ_CORE_CTES},
+shortlist AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (
+        PARTITION BY query_id ORDER BY adc, neighbor_id) AS srn
+    FROM adc) WHERE srn <= {_PQ_SHORTLIST}
+),
+rerank AS (
+  SELECT sl.query_id, sl.neighbor_id,
+    {_COS.format(a="q.v", b="n.v")} AS cs
+  FROM shortlist sl
+  JOIN e q ON q.vec_id = sl.query_id
+  JOIN e n ON n.vec_id = sl.neighbor_id,
+  range(1, 65) r(i)
+  GROUP BY sl.query_id, sl.neighbor_id
+)
+SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim, rn FROM (
+  SELECT query_id, neighbor_id, cs,
+    CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS BIGINT) AS rn
+  FROM rerank) WHERE rn <= {_PQ_TOPK}
 """
 
 
@@ -580,8 +608,20 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the top-50 ADC shortlist already recovers 0.52 of the exact
     top-5 at sf0.01, which is why production PQ always runs as
     IVF-shortlist -> ADC -> exact rerank (knn_int8_rerank shows the
-    rerank leg). The gate pins a regression floor, not a quality
-    claim."""
+    rerank leg; knn_pq_rerank IS that composition). The gate pins a
+    regression floor, not a quality claim."""
+    adc, _ = _pq_adc_frame(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= _PQ_TOPK)
+        .select("query_id", "neighbor_id", "adc", "rn")
+    )
+
+
+def _pq_adc_frame(spark: SparkSession, sf_dir: str):
+    """Shared PQ chain: train codebooks, encode, ADC-score every
+    (query, candidate) pair. Returns (adc frame, raw-vector frame)."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
@@ -653,11 +693,46 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("adc"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    return adc, e
+
+
+@query("knn_pq_rerank", oracle=KNN_PQ_RERANK_ORACLE, category="llm-knn")
+def knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production PQ composition: ADC top-25 shortlist over the
+    compressed codes, then an EXACT cosine rerank on raw vectors for
+    just those candidates — the same two-stage shape as
+    knn_int8_rerank, with PQ's 64x compression on the scan leg. At
+    100 TB the first stage reads 4 bytes/vector and the second reads
+    25 raw vectors per query, so raw-vector bandwidth is
+    per-query-bounded instead of corpus-sized. Recall equals the
+    shortlist's recall (measured 0.38 at sf0.01 on these structureless
+    fixtures — the knn_pq_adc caveat); the rerank fixes ORDERING
+    within the shortlist, which on clustered real data is where ADC's
+    quantization error actually bites. Fully value-oracled
+    end-to-end."""
+    adc, e = _pq_adc_frame(spark, sf_dir)
+    ws = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    shortlist = (
+        adc.withColumn("srn", F.row_number().over(ws))
+        .filter(F.col("srn") <= _PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    from ..functions.vectors import cosine_similarity
+
+    q = e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    n = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    rer = (
+        shortlist.join(F.broadcast(q), "query_id")
+        .join(n, "neighbor_id")
+        .withColumn("cs", cosine_similarity("qv", "nv"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cs"), "neighbor_id")
     return (
-        adc.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        rer.withColumn("rn", F.row_number().over(wr).cast("bigint"))
         .filter(F.col("rn") <= _PQ_TOPK)
-        .select("query_id", "neighbor_id", "adc", "rn")
+        .select(
+            "query_id", "neighbor_id", F.round("cs", 6).alias("cos_sim"), "rn"
+        )
     )
 
 

@@ -55,15 +55,15 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 # 1 never-checked (agg_histogram) + 2 r4 hash-FAILs re-fixed
 # (pack determinism rework) + 6 whose values or oracles changed this
 # round (mix fold / surprisal floor / pagerank floor / msum x2 /
-# sharded bucket packing) + 27 new round-5 queries (12 early + 15
+# sharded bucket packing) + 28 new round-5 queries (12 early + 16
 # late: entropy gate / source cap / bigram PMI / minhash
 # contamination / triangle counting / BPE merges / weighted A-ES
 # sampling / winsorize bounds / Markov transitions / analyze-time
 # UDTF / hourly rolling window / PQ-ADC knn / portable hyperplane
-# LSH / equi-depth histogram / MAD outliers) + the first 14 of the
-# 38-name r1-stale-evidence block = 50 exactly. The last 24 stale
-# names trail at positions 51+ and lead round 6. Pinned by
-# tests/test_registry.py.
+# LSH / equi-depth histogram / MAD outliers / PQ+rerank two-stage)
+# + the first 13 of the 38-name r1-stale-evidence block = 50
+# exactly. The last 25 stale names trail at positions 51+ and lead
+# round 6. Pinned by tests/test_registry.py.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- never externally checked ---
     "agg_histogram",
@@ -106,7 +106,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_lsh_portable",
     "agg_histogram_equidepth",
     "dq_outliers_mad",
-    # --- stalest evidence: last green in ROUND 1 (first 14 of 38) ---
+    "knn_pq_rerank",
+    # --- stalest evidence: last green in ROUND 1 (first 13 of 38) ---
     "join_asof_purchase_click",
     "dedup_ngram_jaccard",
     "skew_salted_join",
@@ -122,8 +123,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_quantiles",
     "agg_having",
     "agg_grouping_sets",
-    "unpivot_stack",
     # --- overflow: lead round 6 ---
+    "unpivot_stack",
     "window_analytic_extra",
     "setops_intersect_all",
     "func_date_arith",

@@ -536,3 +536,23 @@ def test_embedding_lsh_portable_twin_recall(spark, sf_dir):
     hits = {(r.id_a, r.id_b) for r in pairs}
     recall = sum(1 for i in range(100) if (i, i + 10000) in hits) / 100
     assert recall >= 0.9, f"twin recall {recall:.2f} < 0.9"
+
+
+def test_pq_rerank_recall_floor(spark, sf_dir):
+    """Two-stage PQ+rerank recall equals the shortlist's (measured
+    0.38 at sf0.01 on structureless vectors); floor-gated, and the
+    rerank output must be exact cosines in descending order."""
+    rr = _run(spark, sf_dir, "knn_pq_rerank").collect()
+    brute = _run(spark, sf_dir, "knn_bruteforce_cosine")
+    bset = {(r.query_id, r.neighbor_id) for r in brute.collect()}
+    pset = {(r.query_id, r.neighbor_id) for r in rr}
+    recall = len(bset & pset) / len(bset)
+    assert recall >= 0.15, f"PQ+rerank recall floor breached: {recall:.2f}"
+    by_q = {}
+    for r in rr:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rs in by_q.values():
+        rs.sort(key=lambda r: r.rn)
+        assert all(
+            rs[i].cos_sim >= rs[i + 1].cos_sim for i in range(len(rs) - 1)
+        )
