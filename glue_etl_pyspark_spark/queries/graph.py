@@ -229,6 +229,19 @@ def graph_triangles_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
         .distinct()
     )
+    return (
+        triangle_node_counts(pairs)
+        .orderBy(F.desc("n_tri"), "node")
+        .limit(_TRI_TOPK)
+    )
+
+
+def triangle_node_counts(pairs: DataFrame) -> DataFrame:
+    """Per-node triangle counts for an undirected edge set given as
+    distinct (u, v) pairs with u < v. Degree-oriented edge-iterator
+    (see graph_triangles_topk docstring); property-tested against
+    brute-force enumeration on adversarial graphs in
+    tests/test_graph_ops.py."""
     deg = (
         pairs.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
@@ -268,6 +281,4 @@ def graph_triangles_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").alias("n_tri"))
-        .orderBy(F.desc("n_tri"), "node")
-        .limit(_TRI_TOPK)
     )
