@@ -71,3 +71,30 @@ def test_contamination_minhash_catches_planted_leaks(spark, smoke_dir):
         d for d in planted if (d, d + _CONTAM_EVAL_BASE) not in hits
     }
     assert not missed, f"planted leaks not flagged: {sorted(missed)}"
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    pieces=st.lists(st.sampled_from(["a", "b", "c", "ab"]), min_size=1, max_size=10),
+    pa=st.sampled_from(["a", "b", "c"]),
+    pb=st.sampled_from(["a", "b", "c"]),
+)
+def test_bpe_replace_chain_matches_python_reference(spark, pieces, pa, pb):
+    """Both engines' double-pass replace must equal Python's
+    str.replace chain (identical leftmost-non-overlapping semantics)
+    on arbitrary piece strings — the generalization of the pinned
+    adversarial cases."""
+    state = "|" + "|".join(pieces) + "|"
+    pat, rep = f"|{pa}|{pb}|", f"|{pa}{pb}|"
+    want = state.replace(pat, rep).replace(pat, rep)
+    expr = (
+        f"replace(replace('{state}', '{pat}', '{rep}'), '{pat}', '{rep}')"
+    )
+    got_spark = spark.sql(f"SELECT {expr} AS r").collect()[0]["r"]
+    got_duck = duckdb.sql(f"SELECT {expr} AS r").fetchone()[0]
+    assert got_spark == want and got_duck == want, (state, pat, got_spark, got_duck, want)
