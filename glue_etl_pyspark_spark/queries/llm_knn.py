@@ -590,10 +590,10 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with asymmetric distance computation
     (ADC) — the compressed-domain leg of the §2.12 similarity stack
     (IVF probes fewer vectors; PQ shrinks each vector 64x): vectors
-    split into {_PQ_M} x {_PQ_DSUB}-dim subspaces, each trained with
-    one deterministic Lloyd round from the {_PQ_K} lowest-id seeds
+    split into 4 x 16-dim subspaces, each trained with one
+    deterministic Lloyd round from the 8 lowest-id seeds
     (floor-scaled means — the IVF trainer discipline), then every
-    vector is encoded as {_PQ_M} one-byte codes. Queries keep RAW
+    vector is encoded as 4 one-byte codes. Queries keep RAW
     subvectors: per-(query, subspace, centroid) distance tables are
     query-sized and broadcast, and the scan touches only the codes —
     at 100 TB the raw corpus is never read at search time, which IS
