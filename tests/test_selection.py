@@ -98,3 +98,40 @@ def test_bpe_replace_chain_matches_python_reference(spark, pieces, pa, pb):
     got_spark = spark.sql(f"SELECT {expr} AS r").collect()[0]["r"]
     got_duck = duckdb.sql(f"SELECT {expr} AS r").fetchone()[0]
     assert got_spark == want and got_duck == want, (state, pat, got_spark, got_duck, want)
+
+
+def test_entropy_gate_matches_python_reference(spark, smoke_dir):
+    """Third-engine check: recompute the floored-bigint entropy in
+    pure Python (pandas + math.log) and require exact equality with
+    the Spark result — independent of the DuckDB oracle, so a shared
+    SQL-dialect misunderstanding can't hide."""
+    import math
+
+    import pandas as pd
+
+    from glue_etl_pyspark_spark.queries.selection import text_entropy_gate
+
+    got = {
+        r.doc_id: r
+        for r in text_entropy_gate(spark, smoke_dir).collect()
+    }
+    docs = pd.read_parquet(f"{smoke_dir}/documents.parquet")
+    checked = 0
+    for _, row in docs.iterrows():
+        toks = [t for t in row.text.lower().split() if t]
+        if not toks:
+            assert row.doc_id not in got
+            continue
+        counts: dict[str, int] = {}
+        for t in toks:
+            counts[t] = counts.get(t, 0) + 1
+        n = len(toks)
+        s = sum(math.floor(c * math.log(c) * 1e9) for c in counts.values())
+        num = max(math.floor(math.log(n) * 1e9) * n - s, 0)
+        ent = (num // (n * 1000)) / 1e6
+        r = got[row.doc_id]
+        assert (r.n_tokens, r.n_uniq) == (n, len(counts))
+        assert r.entropy == ent, (row.doc_id, r.entropy, ent)
+        assert r.kept == int(ent >= 3.0)
+        checked += 1
+    assert checked > 0
