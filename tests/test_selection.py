@@ -135,3 +135,67 @@ def test_entropy_gate_matches_python_reference(spark, smoke_dir):
         assert r.kept == int(ent >= 3.0)
         checked += 1
     assert checked > 0
+
+
+def test_winsorize_and_mad_match_python_reference(spark, smoke_dir):
+    """Third-engine check for the picked-rank statistics: recompute
+    P01/P99 bounds and median/MAD in pure Python over the same
+    parquet and require exact equality (no tolerance — every output
+    is a picked input value or one exact subtraction)."""
+    import pandas as pd
+
+    from glue_etl_pyspark_spark.queries.analytics import (
+        dq_outliers_mad,
+        events_winsorize_bounds,
+    )
+
+    ev = pd.read_parquet(f"{smoke_dir}/events.parquet")
+    wz = {r.event_type: r for r in events_winsorize_bounds(spark, smoke_dir).collect()}
+    mad = {r.event_type: r for r in dq_outliers_mad(spark, smoke_dir).collect()}
+    for etype, g in ev.groupby("event_type"):
+        vals = sorted(zip(g.value, g.event_id))
+        n = len(vals)
+        lo_r, hi_r = max(1, n // 100), n - max(1, n // 100) + 1
+        r = wz[etype]
+        assert (r.n, r.p01, r.p99) == (n, vals[lo_r - 1][0], vals[hi_r - 1][0])
+        assert r.n_below == lo_r - 1 and r.n_above == n - hi_r
+        med = vals[(n + 1) // 2 - 1][0]
+        devs = sorted((abs(v - med), eid) for v, eid in vals)
+        m = devs[(n + 1) // 2 - 1][0]
+        rm = mad[etype]
+        assert (rm.med, rm.mad) == (med, m)
+        assert rm.n_outliers == sum(1 for d, _ in devs if d > 3 * m)
+
+
+def test_bigram_pmi_matches_python_reference(spark, smoke_dir):
+    """Third-engine check: recompute the top-25 PMI collocations in
+    pure Python with the identical fixed-order ln sum and floor."""
+    import math
+
+    import pandas as pd
+
+    from glue_etl_pyspark_spark.queries.selection import text_bigram_pmi
+
+    docs = pd.read_parquet(f"{smoke_dir}/documents.parquet")
+    uni: dict[str, int] = {}
+    bi: dict[tuple[str, str], int] = {}
+    n_tok = n_bi = 0
+    for text in docs.text:
+        toks = [t for t in text.lower().split() if t]
+        for t in toks:
+            uni[t] = uni.get(t, 0) + 1
+        n_tok += len(toks)
+        for x, y in zip(toks, toks[1:]):
+            bi[(x, y)] = bi.get((x, y), 0) + 1
+            n_bi += 1
+    top = sorted(bi.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    want = {}
+    for (x, y), c in top:
+        raw = (math.log(c) + math.log(n_tok) + math.log(n_tok)
+               - math.log(n_bi) - math.log(uni[x]) - math.log(uni[y]))
+        want[(x, y)] = (c, math.floor(raw * 1e6) / 1e6)
+    got = {
+        (r.tok_a, r.tok_b): (r.c_ab, r.pmi)
+        for r in text_bigram_pmi(spark, smoke_dir).collect()
+    }
+    assert got == want
