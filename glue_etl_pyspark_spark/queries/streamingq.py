@@ -525,3 +525,58 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 6).alias("last_value"),
         )
     )
+
+
+@query("stream_stream_join_outer", oracle=None, category="streaming")
+def stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join — the semantics inner joins
+    can't show: a purchase with no click in its preceding 10 minutes
+    must still emit, NULL-padded, once the watermark proves no
+    matching click can arrive. Unmatched state is only released when
+    the event-time watermark passes the join bound, and a bounded
+    replay's watermark never passes its own final rows — so the
+    staged source appends a far-future sentinel row
+    (streaming/ops.stage_events_with_sentinel) that each side's
+    watermark sees BEFORE the type filter drops it, forcing the final
+    eviction/emission before the availableNow drain terminates. This
+    is exactly the production pattern of a heartbeat topic keeping
+    watermarks moving through quiet periods. Rows-only by necessity;
+    the stream≡batch-left-join equality check lives in
+    tests/test_streaming.py."""
+    from ..streaming.ops import stage_events_with_sentinel
+
+    d = stage_events_with_sentinel(sf_dir)
+    a = events_stream(spark, sf_dir, staged_dir=d)
+    b = events_stream(spark, sf_dir, staged_dir=d)
+    p = (
+        a.withWatermark("ts", "30 minutes")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    c = (
+        b.withWatermark("ts", "30 minutes")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("click_ts") < F.col("purchase_ts")),
+        "left_outer",
+    ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
+    # availableNow terminates after the last FILE batch, before the
+    # no-data cleanup batch that evicts (and NULL-emits) the most
+    # recent held purchases — drain with continuous micro-batches
+    # until an idle batch follows data, so the eviction batch lands
+    from ..streaming.ops import drain_micro_batches
+
+    return drain_micro_batches(joined, mode="append")

@@ -41,14 +41,20 @@ def stage_stream_dir(sf_dir: str, table: str = "events") -> str:
     return d
 
 
-def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_stream(
+    spark: SparkSession, sf_dir: str, staged_dir: str | None = None
+) -> DataFrame:
     """The events table as a micro-batch stream with the same schema
     and ts conversion as the batch loader (io.load_table): raw
-    TIMESTAMP(NANOS) longs become timestamp_ntz."""
+    TIMESTAMP(NANOS) longs become timestamp_ntz. ``staged_dir``
+    overrides the file-source directory (e.g. the sentinel-augmented
+    staging from ``stage_events_with_sentinel``)."""
     ensure_session_configs(spark)
     # schema from the batch reader (footer), including the raw ts long
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = spark.readStream.schema(raw_schema).parquet(stage_stream_dir(sf_dir))
+    stream = spark.readStream.schema(raw_schema).parquet(
+        staged_dir or stage_stream_dir(sf_dir)
+    )
     # Watermarks reject TIMESTAMP_NTZ ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]),
     # so the stream carries ltz `timestamp`; the session tz is pinned to UTC
     # (session.RUNTIME_CONFS), so wall-clock values match the batch ntz ones,
@@ -263,3 +269,50 @@ def foreach_batch_to_parquet(
             f"foreachBatch parquet sink did not finish within {await_seconds}s; "
             f"{path} holds a partial batch set"
         )
+
+
+def stage_events_with_sentinel(sf_dir: str, gap_days: int = 10) -> str:
+    """Staging dir = events.parquet symlink + a far-future sentinel
+    row in its own file. The sentinel's only job is to push the event
+    -time watermark past every real row once consumed, so OUTER
+    stream-stream joins can emit their unmatched (NULL-padded) rows
+    before an availableNow drain terminates — without it the final
+    watermark never passes the last real events and their state is
+    held forever. The sentinel rows carry the REAL joined event types
+    ('purchase' and 'click'): Catalyst pushes the type filter below
+    the EventTimeWatermark operator, so a special sentinel type would
+    be dropped before the watermark tracker ever saw it. They can
+    never pollute the output — equal far-future timestamps satisfy no
+    interval bound, and their own unmatched emission would require
+    the watermark to pass their own ts, which it never does. The
+    sentinel file mirrors the source's arrow schema exactly (ts unit
+    included) so the file-stream source reads both files under one
+    schema."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    key = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(STAGE_ROOT, key, "events_wm")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    src_path = os.path.join(sf_dir, "events.parquet")
+    if not os.path.islink(link):
+        os.symlink(src_path, link)
+    sentinel = os.path.join(d, "sentinel.parquet")
+    if not os.path.exists(sentinel):
+        src = pq.read_table(src_path)
+        ts_type = src.schema.field("ts").type
+        unit_per_s = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[ts_type.unit]
+        max_raw = pc.max(src.column("ts").cast(pa.int64())).as_py()
+        far = max_raw + gap_days * 86400 * unit_per_s
+        tbl = pa.table({
+            "event_id": pa.array([-1, -2], src.schema.field("event_id").type),
+            "ts": pa.array([far, far], pa.int64()).cast(ts_type),
+            "user_id": pa.array([-1, -1], src.schema.field("user_id").type),
+            "event_type": pa.array(["purchase", "click"], pa.string()),
+            "value": pa.array([0.0, 0.0], pa.float64()),
+            "props": pa.array(["{}", "{}"], pa.string()),
+        }).select(src.schema.names)
+        pq.write_table(tbl, sentinel, coerce_timestamps=ts_type.unit if ts_type.unit in ("us", "ms") else None)
+    return d

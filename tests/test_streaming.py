@@ -292,3 +292,36 @@ def test_pyds_stream_sequence_closed_form(spark, smoke_dir):
     for b in range(10):
         vals = range(b, 1000, 10)
         assert rows[b] == (100, round(0.5 * sum(vals), 2)), b
+
+
+def test_stream_stream_outer_join_matches_batch_left_join(spark, smoke_dir):
+    """The left-outer stream-stream join must equal the batch LEFT
+    JOIN — including the NULL-padded unmatched purchases, which only
+    emit because the sentinel advances the watermark past all real
+    rows before the drain terminates."""
+    from pyspark.sql import functions as F
+
+    from glue_etl_pyspark_spark.io import load_table
+
+    stream = _run(spark, smoke_dir, "stream_stream_join_outer")
+    ev = load_table(spark, smoke_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"), F.col("ts").alias("click_ts"),
+    )
+    batch = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("click_ts") < F.col("purchase_ts")),
+        "left_outer",
+    ).select("purchase_id", "click_id")
+    cols = ["purchase_id", "click_id"]
+    assert _rows(stream, cols) == _rows(batch, cols)
+    # the outer semantics must actually be exercised: some purchases
+    # have no preceding click
+    assert any(r.click_id is None for r in stream.collect())
