@@ -580,3 +580,84 @@ def stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.ops import drain_micro_batches
 
     return drain_micro_batches(joined, mode="append")
+
+
+@query("stream_stateful_timeout_sessions", oracle=None, category="streaming")
+def stream_stateful_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful sessionization with EVENT-TIME TIMEOUT — the
+    applyInPandasWithState leg NoTimeout can't show: each user's open
+    session closes either when a later event exceeds the 30-min gap
+    (emitted immediately, in-batch) or when the WATERMARK passes the
+    session's end (state.hasTimedOut — the inactivity close). The
+    sentinel-augmented source pushes the final watermark 10 days past
+    the last real event, so every real session times out and the
+    stream's closed-session set equals window_session_batch exactly
+    (the equality test in tests/test_streaming.py) — sessions for the
+    sentinel's own key are suppressed in the state function. State is
+    one (start, last, n) tuple per user; at 100 TB this shards on
+    user_id across state stores and the timeout sweep is per-store."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..streaming.ops import stage_events_with_sentinel
+
+    gap_us = 30 * 60 * 1_000_000
+    d = stage_events_with_sentinel(sf_dir)
+    s = events_stream(spark, sf_dir, staged_dir=d).withWatermark("ts", "0 seconds")
+
+    def update(key, pdfs, state: GroupState):
+        user = key[0]
+        frames = []
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            frames.append((user, start_us, last_us + gap_us, n))
+            state.remove()
+        else:
+            rows = []
+            for pdf in pdfs:
+                rows.extend(
+                    zip(pdf["ts"].astype("int64") // 1000, pdf["event_id"])
+                )
+            rows.sort()
+            if rows:
+                if state.exists:
+                    start_us, last_us, n = state.get
+                else:
+                    start_us, last_us, n = rows[0][0], rows[0][0], 0
+                for ts_us, _ in rows:
+                    if ts_us - last_us >= gap_us:
+                        frames.append((user, start_us, last_us + gap_us, n))
+                        start_us, n = ts_us, 0
+                    last_us = ts_us
+                    n += 1
+                state.update((start_us, last_us, n))
+                state.setTimeoutTimestamp(last_us // 1000 + gap_us // 1000)
+        out = [f for f in frames if f[0] >= 0]  # drop sentinel-key rows
+        if not out:
+            yield pd.DataFrame(
+                {"user_id": [], "start_us": [], "end_us": [], "n_events": []}
+            )
+            return
+        yield pd.DataFrame(
+            [
+                {"user_id": u, "start_us": a, "end_us": b, "n_events": n}
+                for u, a, b, n in out
+            ]
+        )
+
+    closed = s.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, start_us bigint, end_us bigint, n_events bigint",
+        stateStructType="start_us bigint, last_us bigint, n bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    from ..streaming.ops import drain_micro_batches
+
+    drained = drain_micro_batches(closed, mode="append")
+    return drained.select(
+        "user_id",
+        F.expr("timestamp_micros(start_us)").cast("timestamp_ntz").alias("session_start"),
+        F.expr("timestamp_micros(end_us)").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+    )

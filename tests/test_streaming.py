@@ -325,3 +325,14 @@ def test_stream_stream_outer_join_matches_batch_left_join(spark, smoke_dir):
     # the outer semantics must actually be exercised: some purchases
     # have no preceding click
     assert any(r.click_id is None for r in stream.collect())
+
+
+def test_stateful_timeout_sessions_match_batch(spark, smoke_dir):
+    """Closed sessions from the EventTimeTimeout stateful operator
+    must equal batch session_window sessions exactly — the sentinel
+    forces every real session to time out before the drain ends."""
+    stream = _run(spark, smoke_dir, "stream_stateful_timeout_sessions")
+    batch = _run(spark, smoke_dir, "window_session_batch")
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    assert _rows(stream, cols) == _rows(batch, cols)
+    assert stream.count() > 0
