@@ -269,3 +269,114 @@ def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("h").alias("checksum_sum"),
         F.bit_xor("h").alias("checksum_xor"),
     )
+
+# --- HyperLogLog distinct-count sketch, value-oracled -----------------
+#
+# The repo's HLL surface (`agg_approx_distinct`) is rows-only because
+# Spark's approx_count_distinct registers aren't reproducible in
+# DuckDB. This is its hash-checked twin: the SAME md5-polynomial hash
+# family the CMS/Bloom sketches use drives a 64-register HLL whose
+# every step — bucket, leading-zero rank, register max, harmonic mean,
+# linear-counting small-range correction — evaluates bit-identically
+# in both dialects, so the ESTIMATE ITSELF is value-oracled.
+#
+# Determinism notes: each register contributes 1/2^reg — an exact
+# power of two, so the 64-term double sum is exact regardless of
+# order (commutative map-side combine is safe). alpha·m² is injected
+# as ONE repr'd literal into both programs (shared-constant rule).
+# The only ln() sits in the linear-counting branch, floored at 3 dp
+# with irrational inputs (ln(64/V), V integer) — never on a grid
+# boundary.
+#
+# Scale: one groupBy(bucket) with map-side combine shrinks any input
+# to ≤64 rows per task before the shuffle; the final reduce is one
+# 64-row aggregate. This is the always-fits-in-memory distinct count
+# for 100 TB keys (vs. the exact COUNT(DISTINCT)'s full key shuffle,
+# computed here too only as the accuracy yardstick).
+
+_HLL_M = 64
+_HLL_BUCKET = _md5_mod("o_custkey", "hb", _HLL_M)
+_HLL_W = _md5_mod("o_custkey", "hw", 16777216)  # 24-bit rank source
+# rank of first 1-bit in the 24-bit value (1-based from the MSB);
+# all-zeros -> 25. Generated once, pasted into both dialects.
+_HLL_RHO = (
+    "CASE "
+    + " ".join(f"WHEN __w >= {2 ** (23 - k)} THEN {k + 1}" for k in range(24))
+    + " ELSE 25 END"
+)
+_HLL_ALPHA_M2 = repr(0.709 * _HLL_M * _HLL_M)  # alpha_64 * m^2
+
+HLL_ORACLE = f"""
+WITH keys AS (
+  SELECT {_HLL_BUCKET} AS bucket, {_HLL_W} AS __w FROM orders
+),
+regs AS (
+  SELECT bucket, MAX({_HLL_RHO}) AS reg FROM keys GROUP BY bucket
+),
+sk AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_present,
+         SUM(1.0 / power(2.0, reg)) AS s_present
+  FROM regs
+),
+est AS (
+  SELECT CAST({_HLL_M} - n_present AS BIGINT) AS n_zero_registers,
+    {_HLL_ALPHA_M2} / (s_present + ({_HLL_M} - n_present) * 1.0) AS e_raw
+  FROM sk
+)
+SELECT
+  CAST(floor(CASE WHEN e_raw <= {2.5 * _HLL_M} AND n_zero_registers > 0
+             THEN {_HLL_M} * ln({_HLL_M} * 1.0 / n_zero_registers)
+             ELSE e_raw END * 1000) AS BIGINT) AS est_milli,
+  CASE WHEN e_raw <= {2.5 * _HLL_M} AND n_zero_registers > 0
+       THEN 'linear' ELSE 'raw' END AS method,
+  n_zero_registers,
+  (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders)
+    AS exact_distinct
+FROM est
+"""
+
+
+@query("agg_hll_portable", oracle=HLL_ORACLE, category="sketch")
+def agg_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-register HyperLogLog distinct count of orders.o_custkey,
+    hash-checked end-to-end (see module comment): bucket and rank come
+    from the portable md5-polynomial family, registers are MAX-merged
+    (commutative), the harmonic mean is an exact power-of-two sum, and
+    the linear-counting correction branches on the same literals in
+    both engines. Emits the estimate (milli-units), the branch taken,
+    zero-register count, and the exact distinct as yardstick; the
+    ±1.04/√64 ≈ 13% error bound is gated in tests/test_sketches.py."""
+    o = load_table(spark, sf_dir, "orders")
+    keys = o.select(
+        F.expr(_HLL_BUCKET).alias("bucket"), F.expr(_HLL_W).alias("__w")
+    )
+    regs = keys.select("bucket", F.expr(_HLL_RHO).alias("rho")).groupBy(
+        "bucket"
+    ).agg(F.max("rho").alias("reg"))
+    sk = regs.agg(
+        F.count("*").alias("n_present"),
+        F.sum(F.lit(1.0) / F.pow(F.lit(2.0), F.col("reg"))).alias("s_present"),
+    )
+    exact = o.agg(F.count_distinct("o_custkey").alias("exact_distinct"))
+    est = sk.crossJoin(exact).select(
+        (F.lit(_HLL_M) - F.col("n_present")).cast("bigint").alias(
+            "n_zero_registers"
+        ),
+        (
+            F.expr(_HLL_ALPHA_M2)
+            / (F.col("s_present") + (F.lit(_HLL_M) - F.col("n_present")) * 1.0)
+        ).alias("e_raw"),
+        "exact_distinct",
+    )
+    lc = (F.col("e_raw") <= F.lit(2.5 * _HLL_M)) & (
+        F.col("n_zero_registers") > 0
+    )
+    chosen = F.when(
+        lc, F.lit(_HLL_M) * F.log(F.lit(_HLL_M * 1.0) / F.col("n_zero_registers"))
+    ).otherwise(F.col("e_raw"))
+    return est.select(
+        F.floor(chosen * 1000).cast("bigint").alias("est_milli"),
+        F.when(lc, F.lit("linear")).otherwise(F.lit("raw")).alias("method"),
+        "n_zero_registers",
+        "exact_distinct",
+    )

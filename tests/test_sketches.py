@@ -59,3 +59,36 @@ def test_hashed_shingles_edge_cases(spark):
     assert out[2] == [] and out[3] == []
     assert out[1] != out[4], "order-insensitive collision: a b c d == b a c d"
     assert len(set(out[1])) == 2
+
+
+def test_hll_portable_error_bound(spark, sf_dir):
+    """The 64-register HLL estimate must land within 30% of the exact
+    distinct (standard error 1.04/sqrt(64) ~ 13%; 30% ~ 2.3 sigma) and
+    the rank CASE chain must agree with a pure-Python HLL reference."""
+    from glue_etl_pyspark_spark.registry import load_all
+
+    row = load_all()["agg_hll_portable"].fn(spark, sf_dir).collect()[0]
+    est = row.est_milli / 1000.0
+    assert abs(est - row.exact_distinct) / row.exact_distinct < 0.30
+
+    # cross-check the whole sketch against hashlib-driven Python
+    import duckdb
+
+    keys = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT DISTINCT o_custkey FROM '{sf_dir}/orders.parquet'"
+        ).fetchall()
+    ]
+    m = 64
+    regs = [0] * m
+    for k in keys:
+        b = _ref("hb", k, m)
+        w = _ref("hw", k, 16777216)
+        rho = 25 if w == 0 else (24 - w.bit_length() + 1)
+        regs[b] = max(regs[b], rho)
+    s = sum(1.0 / (1 << r) for r in regs)
+    e_raw = eval(repr(0.709 * m * m)) / s
+    v = regs.count(0)
+    expect = m * __import__("math").log(m / v) if (e_raw <= 2.5 * m and v > 0) else e_raw
+    assert row.est_milli == int(expect * 1000 // 1)
