@@ -481,3 +481,68 @@ def text_idf_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- boilerplate-line strip (C4-style cleaning) -----------------------
+
+BOILERPLATE_ORACLE = f"""
+WITH lines AS ({_LINES_DUCK}),
+boiler AS (
+  SELECT line FROM lines GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2
+),
+j AS (
+  SELECT l.doc_id, l.line_no, l.line, b.line IS NOT NULL AS is_b
+  FROM lines l LEFT JOIN boiler b USING (line)
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_lines,
+  CAST(SUM(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+  md5(coalesce(
+    string_agg(CASE WHEN NOT is_b THEN line END, chr(10) ORDER BY line_no),
+    '')) AS clean_md5
+FROM j GROUP BY doc_id
+"""
+
+
+@query("text_boilerplate_strip", oracle=BOILERPLATE_ORACLE, category="llm-quality")
+def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate removal: a (pseudo-)line occurring in >= 2
+    distinct documents corpus-wide is boilerplate (nav bars, cookie
+    banners, license footers in real crawls); each document keeps its
+    remaining lines in original order. The cleaned text is emitted as
+    md5 so the whole reconstruction — membership, order, separator —
+    is value-checked, not just the counts.
+
+    Scale: one line-frequency aggregate (map-side combine on the line
+    value; xxhash64(line) 8-byte keys at real scale, string kept here
+    so the oracle shares the key verbatim), then the threshold table is
+    tiny by construction (frequency >= 2 across a 100 TB crawl still
+    yields << 1% of distinct lines) — it broadcasts, so the strip pass
+    is shuffle-free; per-doc reassembly groups on doc_id at scan
+    parallelism."""
+    d = load_table(spark, sf_dir, "documents")
+    lines = _with_lines(d).select(
+        "doc_id", F.posexplode("lines").alias("line_no", "line")
+    )
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.count_distinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("line", F.lit(1).alias("__b"))
+    )
+    j = lines.join(F.broadcast(boiler), "line", "left")
+    kept = F.when(F.col("__b").isNull(), F.struct("line_no", "line"))
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(F.col("__b").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_boiler"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept)), lambda s: s["line"]
+                ),
+                "\n",
+            )
+        ).alias("clean_md5"),
+    )

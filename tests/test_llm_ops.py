@@ -556,3 +556,37 @@ def test_pq_rerank_recall_floor(spark, sf_dir):
         assert all(
             rs[i].cos_sim >= rs[i + 1].cos_sim for i in range(len(rs) - 1)
         )
+
+
+def test_boilerplate_strip_nonvacuous_and_clean_hash(spark, sf_dir):
+    """The threshold must actually fire on the fixture (else the query
+    proves nothing), stripped docs must change their clean hash vs the
+    full reconstruction, and untouched docs must keep it."""
+    from pyspark.sql import functions as F
+
+    from glue_etl_pyspark_spark.registry import load_all
+
+    df = load_all()["text_boilerplate_strip"].fn(spark, sf_dir)
+    agg = df.agg(
+        F.sum("n_boiler").alias("b"),
+        F.count("*").alias("n"),
+        F.sum((F.col("n_boiler") == 0).cast("int")).alias("clean_docs"),
+    ).collect()[0]
+    assert agg.b > 0, "no boilerplate found - threshold vacuous on fixture"
+    assert agg.clean_docs > 0, "every doc stripped - threshold too loose"
+    # an all-kept doc's md5 equals md5 of its own joined lines
+    import hashlib
+
+    from glue_etl_pyspark_spark.queries.llm_quality import _with_lines
+    from glue_etl_pyspark_spark.io import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    probe = (
+        _with_lines(d)
+        .join(df.filter(F.col("n_boiler") == 0).select("doc_id", "clean_md5"), "doc_id")
+        .select("doc_id", "lines", "clean_md5")
+        .limit(5)
+        .collect()
+    )
+    for r in probe:
+        assert hashlib.md5("\n".join(r.lines).encode()).hexdigest() == r.clean_md5
