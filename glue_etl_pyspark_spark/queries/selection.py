@@ -536,3 +536,106 @@ def sample_weighted_noreplace(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("skey"), "doc_id")
         .limit(_WS_K)
     )
+
+
+# --- add-one-smoothed bigram LM document scoring -------------------
+#
+# The KenLM-perplexity quality filter's shape (CCNet / Gopher /
+# RedPajama pipelines): train a corpus bigram LM, score every document
+# by its mean per-bigram negative log-likelihood, flag the tail. A
+# real pipeline trains on a held-out high-quality corpus; here the LM
+# trains on the corpus itself (self-perplexity), which keeps the whole
+# chain — counts, smoothing, ln terms, per-doc mean — in exact SQL on
+# both engines.
+#
+# Determinism: each bigram's term ln(c1+V) - ln(c12+1) is floored to
+# the 1e-9 grid FIRST (order-invariant exact bigint sum — the entropy
+# gate's discipline), the per-doc mean is an integer division.
+
+BIGRAM_LM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+),
+uni AS (
+  SELECT u.w AS w, CAST(COUNT(*) AS BIGINT) AS c1
+  FROM toks, unnest(toks.toks) AS u(w) GROUP BY u.w
+),
+vocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+big AS (
+  SELECT doc_id, (toks)[g.i] AS w1, (toks)[g.i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+  WHERE len(toks) >= 2
+),
+cbig AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM big GROUP BY w1, w2
+),
+terms AS (
+  SELECT b.doc_id,
+    CAST(floor((ln(u.c1 + v.v) - ln(cb.c12 + 1)) * 1e9) AS BIGINT) AS t
+  FROM big b
+  JOIN cbig cb ON cb.w1 = b.w1 AND cb.w2 = b.w2
+  JOIN uni u ON u.w = b.w1, vocab v
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  CAST(CAST(SUM(t) AS BIGINT) // (COUNT(*) * 1000) AS BIGINT) / 1e6
+    AS nll_per_bigram
+FROM terms GROUP BY doc_id
+"""
+
+
+@query("text_bigram_lm_score", oracle=BIGRAM_LM_ORACLE, category="llm-quality")
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean per-bigram negative log-likelihood of every document under
+    an add-one-smoothed corpus bigram LM (see block comment: the
+    perplexity-filter shape, self-trained so it stays value-oracled).
+    High nll = improbable token transitions = gibberish/boilerplate
+    candidates.
+
+    Scale: unigram and bigram count tables combine map-side; the score
+    pass joins documents' bigrams to the count tables on the bigram
+    key (hash-partitionable; xxhash64 8-byte keys at real scale). The
+    unigram table and V broadcast. Self-training is one extra pass
+    over the same shuffle keys — a held-out-LM variant just swaps the
+    count tables' source."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokenize_ws("text").alias("toks"))
+    big = (
+        toks.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+    uni = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    vocab = uni.agg(F.count("*").alias("v"))
+    cbig = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    terms = (
+        big.join(cbig, ["w1", "w2"])
+        .join(F.broadcast(uni), big["w1"] == uni["w"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.floor(
+                (F.log(F.col("c1") + F.col("v")) - F.log(F.col("c12") + 1))
+                * F.lit(1e9)
+            )
+            .cast("bigint")
+            .alias("t"),
+        )
+    )
+    return terms.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        (
+            F.expr("sum(t) div (count(*) * 1000)").cast("bigint") / F.lit(1e6)
+        ).alias("nll_per_bigram"),
+    )

@@ -199,3 +199,43 @@ def test_bigram_pmi_matches_python_reference(spark, smoke_dir):
         for r in text_bigram_pmi(spark, smoke_dir).collect()
     }
     assert got == want
+
+
+def test_bigram_lm_matches_python_reference(spark, smoke_dir):
+    """Third-engine check: recompute the add-one bigram-LM nll in pure
+    Python and require exact equality with the Spark result (same
+    1e-9-grid per-term floor, exact integer mean)."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from glue_etl_pyspark_spark.queries.selection import text_bigram_lm_score
+
+    got = {r.doc_id: r for r in text_bigram_lm_score(spark, smoke_dir).collect()}
+    docs = pd.read_parquet(f"{smoke_dir}/documents.parquet")
+    uni: Counter = Counter()
+    cbig: Counter = Counter()
+    doc_bigrams: dict[int, list[tuple[str, str]]] = {}
+    for _, row in docs.iterrows():
+        toks = [t for t in row.text.lower().split() if t]
+        uni.update(toks)
+        bgs = list(zip(toks, toks[1:]))
+        cbig.update(bgs)
+        if bgs:
+            doc_bigrams[row.doc_id] = bgs
+    v = len(uni)
+    checked = 0
+    for doc_id, bgs in doc_bigrams.items():
+        s = sum(
+            math.floor(
+                (math.log(uni[w1] + v) - math.log(cbig[(w1, w2)] + 1)) * 1e9
+            )
+            for w1, w2 in bgs
+        )
+        nll = (s // (len(bgs) * 1000)) / 1e6
+        r = got[doc_id]
+        assert r.n_bigrams == len(bgs)
+        assert r.nll_per_bigram == nll, (doc_id, r.nll_per_bigram, nll)
+        checked += 1
+    assert checked > 0 and set(got) == set(doc_bigrams)
