@@ -11,8 +11,10 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..operators.multimodal import attach_media, extract_features, resize_media
+from ..functions.vectors import cosine_similarity
 from ..operators.similarity import (
     embedding_dup_pairs,
+    ivf_build,
     ivf_knn,
     knn_bruteforce,
     lsh_knn,
@@ -849,4 +851,92 @@ def embedding_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_bands"))
+    )
+
+
+# --- SemDeDup: semantic dedup via cluster-then-compare ----------------
+
+_SEMDEDUP_TAU = 0.98
+
+SEMDEDUP_ORACLE = f"""
+WITH e AS (
+  SELECT 100000 + s.vec_id * 50 + c.c AS vec_id,
+    list_transform(range(1, 65), i -> CAST(s.embedding[i] AS DOUBLE)
+      + (((100000 + s.vec_id * 50 + c.c) * 31 + i * 7) % 11 - 5) * 0.004) AS v
+  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20) s,
+       range(0, 50) c(c)
+),
+c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 31 = 0),
+{_lloyd_cte("c0", "1")},
+{_lloyd_cte("c1", "2")},
+cent_sims AS (
+  SELECT a.vec_id, c.cent_id, {_COS.format(a="a.v", b="c.cv")} AS cs
+  FROM e a, c2 c, range(1, 65) r(i)
+  GROUP BY a.vec_id, c.cent_id
+),
+assign AS (
+  SELECT vec_id AS neighbor_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
+    FROM cent_sims) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.neighbor_id AS id_a, b.neighbor_id AS id_b
+  FROM assign a JOIN assign b
+    ON a.cent_id = b.cent_id AND a.neighbor_id < b.neighbor_id
+),
+pair_sims AS (
+  SELECT p.id_a, p.id_b, {_COS.format(a="va.v", b="vb.v")} AS cs
+  FROM pairs p
+  JOIN e va ON va.vec_id = p.id_a
+  JOIN e vb ON vb.vec_id = p.id_b,
+  range(1, 65) r(i)
+  GROUP BY p.id_a, p.id_b
+),
+dups AS (SELECT DISTINCT id_b FROM pair_sims WHERE cs >= {_SEMDEDUP_TAU})
+SELECT m.neighbor_id AS vec_id, m.cent_id,
+  CASE WHEN d.id_b IS NULL THEN 1 ELSE 0 END AS kept
+FROM assign m LEFT JOIN dups d ON d.id_b = m.neighbor_id
+"""
+
+
+@query("dedup_semantic_clusters", oracle=SEMDEDUP_ORACLE, category="llm-dedup")
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023 shape): cluster the corpus with the
+    deterministic k-means coarse quantizer, compare embeddings ONLY
+    within a cluster, and drop every vector that has a smaller-id
+    in-cluster neighbor above cosine {_SEMDEDUP_TAU} — keep-first
+    semantic dedup without the all-pairs cross join. Deterministic
+    trainer + portable cosine ⇒ the whole chain (assignment, pair
+    threshold, keep flags) is hash-checked against the SQL oracle.
+
+    Scale: the pair stage is an equi-join on cent_id, so the quadratic
+    term is bounded per cluster (ncents ~ √n keeps clusters ~√n; a
+    runaway cluster gets capped or re-clustered in practice — the
+    per-domain-cap treatment). The 1000-vector jittered-cluster corpus
+    plants ground truth: ~20 true groups of 50 mutual near-dups, so
+    the expected keep set is ~1 per (kmeans-cluster ∩ true group) —
+    gated in tests/test_llm_ops.py."""
+    corpus = _jittered_cluster_corpus(spark, sf_dir)
+    cents, members = ivf_build(corpus, centroid_stride=31, lloyd_iters=2)
+    m = members.select("cent_id", F.col("neighbor_id").alias("vec_id"), "vec")
+    a = m.select(
+        "cent_id", F.col("vec_id").alias("id_a"), F.col("vec").alias("__va")
+    )
+    b = m.select(
+        "cent_id", F.col("vec_id").alias("id_b"), F.col("vec").alias("__vb")
+    )
+    dups = (
+        a.join(b, "cent_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cs", cosine_similarity("__va", "__vb"))
+        .filter(F.col("cs") >= _SEMDEDUP_TAU)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("__d", F.lit(1))
+    )
+    return m.join(dups, "vec_id", "left").select(
+        "vec_id",
+        "cent_id",
+        F.when(F.col("__d").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("kept"),
     )

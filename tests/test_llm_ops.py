@@ -590,3 +590,24 @@ def test_boilerplate_strip_nonvacuous_and_clean_hash(spark, sf_dir):
     )
     for r in probe:
         assert hashlib.md5("\n".join(r.lines).encode()).hexdigest() == r.clean_md5
+
+
+def test_semdedup_keeps_one_per_true_group(spark, sf_dir):
+    """The jittered corpus plants 20 true groups of 50 mutual
+    near-dups: SemDeDup must keep at least one representative per true
+    group (nothing is over-deleted), and collapse the vast majority of
+    each group (the dedup actually fires)."""
+    from pyspark.sql import functions as F
+
+    from glue_etl_pyspark_spark.registry import load_all
+
+    df = load_all()["dedup_semantic_clusters"].fn(spark, sf_dir)
+    rows = df.withColumn(
+        "true_group", F.floor((F.col("vec_id") - 100000) / 50)
+    ).collect()
+    assert len(rows) == 1000
+    kept = [r for r in rows if r.kept == 1]
+    groups_kept = {r.true_group for r in kept}
+    assert groups_kept == set(range(20)), "some true group lost entirely"
+    # heavy collapse: >=80% of the corpus is removed as semantic dups
+    assert len(kept) <= 200, f"kept {len(kept)} - dedup barely fired"
