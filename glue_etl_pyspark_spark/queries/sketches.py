@@ -380,3 +380,120 @@ def agg_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_zero_registers",
         "exact_distinct",
     )
+
+
+# --- grouped HLL (the mergeable per-key distinct sketch) --------------
+
+HLL_GROUPED_ORACLE = f"""
+WITH keys AS (
+  SELECT o_orderpriority AS grp, {_HLL_BUCKET} AS bucket, {_HLL_W} AS __w
+  FROM orders
+),
+regs AS (
+  SELECT grp, bucket, MAX({_HLL_RHO}) AS reg FROM keys GROUP BY grp, bucket
+),
+sk AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_present,
+         SUM(1.0 / power(2.0, reg)) AS s_present
+  FROM regs GROUP BY grp
+),
+est AS (
+  SELECT grp, CAST({_HLL_M} - n_present AS BIGINT) AS n_zero,
+    {_HLL_ALPHA_M2} / (s_present + ({_HLL_M} - n_present) * 1.0) AS e_raw
+  FROM sk
+),
+exact AS (
+  SELECT o_orderpriority AS grp,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT est.grp AS o_orderpriority,
+  CAST(floor(CASE WHEN e_raw <= {2.5 * _HLL_M} AND n_zero > 0
+             THEN {_HLL_M} * ln({_HLL_M} * 1.0 / n_zero)
+             ELSE e_raw END * 1000) AS BIGINT) AS est_milli,
+  exact.exact_distinct
+FROM est JOIN exact ON est.grp = exact.grp
+"""
+
+
+@query("agg_hll_grouped", oracle=HLL_GROUPED_ORACLE, category="sketch")
+def agg_hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group HLL distinct customers by order priority — the
+    MERGEABLE form that makes the sketch the 100 TB distinct-count
+    workhorse: register rows MAX-combine map-side, so each task ships
+    at most groups x 64 rows regardless of input size, and the same
+    MAX merges per-day sketches into per-month answers without
+    re-reading data (the exact COUNT(DISTINCT) per group, computed
+    here as the yardstick, cannot merge that way). Same portable hash
+    family and branch literals as agg_hll_portable."""
+    o = load_table(spark, sf_dir, "orders")
+    keys = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.expr(_HLL_BUCKET).alias("bucket"),
+        F.expr(_HLL_RHO.replace("__w", _HLL_W)).alias("rho"),
+    )
+    regs = keys.groupBy("grp", "bucket").agg(F.max("rho").alias("reg"))
+    sk = regs.groupBy("grp").agg(
+        F.count("*").alias("n_present"),
+        F.sum(F.lit(1.0) / F.pow(F.lit(2.0), F.col("reg"))).alias("s_present"),
+    )
+    exact = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count_distinct("o_custkey").alias("exact_distinct")
+    )
+    est = sk.join(exact, "grp").select(
+        "grp",
+        (F.lit(_HLL_M) - F.col("n_present")).cast("bigint").alias("n_zero"),
+        (
+            F.expr(_HLL_ALPHA_M2)
+            / (F.col("s_present") + (F.lit(_HLL_M) - F.col("n_present")) * 1.0)
+        ).alias("e_raw"),
+        "exact_distinct",
+    )
+    lc = (F.col("e_raw") <= F.lit(2.5 * _HLL_M)) & (F.col("n_zero") > 0)
+    chosen = F.when(
+        lc, F.lit(_HLL_M) * F.log(F.lit(_HLL_M * 1.0) / F.col("n_zero"))
+    ).otherwise(F.col("e_raw"))
+    return est.select(
+        F.col("grp").alias("o_orderpriority"),
+        F.floor(chosen * 1000).cast("bigint").alias("est_milli"),
+        "exact_distinct",
+    )
+
+
+# --- deterministic-sample quantiles (the shuffle-free scale path) -----
+
+_QS_HASH = _md5_mod("concat(l_orderkey, '-', l_linenumber)", "qs", 1024)
+
+QUANTILES_SAMPLED_ORACLE = f"""
+WITH s AS (
+  SELECT l_returnflag, l_quantity FROM lineitem WHERE {_QS_HASH} < 128
+)
+SELECT l_returnflag,
+  CAST(COUNT(*) AS BIGINT) AS n_sampled,
+  MEDIAN(l_quantity) AS median_qty,
+  QUANTILE_CONT(l_quantity, 0.25) AS q1_qty,
+  QUANTILE_CONT(l_quantity, 0.75) AS q3_qty
+FROM s GROUP BY l_returnflag
+"""
+
+
+@query("agg_quantiles_sampled", oracle=QUANTILES_SAMPLED_ORACLE, category="sketch")
+def agg_quantiles_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles over a deterministic 12.5% hash sample — the scale
+    answer to exact percentiles' full-sort cost: the portable hash
+    picks the SAME rows on both engines (so unlike rng-based sampling
+    this stays value-oracled), the sampled partial is 8x smaller
+    before any shuffle, and quantile error decays as 1/sqrt(sample).
+    Accuracy vs the exact twin (agg_quantiles) is gated in
+    tests/test_sketches.py. At 100 TB the filter runs in the scan
+    (hash of two scan columns, no extra pass) — this is how
+    percentile dashboards stay interactive on row counts where even
+    percentile_approx's state gets expensive."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.filter(F.expr(_QS_HASH) < 128)
+    return s.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_sampled"),
+        F.median("l_quantity").alias("median_qty"),
+        F.percentile("l_quantity", F.lit(0.25)).alias("q1_qty"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("q3_qty"),
+    )

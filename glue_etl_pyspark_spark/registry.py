@@ -61,10 +61,10 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 # sampling / winsorize bounds / Markov transitions / analyze-time
 # UDTF / hourly rolling window / PQ-ADC knn / portable hyperplane
 # LSH / equi-depth histogram / MAD outliers / PQ+rerank two-stage)
-# + 4 post-sweep additions (portable HLL, boilerplate strip, bigram
-# LM, SemDeDup) + the first 9 of the 38-name r1-stale-evidence block
-# = 50 exactly. The last 29 stale names trail at positions 51+ and
-# lead round 6. Pinned by tests/test_registry.py.
+# + 6 post-sweep additions (portable + grouped HLL, sampled
+# quantiles, boilerplate strip, bigram LM, SemDeDup) + the first 7
+# of the 38-name r1-stale-evidence block = 50 exactly. The last 31
+# stale names trail at positions 51+ and lead round 6. Pinned by tests/test_registry.py.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- never externally checked ---
     "agg_histogram",
@@ -108,13 +108,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_histogram_equidepth",
     "dq_outliers_mad",
     "knn_pq_rerank",
-    # --- post-sweep round-5 additions (never checked; displace 4 more
+    # --- post-sweep round-5 additions (never checked; displace 6 more
     # stale slots — same never-green-outranks-stale rule) ---
     "agg_hll_portable",
     "text_boilerplate_strip",
     "text_bigram_lm_score",
     "dedup_semantic_clusters",
-    # --- stalest evidence: last green in ROUND 1 (first 13 of 38) ---
+    "agg_hll_grouped",
+    "agg_quantiles_sampled",
+    # --- stalest evidence: last green in ROUND 1 (first 7 of 38) ---
     "join_asof_purchase_click",
     "dedup_ngram_jaccard",
     "skew_salted_join",
@@ -122,9 +124,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dpp_partitioned_join",
     "cdc_upsert_merge",
     "agg_decimal_exact",
+    # --- overflow: lead round 6 ---
     "agg_distinct",
     "agg_sum_distinct",
-    # --- overflow: lead round 6 ---
     "agg_stats",
     "agg_cube",
     "agg_pivot",

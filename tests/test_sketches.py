@@ -92,3 +92,35 @@ def test_hll_portable_error_bound(spark, sf_dir):
     v = regs.count(0)
     expect = m * __import__("math").log(m / v) if (e_raw <= 2.5 * m and v > 0) else e_raw
     assert row.est_milli == int(expect * 1000 // 1)
+
+
+def test_hll_grouped_error_bound(spark, sf_dir):
+    """Every per-group HLL estimate within 30% of its exact count."""
+    from glue_etl_pyspark_spark.registry import load_all
+
+    rows = load_all()["agg_hll_grouped"].fn(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        est = r.est_milli / 1000.0
+        assert abs(est - r.exact_distinct) / r.exact_distinct < 0.30, r
+
+
+def test_sampled_quantiles_track_exact(spark, sf_dir):
+    """The 12.5% hash-sample quantiles must sit near the exact twins
+    (l_quantity is uniform 1..50: generous +/-4 tolerance) and the
+    sample fraction must be near 1/8."""
+    from glue_etl_pyspark_spark.registry import load_all
+
+    reg = load_all()
+    sampled = {r.l_returnflag: r for r in reg["agg_quantiles_sampled"].fn(spark, sf_dir).collect()}
+    exact = {r.l_returnflag: r for r in reg["agg_quantiles"].fn(spark, sf_dir).collect()}
+    total = sum(r.n_sampled for r in sampled.values())
+    from glue_etl_pyspark_spark.io import load_table
+
+    n_all = load_table(spark, sf_dir, "lineitem").count()
+    assert abs(total / n_all - 0.125) < 0.02
+    for flag, s in sampled.items():
+        e = exact[flag]
+        assert abs(s.median_qty - e.median_qty) <= 4
+        assert abs(s.q1_qty - e.q1_qty) <= 4
+        assert abs(s.q3_qty - e.q3_qty) <= 4
