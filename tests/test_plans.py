@@ -464,3 +464,48 @@ def test_weighted_sample_is_take_ordered(spark, sf_dir):
     plan = explain_str(_df(spark, sf_dir, "sample_weighted_noreplace"))
     assert "TakeOrderedAndProject" in plan
     assert plan.count("SinglePartition") == 0
+
+
+def test_hll_partial_aggregates_and_tiny_shuffle(spark, sf_dir):
+    """The HLL register build must combine map-side (partial+final
+    HashAggregate) — the whole point of the sketch is that the shuffle
+    carries at most m rows per task."""
+    df = _df(spark, sf_dir, "agg_hll_portable")
+    ops = operator_counts(df)
+    n_hash_agg = sum(v for k, v in ops.items() if "HashAggregate" in k)
+    assert n_hash_agg >= 4, f"expected partial+final aggs on both passes: {ops}"
+
+
+def test_boilerplate_strip_broadcasts_line_table(spark, sf_dir):
+    """The boilerplate table is tiny by construction and must broadcast
+    — a shuffle join on the raw line strings would move the whole
+    corpus twice."""
+    df = _df(spark, sf_dir, "text_boilerplate_strip")
+    assert_broadcast_joins(df, at_least=1)
+    assert_no_sort_merge_join(df)
+
+
+def test_semdedup_pairs_join_on_cluster_key(spark, sf_dir):
+    """SemDeDup's quadratic stage must be an equi-join on cent_id —
+    never a cartesian product over the corpus."""
+    plan = explain_str(_df(spark, sf_dir, "dedup_semantic_clusters"))
+    assert "CartesianProduct" not in plan
+    assert "cent_id" in plan
+
+
+def test_bigram_lm_broadcasts_unigram_side(spark, sf_dir):
+    """The unigram/vocab tables broadcast; only the bigram-key join may
+    shuffle."""
+    df = _df(spark, sf_dir, "text_bigram_lm_score")
+    assert_broadcast_joins(df, at_least=2)
+
+
+def test_sampled_quantiles_filter_reaches_scan(spark, sf_dir):
+    """The hash-sample predicate must evaluate in the scan stage (no
+    pre-shuffle of unsampled rows): the sampled aggregate's input is a
+    Filter directly over the file scan."""
+    from glue_etl_pyspark_spark.plans import explain_str as _es
+
+    plan = _es(_df(spark, sf_dir, "agg_quantiles_sampled"))
+    assert "md5" in plan and "Filter" in plan
+    assert "CartesianProduct" not in plan

@@ -124,3 +124,16 @@ def test_sampled_quantiles_track_exact(spark, sf_dir):
         assert abs(s.median_qty - e.median_qty) <= 4
         assert abs(s.q1_qty - e.q1_qty) <= 4
         assert abs(s.q3_qty - e.q3_qty) <= 4
+
+
+def test_md5_mod_spark_fast_twin_is_bit_identical(spark):
+    """The conv()-based Spark hot-path hash must equal the portable
+    polynomial on every value (it feeds value-oracled queries)."""
+    from pyspark.sql import functions as F
+
+    from glue_etl_pyspark_spark.queries.sketches import _md5_mod, _md5_mod_spark
+
+    df = spark.range(20000).selectExpr("cast(id as string) AS k")
+    poly = _md5_mod("k", "tw", 1 << 24)
+    fast = _md5_mod_spark("k", "tw", 1 << 24)
+    assert df.filter(F.expr(f"{poly} <> {fast}")).count() == 0
