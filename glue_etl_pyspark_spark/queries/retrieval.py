@@ -18,7 +18,7 @@ from ..functions.text import tokenize_ws
 from ..io import load_table
 from ..registry import query
 from .llm_text import _DUCK_TOKS
-from .sketches import _md5_mod, _md5_mod_at
+from .sketches import _md5_mod, _md5_mod_at, _md5_mod_at_spark
 
 # --- BM25 ----------------------------------------------------------
 
@@ -144,6 +144,16 @@ _MH_FRAGS = {
     for j in range(_MH_K)
 }
 
+# Spark-side hot-path twins (one md5 + conv per fragment instead of six
+# digit parses — bit-identical, pinned in tests/test_sketches.py). The
+# oracle keeps the polynomial _MH_FRAGS; Spark query bodies use these.
+_MH_FRAGS_SPARK = {
+    f"h{j}": _md5_mod_at_spark(
+        "shingle", "mhA" if j < 4 else "mhB", _MH_MOD, 6 * (j % 4)
+    )
+    for j in range(_MH_K)
+}
+
 _MH_CORPUS_SQL = f"""
   SELECT doc_id, text FROM documents
   UNION ALL
@@ -241,7 +251,7 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = sh.groupBy("id").agg(
         *[
             F.min(F.expr(frag)).alias(f"h{j}")
-            for j, frag in enumerate(_MH_FRAGS.values())
+            for j, frag in enumerate(_MH_FRAGS_SPARK.values())
         ]
     )
     bands = sig.select(

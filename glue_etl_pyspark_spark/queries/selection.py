@@ -19,7 +19,7 @@ from ..functions.text import tokenize_ws
 from ..io import load_table
 from ..registry import query
 from .llm_text import _DUCK_TOKS
-from .retrieval import _MH_BANDS, _MH_FRAGS, _MH_ROWS
+from .retrieval import _MH_BANDS, _MH_FRAGS, _MH_FRAGS_SPARK, _MH_ROWS
 from .sketches import _md5_mod
 
 # --- token-entropy quality gate ------------------------------------
@@ -288,7 +288,7 @@ def _mh_bands(df: DataFrame) -> DataFrame:
     sig = sh.groupBy("id").agg(
         *[
             F.min(F.expr(frag)).alias(f"h{j}")
-            for j, frag in enumerate(_MH_FRAGS.values())
+            for j, frag in enumerate(_MH_FRAGS_SPARK.values())
         ]
     )
     bands = None

@@ -57,9 +57,16 @@ def _md5_mod_spark(expr: str, seed: str, mod: int) -> str:
     ~3.5x faster per row, which matters when the hash gates a scan
     at 100 TB). Spark-only: DuckDB has no conv(), so oracles keep the
     polynomial form; only the VALUES must match, not the SQL shape."""
+    return _md5_mod_at_spark(expr, seed, mod, 0)
+
+
+def _md5_mod_at_spark(expr: str, seed: str, mod: int, offset: int) -> str:
+    """Offset variant of ``_md5_mod_spark`` — the hot-path twin of
+    ``_md5_mod_at`` (four independent 6-digit hashes per md5)."""
+    assert 0 <= offset <= 26
     return (
-        f"(cast(conv(substr(md5(concat('{seed}', ':', {expr})), 1, 6),"
-        f" 16, 10) as bigint) % {mod})"
+        f"(cast(conv(substr(md5(concat('{seed}', ':', {expr})),"
+        f" {offset + 1}, 6), 16, 10) as bigint) % {mod})"
     )
 
 

@@ -137,3 +137,13 @@ def test_md5_mod_spark_fast_twin_is_bit_identical(spark):
     poly = _md5_mod("k", "tw", 1 << 24)
     fast = _md5_mod_spark("k", "tw", 1 << 24)
     assert df.filter(F.expr(f"{poly} <> {fast}")).count() == 0
+    # and at every md5 offset the _at twin matches too
+    from glue_etl_pyspark_spark.queries.sketches import (
+        _md5_mod_at,
+        _md5_mod_at_spark,
+    )
+
+    for off in (0, 6, 12, 18):
+        p_at = _md5_mod_at("k", "tw", 1 << 24, off)
+        f_at = _md5_mod_at_spark("k", "tw", 1 << 24, off)
+        assert df.filter(F.expr(f"{p_at} <> {f_at}")).count() == 0
