@@ -76,6 +76,12 @@ _CMS_SEEDS = ("s0", "s1", "s2")
 _CMS_BUCKETS = {
     f"b{j}": _md5_mod("l_partkey", s, _CMS_W) for j, s in enumerate(_CMS_SEEDS)
 }
+# Spark body uses the conv twin (values pinned identical) — 18 -> 3
+# md5 evaluations per lineitem row.
+_CMS_BUCKETS_SPARK = {
+    f"b{j}": _md5_mod_spark("l_partkey", s, _CMS_W)
+    for j, s in enumerate(_CMS_SEEDS)
+}
 
 CMS_ORACLE = f"""
 WITH keys AS (
@@ -123,7 +129,10 @@ def agg_count_min_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
     keyed = li.select(
         "l_partkey",
-        *[F.expr(frag).cast("bigint").alias(b) for b, frag in _CMS_BUCKETS.items()],
+        *[
+            F.expr(frag).cast("bigint").alias(b)
+            for b, frag in _CMS_BUCKETS_SPARK.items()
+        ],
     )
     pairs = keyed.select(
         "l_partkey",
@@ -163,8 +172,8 @@ def agg_count_min_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BLOOM_M = 65536  # bits; 1024 64-bit words — broadcasts as ≤8 KB
 
 _BLOOM_POS_FACT = {
-    "p0": _md5_mod("l_orderkey", "bf0", _BLOOM_M),
-    "p1": _md5_mod("l_orderkey", "bf1", _BLOOM_M),
+    "p0": _md5_mod_spark("l_orderkey", "bf0", _BLOOM_M),
+    "p1": _md5_mod_spark("l_orderkey", "bf1", _BLOOM_M),
 }
 
 # The oracle never sees the bloom: a Bloom prefilter admits every true
@@ -186,7 +195,7 @@ def bloom_words(dim_keys: DataFrame, key: str, m: int = _BLOOM_M) -> DataFrame:
     bit positions derived from ``key`` via the portable md5-polynomial
     hash; bit_or folds them into 64-bit words. The result is at most
     m/64 rows — broadcastable at any dim size worth blooming."""
-    positions = {f"p{i}": _md5_mod(key, f"bf{i}", m) for i in range(2)}
+    positions = {f"p{i}": _md5_mod_spark(key, f"bf{i}", m) for i in range(2)}
     pos = dim_keys.select(
         *[F.expr(frag).cast("bigint").alias(p) for p, frag in positions.items()]
     )
