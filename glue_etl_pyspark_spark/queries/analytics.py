@@ -437,3 +437,71 @@ def dq_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+# --- seasonal baseline + spike detection ------------------------------
+
+SEASONAL_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, hour(ts) AS hour,
+    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      AS hourly_cents
+  FROM events GROUP BY event_type, CAST(ts AS DATE), hour(ts)
+),
+profile AS (
+  SELECT event_type, hour,
+    CAST(CAST(SUM(hourly_cents) AS BIGINT) // COUNT(*) AS BIGINT)
+      AS profile_cents,
+    CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM hourly GROUP BY event_type, hour
+)
+SELECT h.event_type, h.day, CAST(h.hour AS BIGINT) AS hour,
+  h.hourly_cents, p.profile_cents, p.n_days,
+  CASE WHEN h.hourly_cents > 2 * p.profile_cents THEN 1 ELSE 0 END
+    AS is_spike
+FROM hourly h JOIN profile p
+  ON h.event_type = p.event_type AND h.hour = p.hour
+"""
+
+
+@query("events_seasonal_baseline", oracle=SEASONAL_ORACLE, category="analytics")
+def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal baseline with spike flags — the ops-metrics
+    anomaly screen: per (type, calendar hour) hourly totals, a profile
+    of the mean hourly total at that clock hour, and a 2x-over-profile
+    spike flag. All arithmetic is exact integer cents (floor(v*100+.5)
+    — msum discipline) with an integer-division mean, so the whole
+    chain is order-invariant and value-oracled; values are positive,
+    so Spark's truncating div and DuckDB's flooring // agree.
+
+    Scale: two map-side-combined aggregates (hourly grain, then
+    24-row-per-type profile) and a broadcast join back — no raw-event
+    shuffle beyond the hourly rollup; at 100 TB the hourly grain IS
+    the pre-reduction (types x days x 24 rows)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    hourly = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.hour("ts").alias("hour"),
+    ).agg(F.sum(cents).cast("bigint").alias("hourly_cents"))
+    profile = hourly.groupBy("event_type", "hour").agg(
+        F.expr("sum(hourly_cents) div count(*)")
+        .cast("bigint")
+        .alias("profile_cents"),
+        F.count("*").alias("n_days"),
+    )
+    return (
+        hourly.join(F.broadcast(profile), ["event_type", "hour"])
+        .select(
+            "event_type",
+            "day",
+            F.col("hour").cast("bigint").alias("hour"),
+            "hourly_cents",
+            "profile_cents",
+            "n_days",
+            (F.col("hourly_cents") > 2 * F.col("profile_cents"))
+            .cast("int")
+            .alias("is_spike"),
+        )
+    )
