@@ -250,3 +250,65 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum(F.col("value") * F.col("weight")).alias("weighted_value"),
     )
+
+
+# --- incremental aggregate maintenance (materialized-view merge) ------
+
+INCR_AGG_ORACLE = """
+SELECT event_type, CAST(ts AS DATE) AS day,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    AS sum_cents,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type, CAST(ts AS DATE)
+"""
+
+
+@query("agg_incremental_merge", oracle=INCR_AGG_ORACLE, category="etl-pattern")
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance — the algebraic-merge pattern
+    behind every materialized view: the historical state (events before
+    the split date, pre-aggregated exactly as a nightly job would have
+    left it) MERGES with the new batch's partials instead of
+    recomputing from raw history. COUNT and the integer-cents SUM
+    merge by addition; COUNT(DISTINCT user_id) is deliberately NOT
+    merged from counts (it can't be) — the state for it is the
+    per-(key, user) presence grain, the standard exact-distinct MV
+    layout (an HLL register table — agg_hll_grouped — is the sketch
+    alternative). The oracle is the recompute-from-scratch answer, so
+    the merge's correctness IS the check.
+
+    Scale: the nightly merge touches |new batch| + |state| rows, never
+    raw history; both sides combine map-side on (type, day) and the
+    distinct grain shuffles once on (type, day, user)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    split = F.lit("2024-01-16").cast("date")  # mid-fixture: both sides non-empty
+    key = [F.col("event_type"), F.to_date("ts").alias("day")]
+
+    def additive(df: DataFrame) -> DataFrame:
+        return df.groupBy(*key).agg(
+            F.count("*").alias("n_events"),
+            F.sum(cents).cast("bigint").alias("sum_cents"),
+        )
+
+    hist, new = ev.filter(F.to_date("ts") < split), ev.filter(
+        F.to_date("ts") >= split
+    )
+    merged = (
+        additive(hist)
+        .unionByName(additive(new))
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("sum_cents").cast("bigint").alias("sum_cents"),
+        )
+    )
+    # exact-distinct state: (key, user) presence rows merge by set union
+    presence = (
+        ev.select(*key, "user_id")
+        .distinct()
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("n_users"))
+    )
+    return merged.join(presence, ["event_type", "day"])

@@ -61,11 +61,11 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 # sampling / winsorize bounds / Markov transitions / analyze-time
 # UDTF / hourly rolling window / PQ-ADC knn / portable hyperplane
 # LSH / equi-depth histogram / MAD outliers / PQ+rerank two-stage)
-# + 7 post-sweep additions (portable + grouped HLL, sampled
+# + 8 post-sweep additions (portable + grouped HLL, sampled
 # quantiles, boilerplate strip, bigram LM, SemDeDup, seasonal
-# baseline) + the first 6 of the 38-name r1-stale-evidence block
-# = 50 exactly. The last 32 stale names trail at positions 51+ and
-# lead round 6. Pinned by tests/test_registry.py.
+# baseline, incremental agg merge) + the first 5 of the 38-name
+# r1-stale-evidence block = 50 exactly. The last 33 stale names
+# trail at positions 51+ and lead round 6. Pinned by tests/test_registry.py.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- never externally checked ---
     "agg_histogram",
@@ -118,14 +118,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_hll_grouped",
     "agg_quantiles_sampled",
     "events_seasonal_baseline",
-    # --- stalest evidence: last green in ROUND 1 (first 6 of 38) ---
+    "agg_incremental_merge",
+    # --- stalest evidence: last green in ROUND 1 (first 5 of 38) ---
     "join_asof_purchase_click",
     "dedup_ngram_jaccard",
     "skew_salted_join",
     "bucketed_join",
     "dpp_partitioned_join",
-    "cdc_upsert_merge",
     # --- overflow: lead round 6 ---
+    "cdc_upsert_merge",
     "agg_decimal_exact",
     "agg_distinct",
     "agg_sum_distinct",
