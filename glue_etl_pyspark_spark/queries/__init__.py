@@ -21,6 +21,7 @@ from . import (  # noqa: F401
     llm_quality,
     llm_text,
     nested,
+    profiling,
     projection,
     relational,
     retrieval,

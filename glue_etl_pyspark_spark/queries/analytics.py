@@ -505,3 +505,111 @@ def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_spike"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-decayed popularity (trending score)
+# ---------------------------------------------------------------------------
+
+# Exponential decay 0.9^d, integer-scaled to 1e6 at build time and
+# injected as the SAME literal CASE fragment into both engines (repo
+# shared-constant rule) — the decay weights are exact integers, so the
+# weighted sum is pure BIGINT arithmetic: order-invariant, engine-
+# exact, no pow()/exp() drift. Horizon 30 days; older events weigh 0.
+_DECAY_CASE = "CASE " + " ".join(
+    f"WHEN {d} THEN {round(0.9 ** d * 1_000_000)}" for d in range(30)
+) + " ELSE 0 END"
+
+DECAYED_POP_ORACLE = f"""
+WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS mxd FROM events),
+w AS (
+  SELECT event_type,
+    CAST(floor(value * 100 + 0.5) AS BIGINT)
+      * (CASE date_diff('day', CAST(ts AS DATE), mxd) {_DECAY_CASE.replace("CASE ", "", 1)}) AS wc
+  FROM events, mx
+)
+SELECT event_type,
+  CAST(SUM(wc) AS BIGINT) AS decayed_cents_millionths,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM w GROUP BY event_type
+"""
+
+
+@query("events_decayed_popularity", oracle=DECAYED_POP_ORACLE, category="analytics")
+def events_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed popularity per event type (the
+    trending-score shape: recent activity counts more). The decay
+    weight 0.9^days_ago is pre-scaled to an exact 1e6 integer per day
+    offset and injected as an identical literal CASE into both
+    engines, so the weighted sum is exact BIGINT arithmetic —
+    order-invariant (no double pow/exp anywhere). The corpus max date
+    is a broadcast one-row aggregate. At 100 TB the weighted sum is a
+    single map-side-combined aggregation; the BIGINT accumulator holds
+    to ~2e5 rows x 5e10/row — beyond that swap the sum buffer to
+    DECIMAL(38,0) exactly as `functions.money.msum` does."""
+    e = load_table(spark, sf_dir, "events")
+    mx = e.agg(F.max(F.to_date("ts")).alias("mxd"))
+    weight = F.expr(f"CASE date_diff(mxd, to_date(ts)) {_DECAY_CASE.replace('CASE ', '', 1)}")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    return (
+        e.crossJoin(F.broadcast(mx))
+        .select("event_type", (cents * weight).alias("wc"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("wc").cast("bigint").alias("decayed_cents_millionths"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution
+# ---------------------------------------------------------------------------
+
+ATTRIBUTION_ORACLE = """
+WITH touched AS (
+  SELECT event_type, value,
+    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS channel0
+  FROM events
+)
+SELECT COALESCE(channel0, 'direct') AS channel,
+  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+FROM touched WHERE event_type = 'purchase'
+GROUP BY COALESCE(channel0, 'direct')
+"""
+
+
+@query("events_attribution_last_touch", oracle=ATTRIBUTION_ORACLE, category="analytics")
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is credited to
+    the user's most recent preceding non-purchase event type (the
+    'channel'); purchases with no prior touch are 'direct'. One
+    user_id-partitioned window with a unique (ts, event_id) ordering
+    carries the last touch forward (last_value IGNORE NULLS — the
+    same pattern as the as-of join twin); revenue is exact integer
+    cents. Scale: one shuffle on user_id, per-user windows are
+    session-sized; the final channel rollup is algebraic."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    return (
+        e.select("event_type", cents.alias("cents"), touch.alias("channel0"))
+        .filter(F.col("event_type") == "purchase")
+        .select(F.coalesce("channel0", F.lit("direct")).alias("channel"), "cents")
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("bigint").alias("n_purchases"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+    )

@@ -391,3 +391,98 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Substring-level duplicate spans (Lee et al. 2022 exact-substring dedup)
+# ---------------------------------------------------------------------------
+
+_SPAN_W = 8  # duplicated-substring width, in tokens
+
+SUBSTRING_SPANS_ORACLE = f"""
+WITH tn AS (
+  SELECT doc_id, {_DUCK_TOKS} AS t, CAST(len({_DUCK_TOKS}) AS BIGINT) AS n
+  FROM documents
+), sh AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i:i+{_SPAN_W - 1}], ' ') AS s
+  FROM tn, unnest(range(1, CAST(n - {_SPAN_W - 2} AS BIGINT))) AS u(i)
+  WHERE n >= {_SPAN_W}
+), dup AS (
+  SELECT s FROM sh GROUP BY s HAVING COUNT(*) > 1
+), ds AS (
+  SELECT sh.doc_id, sh.pos FROM sh JOIN dup ON sh.s = dup.s
+), cv AS (
+  SELECT doc_id,
+    COALESCE(LEAST({_SPAN_W}, pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)), {_SPAN_W}) AS contrib
+  FROM ds
+), cov AS (
+  SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS covered FROM cv GROUP BY doc_id
+)
+SELECT tn.doc_id, tn.n AS n_tokens,
+  CAST(COALESCE(cov.covered, 0) AS BIGINT) AS covered_tokens,
+  CAST(COALESCE(cov.covered, 0) * 1000000 // tn.n AS BIGINT) AS dup_ppm
+FROM tn LEFT JOIN cov ON tn.doc_id = cov.doc_id
+"""
+
+
+@query("dedup_substring_spans", oracle=SUBSTRING_SPANS_ORACLE, category="llm-dedup")
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication profile (the Lee et al. 2022
+    "Deduplicating Training Data" discipline, at token shingle
+    granularity): every {W}-token window that occurs more than once in
+    the corpus marks its span duplicated; per document we report how
+    many token positions fall under at least one duplicated window and
+    the ppm fraction — the removal mask a substring-dedup pass would
+    cut. Exact interval-union coverage without exploding positions:
+    duplicated windows all have width W, so sorting their start
+    positions per doc and summing LEAST(W, gap-to-previous) IS the
+    union length (one lag window over dup starts only). Scale: the
+    shingle groupBy is the only corpus-wide shuffle; the production
+    path hashes shingles to 8-byte keys first (see
+    `dedup_ngram_jaccard`) — kept as raw strings here so the grouping
+    key is value-portable for the oracle. All arithmetic is integer
+    (exact on both engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    tn = d.select(
+        "doc_id", tokenize_ws("text").alias("t")
+    ).withColumn("n", F.size("t").cast("bigint"))
+    sh = (
+        tn.filter(F.col("n") >= _SPAN_W)
+        .select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.sequence(F.lit(1), (F.col("n") - F.lit(_SPAN_W - 1)).cast("int"))
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.array_join(F.expr(f"slice(t, pos, {_SPAN_W})"), " ").alias("s"),
+        )
+    )
+    dup = sh.groupBy("s").count().filter(F.col("count") > 1).select("s")
+    ds = sh.join(dup, "s").select("doc_id", "pos")
+    from pyspark.sql import Window
+
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    cv = ds.select(
+        "doc_id",
+        F.coalesce(
+            F.least(F.lit(_SPAN_W), F.col("pos") - F.lag("pos").over(wd)),
+            F.lit(_SPAN_W),
+        ).alias("contrib"),
+    )
+    cov = cv.groupBy("doc_id").agg(F.sum("contrib").cast("bigint").alias("covered"))
+    return (
+        tn.select("doc_id", F.col("n").alias("n_tokens"))
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("covered", F.lit(0)).cast("bigint").alias("covered_tokens"),
+            F.expr("coalesce(covered, 0) * 1000000 div n_tokens")
+            .cast("bigint")
+            .alias("dup_ppm"),
+        )
+    )

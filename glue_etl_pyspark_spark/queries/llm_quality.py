@@ -546,3 +546,89 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("clean_md5"),
     )
+
+# ---------------------------------------------------------------------------
+# Linear quality classifier (fixed-point logistic gating)
+# ---------------------------------------------------------------------------
+
+# Integer-scaled linear model: z = 2*mean_len_milli + 3*distinct_ppm
+# - stop_ppm + 500*min(n_tok, 100). The logistic link is monotone, so
+# thresholding the probability IS thresholding z — the whole gate runs
+# in exact BIGINT fixed point (no exp/double anywhere; the repo's
+# .5-boundary and libm-drift traps cannot occur). Threshold ~ corpus
+# median, so the gate bites visibly at every fixture SF.
+_CLS_THRESHOLD = 1_300_000
+_CLS_Z = (
+    "2 * mean_len_milli + 3 * distinct_ppm - stop_ppm"
+    " + 500 * LEAST(n_tok, 100)"
+)
+
+
+def _cls_oracle() -> str:
+    from .llm_text import _DUCK_STOPLIST, _DUCK_TOKS
+
+    return f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+f AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_tok,
+    CAST(len(array_to_string(toks, '')) AS BIGINT) * 1000 // len(toks) AS mean_len_milli,
+    CAST(len(list_filter(toks, x -> list_contains({_DUCK_STOPLIST}, x))) AS BIGINT) * 1000000 // len(toks) AS stop_ppm,
+    CAST(len(list_distinct(toks)) AS BIGINT) * 1000000 // len(toks) AS distinct_ppm
+  FROM t
+)
+SELECT doc_id, n_tok,
+  CAST(mean_len_milli AS BIGINT) AS mean_len_milli,
+  CAST(stop_ppm AS BIGINT) AS stop_ppm,
+  CAST(distinct_ppm AS BIGINT) AS distinct_ppm,
+  CAST({_CLS_Z} AS BIGINT) AS z_scaled,
+  CAST(CASE WHEN {_CLS_Z} >= {_CLS_THRESHOLD} THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM f
+"""
+
+
+@query("quality_classifier_linear", oracle=_cls_oracle(), category="llm-quality")
+def quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-classifier quality gating, fixed-point: a linear model
+    over integer-scaled text features (mean token length, distinct-
+    token ppm, stopword ppm, capped length) scores each document; the
+    logistic link is monotone, so the keep decision thresholds the raw
+    score z — the entire gate is exact BIGINT arithmetic with the
+    model weights as shared literals in both engines. This is the
+    fastText-style linear-head gate production corpora use; swapping
+    learned weights changes literals, not plan shape. Scale:
+    embarrassingly parallel row-local scoring, zero shuffles. Features
+    are staged through their own projections (repo lateral-alias rule)
+    so each name binds the input column, never an earlier alias."""
+    from ..functions.text import EN_STOPWORDS
+
+    d = load_table(spark, sf_dir, "documents")
+    stoplist = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    t = d.select("doc_id", tokenize_ws("text").alias("toks"))
+    counts = t.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tok"),
+        F.length(F.concat_ws("", F.col("toks"))).cast("bigint").alias("n_char"),
+        F.size(F.filter("toks", lambda x: F.array_contains(stoplist, x)))
+        .cast("bigint")
+        .alias("n_stop"),
+        F.size(F.array_distinct("toks")).cast("bigint").alias("n_distinct"),
+    )
+    feats = counts.select(
+        "doc_id",
+        "n_tok",
+        F.expr("n_char * 1000 div n_tok").alias("mean_len_milli"),
+        F.expr("n_stop * 1000000 div n_tok").alias("stop_ppm"),
+        F.expr("n_distinct * 1000000 div n_tok").alias("distinct_ppm"),
+    )
+    return feats.select(
+        "doc_id",
+        "n_tok",
+        "mean_len_milli",
+        "stop_ppm",
+        "distinct_ppm",
+        F.expr(_CLS_Z).cast("bigint").alias("z_scaled"),
+        F.expr(f"CASE WHEN {_CLS_Z} >= {_CLS_THRESHOLD} THEN 1 ELSE 0 END")
+        .cast("int")
+        .alias("keep"),
+    )

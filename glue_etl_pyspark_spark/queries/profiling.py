@@ -1,0 +1,238 @@
+"""Data-engineering maintenance queries (round 5, late): ANALYZE-style
+column profiling, snapshot diffing, and zone-map scan pruning.
+
+These are the ops a production lake runs BETWEEN pipelines: collect
+table statistics for the optimizer / data catalog, validate a
+migration or CDC replication by diffing two snapshots, and skip data
+at scan time from coarse per-chunk min/max stats (the parquet
+row-group / Iceberg manifest discipline, made explicit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..io import load_table
+from ..registry import query
+
+# ---------------------------------------------------------------------------
+# ANALYZE-style per-column profile
+# ---------------------------------------------------------------------------
+
+# (name, spark normalization expr, duckdb normalization expr, render)
+# Numeric/temporal columns are normalized to exact BIGINT first
+# (cents / epoch seconds) so min/max/ndv agree bit-for-bit across
+# engines; the rendered min/max are strings so one stack() column can
+# carry every type.
+_PROFILE_COLS = (
+    ("o_orderkey", "o_orderkey", "o_orderkey", "int"),
+    ("o_custkey", "o_custkey", "o_custkey", "int"),
+    (
+        "o_totalprice",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)",
+        "int",
+    ),
+    (
+        "o_orderdate",
+        "CAST(unix_timestamp(o_orderdate) AS BIGINT)",
+        "CAST(floor(epoch(o_orderdate)) AS BIGINT)",
+        "int",
+    ),
+    ("o_orderstatus", "o_orderstatus", "o_orderstatus", "str"),
+    ("o_orderpriority", "o_orderpriority", "o_orderpriority", "str"),
+)
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for name, _, dexpr, _render in _PROFILE_COLS:
+        parts.append(
+            f"""
+SELECT '{name}' AS col_name,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(*) - COUNT({dexpr}) AS BIGINT) AS n_null,
+  CAST(COUNT(DISTINCT {dexpr}) AS BIGINT) AS n_distinct,
+  CAST(MIN({dexpr}) AS VARCHAR) AS min_repr,
+  CAST(MAX({dexpr}) AS VARCHAR) AS max_repr
+FROM orders"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+@query("profile_table_stats", oracle=_profile_oracle(), category="profiling")
+def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE-style one-pass column profile of ``orders``:
+    per column, row count, null count, exact NDV, and min/max — the
+    stats a catalog (Glue Data Catalog / Iceberg) stores for CBO and
+    data discovery. ONE Spark aggregation computes every column's
+    stats (count-distinct expand is width x rows, still one shuffle);
+    the oracle recomputes per column. Doubles/timestamps normalize to
+    exact BIGINT (cents / epoch seconds) before min/max/NDV so both
+    engines agree exactly; min/max render as strings so a single
+    stack() reshapes the wide stats row to one row per column.
+    At 100 TB exact NDV is the one non-linear stat — swap in the
+    mergeable HLL sketch (`agg_hll_grouped`) per this repo's sketch
+    family; everything else is algebraic (one map-side-combined pass).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    aggs, stack_args = [], []
+    aggs.append(F.count("*").cast("bigint").alias("__nr"))
+    for name, sexpr, _, _render in _PROFILE_COLS:
+        c = F.expr(sexpr)
+        aggs.append((F.count("*") - F.count(c)).cast("bigint").alias(f"__nn_{name}"))
+        aggs.append(F.countDistinct(c).cast("bigint").alias(f"__nd_{name}"))
+        aggs.append(F.min(c).cast("string").alias(f"__mn_{name}"))
+        aggs.append(F.max(c).cast("string").alias(f"__mx_{name}"))
+        stack_args.append(
+            f"'{name}', __nr, __nn_{name}, __nd_{name}, __mn_{name}, __mx_{name}"
+        )
+    wide = o.agg(*aggs)
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {', '.join(stack_args)}) AS "
+        "(col_name, n_rows, n_null, n_distinct, min_repr, max_repr)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (migration / CDC-replication validation)
+# ---------------------------------------------------------------------------
+
+# Two deterministic snapshots derived from orders: the "old" snapshot
+# is missing keys divisible by 97, the "new" one is missing keys
+# divisible by 89 and has rewritten status on keys divisible by 13 —
+# so the diff exercises added + removed + changed + unchanged.
+_DIFF_ROWHASH = "md5(concat({status}, '|', CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)))"
+
+SNAPSHOT_DIFF_ORACLE = f"""
+WITH old AS (
+  SELECT o_orderkey,
+    {_DIFF_ROWHASH.format(status="o_orderstatus")} AS rh
+  FROM orders WHERE o_orderkey % 97 <> 0
+), new AS (
+  SELECT o_orderkey,
+    {_DIFF_ROWHASH.format(status="CASE WHEN o_orderkey % 13 = 0 THEN 'U' ELSE o_orderstatus END")} AS rh
+  FROM orders WHERE o_orderkey % 89 <> 0
+), d AS (
+  SELECT
+    CASE
+      WHEN o.o_orderkey IS NULL THEN 'added'
+      WHEN n.o_orderkey IS NULL THEN 'removed'
+      WHEN o.rh <> n.rh THEN 'changed'
+      ELSE 'unchanged'
+    END AS change_type,
+    COALESCE(o.o_orderkey, n.o_orderkey) AS k
+  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+)
+SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(k) AS BIGINT) AS key_sum
+FROM d GROUP BY change_type
+"""
+
+
+@query("snapshot_diff", oracle=SNAPSHOT_DIFF_ORACLE, category="profiling")
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-snapshot table diff (replication / migration validation):
+    full outer join on the primary key, rows classified
+    added/removed/changed/unchanged by comparing an md5 row hash of
+    the tracked payload (status + exact integer cents — both engines
+    md5 the identical string). Output is the per-class count plus a
+    key checksum, the summary a validator alerts on. Scale: the join
+    shuffles on the primary key only, row hashes are constant-width,
+    and the payload hash means wide rows never travel twice — the
+    same discipline as `table_checksum`, keyed per row."""
+    o = load_table(spark, sf_dir, "orders")
+    rh_old = F.expr(_DIFF_ROWHASH.format(status="o_orderstatus"))
+    rh_new = F.expr(
+        _DIFF_ROWHASH.format(
+            status="CASE WHEN o_orderkey % 13 = 0 THEN 'U' ELSE o_orderstatus END"
+        )
+    )
+    old = o.filter("o_orderkey % 97 <> 0").select(
+        F.col("o_orderkey").alias("k_old"), rh_old.alias("rh_old")
+    )
+    new = o.filter("o_orderkey % 89 <> 0").select(
+        F.col("o_orderkey").alias("k_new"), rh_new.alias("rh_new")
+    )
+    d = old.join(new, old.k_old == new.k_new, "full_outer").select(
+        F.when(F.col("k_old").isNull(), "added")
+        .when(F.col("k_new").isNull(), "removed")
+        .when(F.col("rh_old") != F.col("rh_new"), "changed")
+        .otherwise("unchanged")
+        .alias("change_type"),
+        F.coalesce("k_old", "k_new").alias("k"),
+    )
+    return d.groupBy("change_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("key_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zone-map pruned scan (data skipping)
+# ---------------------------------------------------------------------------
+
+_ZONE_SPAN = 500  # event_id div span — one "zone" ~ a parquet row group
+_TS_LO = "2024-01-10 00:00:00"
+_TS_HI = "2024-01-12 00:00:00"
+
+ZONEMAP_ORACLE = f"""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+FROM events
+WHERE ts >= TIMESTAMP '{_TS_LO}' AND ts < TIMESTAMP '{_TS_HI}'
+GROUP BY event_type
+"""
+
+
+@query("scan_zonemap_prune", oracle=ZONEMAP_ORACLE, category="profiling")
+def scan_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data skipping, made explicit: build per-zone (id-range
+    chunk = stand-in for a parquet row group / Iceberg manifest entry)
+    min/max timestamp stats, select only zones whose [min,max] overlaps
+    the predicate interval, and evaluate the real filter on just those
+    zones' rows. The oracle is the plain full-scan filter — proving
+    pruning loses nothing (zone stats are conservative). events' ts is
+    ~perfectly correlated with event_id (ingestion order), so the zone
+    filter skips ~93% of zones here; `tests/test_llm_ops.py` pins the
+    selectivity. In production the stats table is computed at WRITE
+    time (parquet already stores it per row group — this op is how an
+    engine exploits the same idea for any chunking the storage layer
+    didn't index); the runtime cost is a broadcast semi-join of zone
+    ids, never a second full scan."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "__zone", F.expr(f"event_id div {_ZONE_SPAN}")
+    )
+    zones = e.groupBy("__zone").agg(
+        F.min("ts").alias("zmin"), F.max("ts").alias("zmax")
+    )
+    lo = F.lit(_TS_LO).cast("timestamp_ntz")
+    hi = F.lit(_TS_HI).cast("timestamp_ntz")
+    live = zones.filter((F.col("zmax") >= lo) & (F.col("zmin") < hi)).select("__zone")
+    pruned = e.join(broadcast(live), "__zone", "left_semi")
+    return (
+        pruned.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+
+
+def zone_selectivity(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    """(zones kept, zones total) for the pruned scan — test hook."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "__zone", F.expr(f"event_id div {_ZONE_SPAN}")
+    )
+    zones = e.groupBy("__zone").agg(
+        F.min("ts").alias("zmin"), F.max("ts").alias("zmax")
+    )
+    lo = F.lit(_TS_LO).cast("timestamp_ntz")
+    hi = F.lit(_TS_HI).cast("timestamp_ntz")
+    kept = zones.filter((F.col("zmax") >= lo) & (F.col("zmin") < hi)).count()
+    return kept, zones.count()

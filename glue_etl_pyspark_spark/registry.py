@@ -63,9 +63,12 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 # LSH / equi-depth histogram / MAD outliers / PQ+rerank two-stage)
 # + 8 post-sweep additions (portable + grouped HLL, sampled
 # quantiles, boilerplate strip, bigram LM, SemDeDup, seasonal
-# baseline, incremental agg merge) + the first 5 of the 38-name
-# r1-stale-evidence block = 50 exactly. The last 33 stale names
-# trail at positions 51+ and lead round 6. Pinned by tests/test_registry.py.
+# baseline, incremental agg merge) + 7 final additions (table
+# profile, snapshot diff, zone-map pruning, substring-span dedup,
+# decayed popularity, last-touch attribution, linear quality
+# classifier) = 52 never-checked/changed names — 2 more than the
+# 50-slot window, so the last 2 plus the whole 38-name r1-stale
+# block overflow and lead round 6. Pinned by tests/test_registry.py.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- never externally checked ---
     "agg_histogram",
@@ -119,6 +122,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_quantiles_sampled",
     "events_seasonal_baseline",
     "agg_incremental_merge",
+    # --- final round-5 additions (never checked; the last 2 plus the
+    # stale block overflow the 50-slot window and lead round 6) ---
+    "profile_table_stats",
+    "snapshot_diff",
+    "scan_zonemap_prune",
+    "dedup_substring_spans",
+    "events_decayed_popularity",
+    "events_attribution_last_touch",
+    "quality_classifier_linear",
     # --- stalest evidence: last green in ROUND 1 (first 5 of 38) ---
     "join_asof_purchase_click",
     "dedup_ngram_jaccard",

@@ -1,0 +1,109 @@
+"""Gates for the round-5 profiling/maintenance queries and the new
+analytics/LLM gating ops beyond their oracle parity rows: selectivity
+pins, structural invariants, and cross-query consistency."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from glue_etl_pyspark_spark.io import load_table
+from glue_etl_pyspark_spark.plans import explain_str
+from glue_etl_pyspark_spark.registry import load_all
+
+
+def _df(spark, sf_dir, name):
+    return load_all()[name].fn(spark, sf_dir)
+
+
+def test_profile_stats_match_table_facts(spark, sf_dir):
+    rows = {r["col_name"]: r for r in _df(spark, sf_dir, "profile_table_stats").collect()}
+    n = load_table(spark, sf_dir, "orders").count()
+    assert set(rows) == {
+        "o_orderkey", "o_custkey", "o_totalprice",
+        "o_orderdate", "o_orderstatus", "o_orderpriority",
+    }
+    for r in rows.values():
+        assert r["n_rows"] == n
+        assert 0 <= r["n_null"] <= n
+        assert 1 <= r["n_distinct"] <= n
+    # primary key: unique, never null
+    assert rows["o_orderkey"]["n_distinct"] == n
+    assert rows["o_orderkey"]["n_null"] == 0
+
+
+def test_snapshot_diff_class_arithmetic(spark, sf_dir):
+    by = {r["change_type"]: r["n"] for r in _df(spark, sf_dir, "snapshot_diff").collect()}
+    assert set(by) == {"added", "removed", "changed", "unchanged"}
+    o = load_table(spark, sf_dir, "orders")
+    n_old = o.filter("o_orderkey % 97 <> 0").count()
+    n_new = o.filter("o_orderkey % 89 <> 0").count()
+    assert by["removed"] + by["changed"] + by["unchanged"] == n_old
+    assert by["added"] + by["changed"] + by["unchanged"] == n_new
+
+
+def test_zonemap_prunes_most_zones(spark, sf_dir):
+    from glue_etl_pyspark_spark.queries.profiling import zone_selectivity
+
+    kept, total = zone_selectivity(spark, sf_dir)
+    assert total >= 10, f"fixture should yield many zones, got {total}"
+    # ts correlates with event_id, so a 2-day window keeps a sliver
+    assert kept / total <= 0.4, f"pruning too weak: {kept}/{total}"
+    plan = explain_str(_df(spark, sf_dir, "scan_zonemap_prune"))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_decayed_popularity_bounds(spark, sf_dir):
+    rows = _df(spark, sf_dir, "events_decayed_popularity").collect()
+    e = load_table(spark, sf_dir, "events")
+    n_events = e.count()
+    assert sum(r["n"] for r in rows) == n_events
+    # weight <= 1e6, so decayed sum <= raw cents * 1e6 (and > 0: the
+    # horizon covers the newest 30 days of a 30-day fixture)
+    cents = e.select(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")).alias("c")
+    ).collect()[0]["c"]
+    tot = sum(r["decayed_cents_millionths"] for r in rows)
+    assert 0 < tot <= cents * 1_000_000
+
+
+def test_attribution_accounts_every_purchase(spark, sf_dir):
+    rows = _df(spark, sf_dir, "events_attribution_last_touch").collect()
+    e = load_table(spark, sf_dir, "events")
+    n_purch = e.filter("event_type = 'purchase'").count()
+    assert sum(r["n_purchases"] for r in rows) == n_purch
+    channels = {r["channel"] for r in rows}
+    assert "purchase" not in channels, "a purchase can never be its own touch"
+    assert channels <= {"click", "view", "signup", "error", "direct"}
+
+
+def test_substring_spans_coverage_invariants(spark, sf_dir):
+    df = _df(spark, sf_dir, "dedup_substring_spans")
+    bad = df.filter(
+        (F.col("covered_tokens") < 0)
+        | (F.col("covered_tokens") > F.col("n_tokens"))
+        | (F.col("dup_ppm") < 0)
+        | (F.col("dup_ppm") > 1_000_000)
+    ).count()
+    assert bad == 0
+    # the synthetic corpus plants near-duplicates: duplicated 8-gram
+    # spans must exist, and no document may be flagged beyond its
+    # shingle capacity
+    n_dup_docs = df.filter("covered_tokens > 0").count()
+    assert n_dup_docs > 0, "expected duplicated substrings in fixture"
+    n_docs = df.count()
+    assert n_dup_docs < n_docs, "not every doc should be duplicated"
+
+
+def test_quality_classifier_gate_bites_not_everything(spark, sf_dir):
+    df = _df(spark, sf_dir, "quality_classifier_linear")
+    n = df.count()
+    kept = df.filter("keep = 1").count()
+    assert 0.2 * n <= kept <= 0.8 * n, f"threshold off-median: {kept}/{n}"
+    # keep is exactly the threshold predicate on z (no drift between
+    # the two expressions)
+    from glue_etl_pyspark_spark.queries.llm_quality import _CLS_THRESHOLD
+
+    mismatch = df.filter(
+        (F.col("z_scaled") >= _CLS_THRESHOLD) != (F.col("keep") == 1)
+    ).count()
+    assert mismatch == 0

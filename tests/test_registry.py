@@ -93,11 +93,27 @@ def test_priority_window_targets_external_coverage_gaps():
     assert "doc_pack_sequences" in names[:3]
     assert "llm_training_manifest" in names[:3]
     # every oracled query with NO hash-green row through r4 sits inside
+    # — unless the window is already saturated with never-green names,
+    # in which case only the documented final-additions tail may spill
     never_green = [
         n for n in specs if specs[n].oracle is not None and n not in green
     ]
     missing = [n for n in never_green if n not in names]
-    assert not missing, f"never-green queries outside window: {missing}"
+    if missing:
+        # a spill is legitimate ONLY when every window slot is spent on
+        # a never-green name or a documented round-5 value-change (no
+        # slot wasted on a merely-stale refresh)
+        r5_changed_early = {
+            "doc_pack_sequences", "llm_training_manifest",
+            "corpus_mix_resample", "text_idf_quality",
+            "graph_pagerank_topk", "q1_pricing_summary",
+            "agg_rollup", "length_bucket_packing",
+        }
+        wasted = [
+            n for n in names
+            if n not in set(never_green) and n not in r5_changed_early
+        ]
+        assert not wasted, f"{missing} spilled while window wastes slots on {wasted}"
     # slots re-spent on already-green queries are ONLY the documented
     # round-5 changed set + the r1-stale refresh filler
     r5_changed = {
