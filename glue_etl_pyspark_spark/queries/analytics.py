@@ -613,3 +613,94 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum("cents").cast("bigint").alias("cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Record linkage (Glue FindMatches shape): blocking + edit distance
+# ---------------------------------------------------------------------------
+
+LINKAGE_ORACLE = """
+WITH dirty AS (
+  SELECT c_custkey AS d_key, c_nationkey, c_mktsegment,
+    substr(c_name, 1, 3) || substr(c_name, 5) AS d_name
+  FROM customer WHERE c_custkey % 7 = 0
+), pairs AS (
+  SELECT c.c_custkey AS clean_key, d.d_key AS dirty_key,
+    CAST(levenshtein(c.c_name, d.d_name) AS BIGINT) AS dist
+  FROM customer c JOIN dirty d
+    ON c.c_nationkey = d.c_nationkey AND c.c_mktsegment = d.c_mktsegment
+)
+SELECT clean_key, dirty_key, dist FROM pairs WHERE dist <= 1
+"""
+
+
+@query("linkage_fuzzy_match", oracle=LINKAGE_ORACLE, category="analytics")
+def linkage_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage in the Glue FindMatches shape: a deterministic
+    'dirty' feed (every 7th customer, one character dropped from the
+    name) is matched back to the clean master by BLOCKING on
+    (nation, market segment) and scoring candidate pairs with exact
+    Levenshtein edit distance — both engines implement levenshtein
+    identically over identical strings, so the whole linkage is
+    VALUE-oracled (integer distances, no ML drift). Blocking bounds
+    the comparison space to block_size^2 instead of n^2 — at 100 TB
+    you add a second blocking pass (phonetic key / sorted
+    neighborhood) and union candidates, which changes block keys, not
+    the plan shape; the scoring join stays an equi-join on block key
+    with a residual distance filter."""
+    c = load_table(spark, sf_dir, "customer")
+    dirty = c.filter("c_custkey % 7 = 0").select(
+        F.col("c_custkey").alias("d_key"),
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr("substr(c_name, 1, 3) || substr(c_name, 5)").alias("d_name"),
+    )
+    pairs = c.join(dirty, ["c_nationkey", "c_mktsegment"]).select(
+        F.col("c_custkey").alias("clean_key"),
+        F.col("d_key").alias("dirty_key"),
+        F.levenshtein("c_name", "d_name").cast("bigint").alias("dist"),
+    )
+    return pairs.filter(F.col("dist") <= 1)
+
+
+# ---------------------------------------------------------------------------
+# Rolling active users (DAU / trailing-7-day WAU)
+# ---------------------------------------------------------------------------
+
+DAU_WAU_ORACLE = """
+WITH ud AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+), dau AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day
+), ex AS (
+  SELECT day + CAST(o AS INTEGER) AS rday, user_id
+  FROM ud, unnest(range(0, 7)) AS u(o)
+), wau AS (
+  SELECT rday AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+  FROM ex GROUP BY rday
+)
+SELECT d.day, d.dau, w.wau FROM dau d JOIN wau w ON d.day = w.day
+"""
+
+
+@query("events_dau_wau", oracle=DAU_WAU_ORACLE, category="analytics")
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily and trailing-7-day distinct active users (the DAU/WAU
+    board metric). Spark has no COUNT(DISTINCT) over a sliding frame;
+    the scalable shape is: pre-reduce to distinct (user, day) pairs —
+    the 100 TB move, collapsing raw events to at most users x days —
+    then fan each pair out to the 7 report days it supports (narrow
+    explode) and count distinct users per report day. The inner join
+    with the DAU side drops trailing ghost days past the observed
+    range. Both aggregations are exact; no HLL needed at this grain
+    (user-days, not events)."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    dau = ud.groupBy("day").agg(F.count("*").cast("bigint").alias("dau"))
+    ex = ud.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"), "day", "user_id"
+    ).select(F.expr("date_add(day, off)").alias("day"), "user_id")
+    wau = ex.groupBy("day").agg(
+        F.countDistinct("user_id").cast("bigint").alias("wau")
+    )
+    return dau.join(wau, "day").select("day", "dau", "wau")

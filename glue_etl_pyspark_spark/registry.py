@@ -63,12 +63,13 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 # LSH / equi-depth histogram / MAD outliers / PQ+rerank two-stage)
 # + 8 post-sweep additions (portable + grouped HLL, sampled
 # quantiles, boilerplate strip, bigram LM, SemDeDup, seasonal
-# baseline, incremental agg merge) + 7 final additions (table
+# baseline, incremental agg merge) + 9 final additions (table
 # profile, snapshot diff, zone-map pruning, substring-span dedup,
 # decayed popularity, last-touch attribution, linear quality
-# classifier) = 52 never-checked/changed names — 2 more than the
-# 50-slot window, so the last 2 plus the whole 38-name r1-stale
-# block overflow and lead round 6. Pinned by tests/test_registry.py.
+# classifier, fuzzy record linkage, DAU/WAU) = 54 never-checked/
+# changed names — 4 more than the 50-slot window, so the last 4 plus
+# the whole 38-name r1-stale block overflow and lead round 6.
+# Pinned by tests/test_registry.py.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- never externally checked ---
     "agg_histogram",
@@ -131,6 +132,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_decayed_popularity",
     "events_attribution_last_touch",
     "quality_classifier_linear",
+    "linkage_fuzzy_match",
+    "events_dau_wau",
     # --- stalest evidence: last green in ROUND 1 (first 5 of 38) ---
     "join_asof_purchase_click",
     "dedup_ngram_jaccard",

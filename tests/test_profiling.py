@@ -107,3 +107,26 @@ def test_quality_classifier_gate_bites_not_everything(spark, sf_dir):
         (F.col("z_scaled") >= _CLS_THRESHOLD) != (F.col("keep") == 1)
     ).count()
     assert mismatch == 0
+
+
+def test_linkage_recovers_every_planted_match(spark, sf_dir):
+    df = _df(spark, sf_dir, "linkage_fuzzy_match")
+    c = load_table(spark, sf_dir, "customer")
+    planted = {r["c_custkey"] for r in c.filter("c_custkey % 7 = 0").collect()}
+    exact = {
+        r["clean_key"]
+        for r in df.filter(F.col("clean_key") == F.col("dirty_key")).collect()
+    }
+    assert exact == planted, "every dirty record must link back to its source"
+    # distances are within the declared threshold
+    assert df.filter("dist > 1").count() == 0
+
+
+def test_dau_wau_ordering_and_coverage(spark, sf_dir):
+    rows = _df(spark, sf_dir, "events_dau_wau").collect()
+    e = load_table(spark, sf_dir, "events")
+    n_days = e.select(F.to_date("ts")).distinct().count()
+    n_users = e.select("user_id").distinct().count()
+    assert len(rows) == n_days
+    for r in rows:
+        assert r["dau"] <= r["wau"] <= n_users
