@@ -440,3 +440,43 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type").agg(
         F.count("*").alias("n"), F.sum("user_id").alias("sum_user")
     )
+
+
+PYDS_WRITER_ORACLE = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY lang
+"""
+
+
+@query("pyds_writer_roundtrip", oracle=PYDS_WRITER_ORACLE, category="source-sink")
+def pyds_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom SINK via the Python DataSource writer API
+    (sources/pyds.py JsonlDirWriter): documents stream through
+    per-task JSON-lines staging files, the driver commit renames them
+    into place and writes a _SUCCESS manifest, and the read-back scans
+    ONLY manifest-listed files — the two-phase commit contract that
+    makes task retries/speculation invisible to readers, rebuilt on
+    the Python DataSource API for sinks Spark has no connector for.
+    The round-trip aggregate must equal the oracle on the source
+    table: nothing lost, nothing duplicated. (Local-FS staging here;
+    on a cluster the path is shared storage and the same rename
+    protocol applies per the object-store committer caveats.)"""
+    import json
+    import os
+    import shutil
+
+    from ..sources.pyds import register_python_sources
+
+    register_python_sources(spark)
+    out = scratch_dir("pyds_jsonl_sink")
+    shutil.rmtree(out, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    docs.write.format("jsonldir").option("path", out).mode("append").save()
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    files = [os.path.join(out, f["file"]) for f in manifest["files"]]
+    back = spark.read.schema("doc_id bigint, lang string, n_chars bigint").json(files)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )

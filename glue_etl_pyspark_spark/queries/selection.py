@@ -639,3 +639,96 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sum(t) div (count(*) * 1000)").cast("bigint") / F.lit(1e6)
         ).alias("nll_per_bigram"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer APPLICATION (encode with a trained merge list)
+# ---------------------------------------------------------------------------
+
+# The trained artifact: merge list induced greedily from this corpus
+# (see vocab_bpe_merges for the induction op). Applied in rank order
+# with the repo's pinned double-replace overlap semantics — identical
+# literal chain on both engines.
+_BPE_MERGES = (("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"))
+
+
+def _bpe_apply_chain(col: str) -> str:
+    """Nested replace() chain applying every merge (x2 for overlap)."""
+    expr = col
+    for pa, pb in _BPE_MERGES:
+        pat, rep = f"'|{pa}|{pb}|'", f"'|{pa}{pb}|'"
+        expr = f"replace(replace({expr}, {pat}, {rep}), {pat}, {rep})"
+    return expr
+
+
+def _bpe_apply_oracle() -> str:
+    chain = _bpe_apply_chain("st")
+    return f"""
+WITH occ AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents
+), vocab AS (
+  SELECT DISTINCT token FROM occ
+), enc AS (
+  SELECT token,
+    CAST(len(list_filter(string_split({chain}, '|'), x -> x <> '')) AS BIGINT)
+      AS n_pieces_tok
+  FROM (SELECT token, '|' || regexp_replace(token, '(.)', '\\1|', 'g') AS st
+        FROM vocab)
+), agg AS (
+  SELECT o.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+    CAST(SUM(e.n_pieces_tok) AS BIGINT) AS n_pieces
+  FROM occ o JOIN enc e ON o.token = e.token
+  GROUP BY o.doc_id
+)
+SELECT doc_id, n_tokens, n_pieces,
+  CAST(n_pieces * 1000 // n_tokens AS BIGINT) AS pieces_per_token_milli
+FROM agg
+"""
+
+
+@query("text_bpe_apply", oracle=_bpe_apply_oracle(), category="llm-text")
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION: encode every document with a trained BPE
+    merge list (the artifact `vocab_bpe_merges` induces), reporting
+    per-doc subword counts and the pieces-per-token ratio — the
+    fertility metric tokenizer teams track per corpus slice. The
+    merge list is literal (shared by both engines); merges apply in
+    rank order with the pinned double-replace overlap semantics. The
+    encode runs on the DISTINCT-token vocabulary, then joins counts
+    back to occurrences — the 100 TB move: merge work is
+    vocabulary-sized (thousands), never corpus-sized (trillions); the
+    join broadcasts the encoded vocab. All counts are exact BIGINTs."""
+    d = load_table(spark, sf_dir, "documents")
+    occ = d.select(
+        "doc_id", F.explode(tokenize_ws("text")).alias("token")
+    )
+    vocab = occ.select("token").distinct()
+    enc = vocab.withColumn(
+        "st", F.concat(F.lit("|"), F.regexp_replace("token", "(.)", "$1|"))
+    )
+    chain = F.col("st")
+    for pa, pb in _BPE_MERGES:
+        pat, rep = F.lit(f"|{pa}|{pb}|"), F.lit(f"|{pa}{pb}|")
+        chain = F.replace(F.replace(chain, pat, rep), pat, rep)
+    enc = enc.select(
+        "token",
+        F.size(F.filter(F.split(chain, "\\|"), lambda x: x != ""))
+        .cast("bigint")
+        .alias("n_pieces_tok"),
+    )
+    agg = (
+        occ.join(F.broadcast(enc), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("n_pieces_tok").cast("bigint").alias("n_pieces"),
+        )
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_pieces",
+        F.expr("n_pieces * 1000 div n_tokens").cast("bigint").alias(
+            "pieces_per_token_milli"
+        ),
+    )

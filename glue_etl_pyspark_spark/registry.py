@@ -66,9 +66,10 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 # baseline, incremental agg merge) + 9 final additions (table
 # profile, snapshot diff, zone-map pruning, substring-span dedup,
 # decayed popularity, last-touch attribution, linear quality
-# classifier, fuzzy record linkage, DAU/WAU) = 54 never-checked/
-# changed names — 4 more than the 50-slot window, so the last 4 plus
-# the whole 38-name r1-stale block overflow and lead round 6.
+# classifier, fuzzy record linkage, DAU/WAU, BPE tokenizer apply,
+# custom-sink two-phase-commit roundtrip) = 56 never-checked/changed
+# names — 6 more than the 50-slot window, so the last 6 plus the
+# whole 38-name r1-stale block overflow and lead round 6.
 # Pinned by tests/test_registry.py.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- never externally checked ---
@@ -134,6 +135,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "quality_classifier_linear",
     "linkage_fuzzy_match",
     "events_dau_wau",
+    "text_bpe_apply",
+    "pyds_writer_roundtrip",
     # --- stalest evidence: last green in ROUND 1 (first 5 of 38) ---
     "join_asof_purchase_click",
     "dedup_ngram_jaccard",

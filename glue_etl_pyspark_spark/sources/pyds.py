@@ -35,6 +35,8 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    DataSourceWriter,
+    WriterCommitMessage,
 )
 
 DOCS_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
@@ -196,3 +198,80 @@ def register_python_sources(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(ArrowDocsDataSource)
     spark.dataSource.register(SeqStreamDataSource)
+    spark.dataSource.register(JsonlDirDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Custom SINK: JSON-lines directory writer with a two-phase commit
+# ---------------------------------------------------------------------------
+
+class _JsonlCommit(WriterCommitMessage):
+    """Per-task commit message: the staged temp file + row count."""
+
+    def __init__(self, tmp_path: str, rows: int):
+        self.tmp_path = tmp_path
+        self.rows = rows
+
+
+class JsonlDirWriter(DataSourceWriter):
+    """DataSourceWriter implementing the real sink commit protocol:
+    tasks stage to ``_tmp_<uuid>`` files (speculative/failed attempts
+    never become visible), the driver's ``commit`` atomically renames
+    every staged file into place and drops a ``_SUCCESS`` manifest
+    naming them; ``abort`` deletes the staged files. Readers that
+    respect the manifest (see ``pyds_writer_roundtrip``) therefore see
+    either the whole write or none of it — exactly the contract
+    FileOutputCommitter gives JVM sinks, rebuilt on the Python
+    DataSource API for sinks Spark has no connector for."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, rows):
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"_tmp_{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as fh:
+            for row in rows:
+                fh.write(json.dumps(row.asDict(), sort_keys=True, default=str))
+                fh.write("\n")
+                n += 1
+        return _JsonlCommit(tmp, n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        finals = []
+        for m in messages:
+            if m is None:
+                continue
+            final = os.path.join(
+                os.path.dirname(m.tmp_path),
+                os.path.basename(m.tmp_path).removeprefix("_tmp_"),
+            )
+            os.replace(m.tmp_path, final)
+            finals.append({"file": os.path.basename(final), "rows": m.rows})
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            json.dump({"files": sorted(finals, key=lambda d: d["file"])}, fh)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages or []:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
+class JsonlDirDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonldir"
+
+    def writer(self, schema, overwrite: bool):
+        return JsonlDirWriter(self.options, overwrite)

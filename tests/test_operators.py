@@ -297,3 +297,50 @@ def test_arrowdocs_row_group_partitioning(spark, tmp_path):
     df = spark.read.format("arrowdocs").option("path", path).load()
     assert df.count() == src.num_rows
     assert df.rdd.getNumPartitions() == 5
+
+
+def test_jsonldir_writer_two_phase_commit(spark, tmp_path):
+    """The custom sink's commit protocol: a successful write leaves
+    only manifest-listed final files (no _tmp_ leftovers); a failing
+    write aborts — no _SUCCESS, no visible data."""
+    import json
+    import os
+
+    from glue_etl_pyspark_spark.sources.pyds import register_python_sources
+
+    register_python_sources(spark)
+    out = str(tmp_path / "sink_ok")
+    df = spark.range(100).selectExpr("id", "id * 2 AS v").repartition(4)
+    df.write.format("jsonldir").option("path", out).mode("append").save()
+    names = sorted(os.listdir(out))
+    assert "_SUCCESS" in names
+    assert not any(n.startswith("_tmp_") for n in names)
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    listed = {f["file"] for f in manifest["files"]}
+    assert listed == {n for n in names if n != "_SUCCESS"}
+    assert sum(f["rows"] for f in manifest["files"]) == 100
+    back = spark.read.schema("id bigint, v bigint").json(
+        [os.path.join(out, n) for n in listed]
+    )
+    assert back.count() == 100 and back.agg({"v": "sum"}).collect()[0][0] == 9900
+
+    # failing write: one task raises -> abort path, nothing visible
+    out_bad = str(tmp_path / "sink_bad")
+    from pyspark.sql import functions as F
+
+    @F.udf("long")
+    def boom(x):
+        if x == 42:
+            raise ValueError("boom")
+        return x
+
+    bad = spark.range(100).repartition(4).select(boom("id").alias("id"))
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        bad.write.format("jsonldir").option("path", out_bad).mode("append").save()
+    leftover = [
+        n for n in (os.listdir(out_bad) if os.path.isdir(out_bad) else [])
+        if not n.startswith("_tmp_")
+    ]
+    assert "_SUCCESS" not in leftover
