@@ -704,3 +704,103 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").cast("bigint").alias("wau")
     )
     return dau.join(wau, "day").select("day", "dau", "wau")
+
+
+# ---------------------------------------------------------------------------
+# Data drift monitor: Population Stability Index between two periods
+# ---------------------------------------------------------------------------
+
+_PSI_SPLIT = "2024-01-15 00:00:00"
+_PSI_BINS = 10
+_PSI_WIDTH = 50          # value in [0, 500) -> 10 fixed bins
+_PSI_SMOOTH = 1          # add-one smoothing; denominator adds BINS
+
+# Per-bin PSI term (p1-p2)*ln(p1/p2) with identical expression shape
+# on both engines: the probabilities divide exact BIGINTs in double
+# (deterministic per operand pair), the ln argument is ONE exact
+# integer ratio, and each term floors to the 1e-9 grid before an exact
+# BIGINT sum — the order-invariant ln-accumulation discipline
+# text_bigram_lm_score pinned (Python-reference equality test).
+_PSI_TERM = (
+    "floor((((n1 + {S}) / (t1 + {S} * {B})) - ((n2 + {S}) / (t2 + {S} * {B})))"
+    " * ln(((n1 + {S}) * (t2 + {S} * {B})) / ((n2 + {S}) * (t1 + {S} * {B})))"
+    " * 1000000000)"
+).format(S=_PSI_SMOOTH, B=_PSI_BINS)
+
+DRIFT_PSI_ORACLE = f"""
+WITH binned AS (
+  SELECT event_type,
+    CAST(least(floor(value / {_PSI_WIDTH}), {_PSI_BINS - 1}) AS BIGINT) AS bin,
+    CASE WHEN ts < TIMESTAMP '{_PSI_SPLIT}' THEN 1 ELSE 2 END AS period
+  FROM events
+), grid AS (
+  SELECT t.event_type, b.bin
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       (SELECT unnest(range(0, {_PSI_BINS})) AS bin) b
+), counts AS (
+  SELECT g.event_type, g.bin,
+    CAST(COALESCE(SUM(CASE WHEN period = 1 THEN 1 END), 0) AS DOUBLE) AS n1,
+    CAST(COALESCE(SUM(CASE WHEN period = 2 THEN 1 END), 0) AS DOUBLE) AS n2
+  FROM grid g LEFT JOIN binned x
+    ON x.event_type = g.event_type AND x.bin = g.bin
+  GROUP BY g.event_type, g.bin
+), tot AS (
+  SELECT event_type, SUM(n1) AS t1, SUM(n2) AS t2 FROM counts GROUP BY event_type
+)
+SELECT c.event_type,
+  CAST(t.t1 AS BIGINT) AS n_before,
+  CAST(t.t2 AS BIGINT) AS n_after,
+  CAST(SUM({_PSI_TERM}) AS BIGINT) AS psi_e9
+FROM counts c JOIN tot t ON c.event_type = t.event_type
+GROUP BY c.event_type, t.t1, t.t2
+"""
+
+
+@query("events_drift_psi", oracle=DRIFT_PSI_ORACLE, category="analytics")
+def events_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type between two halves of
+    the month — the standard production drift monitor for a feature
+    distribution (PSI < 0.1 stable, > 0.25 action). Fixed bins with
+    add-one smoothing keep every term finite on a dense
+    (type x bin) grid (empty bins matter: they ARE drift). Each PSI
+    term floors to the 1e-9 grid before an exact BIGINT sum, so the
+    aggregate is order-invariant; probabilities and the single-ratio
+    ln argument are computed with the identical expression shape on
+    both engines. Scale: one map-side-combined count pass, a
+    types x bins (tiny) grid join, algebraic rollup."""
+    e = load_table(spark, sf_dir, "events")
+    binned = e.select(
+        "event_type",
+        F.expr(f"CAST(least(floor(value / {_PSI_WIDTH}), {_PSI_BINS - 1}) AS BIGINT)").alias("bin"),
+        F.expr(
+            f"CASE WHEN ts < TIMESTAMP '{_PSI_SPLIT}' THEN 1 ELSE 2 END"
+        ).alias("period"),
+    )
+    grid = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(
+            e.sparkSession.range(_PSI_BINS).select(F.col("id").cast("bigint").alias("bin"))
+        )
+    )
+    counts = (
+        grid.join(binned, ["event_type", "bin"], "left")
+        .groupBy("event_type", "bin")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("period") == 1, 1)), F.lit(0))
+            .cast("double")
+            .alias("n1"),
+            F.coalesce(F.sum(F.when(F.col("period") == 2, 1)), F.lit(0))
+            .cast("double")
+            .alias("n2"),
+        )
+    )
+    wt = Window.partitionBy("event_type")
+    withtot = counts.withColumn("t1", F.sum("n1").over(wt)).withColumn(
+        "t2", F.sum("n2").over(wt)
+    )
+    return withtot.groupBy("event_type").agg(
+        F.max("t1").cast("bigint").alias("n_before"),
+        F.max("t2").cast("bigint").alias("n_after"),
+        F.sum(F.expr(_PSI_TERM)).cast("bigint").alias("psi_e9"),
+    )

@@ -940,3 +940,69 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cent_id",
         F.when(F.col("__d").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunk -> document embedding pooling (mean pooling, exact fixed point)
+# ---------------------------------------------------------------------------
+
+_POOL_CHUNKS = 4  # vec_id div 4 = document id
+
+POOL_ORACLE = f"""
+WITH comp AS (
+  SELECT vec_id // {_POOL_CHUNKS} AS doc_id,
+    CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS idx,
+    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS v6
+  FROM embeddings
+), dims AS (
+  SELECT doc_id, idx, CAST(SUM(v6) AS BIGINT) AS s,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM comp GROUP BY doc_id, idx
+)
+SELECT doc_id,
+  CAST(MAX(n) AS BIGINT) AS n_chunks,
+  CAST(COUNT(*) AS BIGINT) AS dim,
+  CAST(MAX(CASE WHEN idx = 0 THEN s END) AS BIGINT) AS c0_sum_e6,
+  CAST(MAX(CASE WHEN idx = 1 THEN s END) AS BIGINT) AS c1_sum_e6,
+  CAST(MAX(CASE WHEN idx = 2 THEN s END) AS BIGINT) AS c2_sum_e6,
+  CAST(SUM(s * s) AS BIGINT) AS norm2_sum_e12
+FROM dims GROUP BY doc_id
+"""
+
+
+@query("embedding_pool_mean", oracle=POOL_ORACLE, category="llm-knn")
+def embedding_pool_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-to-document embedding pooling (the long-document retrieval
+    discipline: embed fixed-size chunks, mean-pool per document).
+    Components floor-scale to exact 1e6 integers BEFORE summing, so
+    the per-dimension pooled sums — and the pooled squared-norm
+    aggregate — are pure BIGINT arithmetic: order-invariant across
+    partitionings and engines (a double mean over float32 chunks would
+    drift under AQE re-plans; the repo's money-sum rule applied to
+    vectors). The mean itself is sum/n_chunks — reported as the exact
+    scaled sums plus n, which any consumer divides losslessly. Scale:
+    one (doc, dim) shuffle, algebraic all the way; n_chunks x dim rows
+    per doc, map-side combined."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        F.expr(f"vec_id div {_POOL_CHUNKS}").alias("doc_id"),
+        F.posexplode("embedding").alias("idx", "val"),
+    ).select(
+        "doc_id",
+        "idx",
+        F.floor(F.col("val").cast("double") * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("v6"),
+    )
+    dims = comp.groupBy("doc_id", "idx").agg(
+        F.sum("v6").cast("bigint").alias("s"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    return dims.groupBy("doc_id").agg(
+        F.max("n").cast("bigint").alias("n_chunks"),
+        F.count("*").cast("bigint").alias("dim"),
+        F.max(F.when(F.col("idx") == 0, F.col("s"))).cast("bigint").alias("c0_sum_e6"),
+        F.max(F.when(F.col("idx") == 1, F.col("s"))).cast("bigint").alias("c1_sum_e6"),
+        F.max(F.when(F.col("idx") == 2, F.col("s"))).cast("bigint").alias("c2_sum_e6"),
+        F.sum(F.col("s") * F.col("s")).cast("bigint").alias("norm2_sum_e12"),
+    )

@@ -67,8 +67,9 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 # profile, snapshot diff, zone-map pruning, substring-span dedup,
 # decayed popularity, last-touch attribution, linear quality
 # classifier, fuzzy record linkage, DAU/WAU, BPE tokenizer apply,
-# custom-sink two-phase-commit roundtrip) = 56 never-checked/changed
-# names — 6 more than the 50-slot window, so the last 6 plus the
+# custom-sink two-phase-commit roundtrip, mean-pool embeddings,
+# PSI drift monitor) = 58 never-checked/changed names — 8 more than
+# the 50-slot window, so the last 8 plus the
 # whole 38-name r1-stale block overflow and lead round 6.
 # Pinned by tests/test_registry.py.
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -137,6 +138,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_dau_wau",
     "text_bpe_apply",
     "pyds_writer_roundtrip",
+    "embedding_pool_mean",
+    "events_drift_psi",
     # --- stalest evidence: last green in ROUND 1 (first 5 of 38) ---
     "join_asof_purchase_click",
     "dedup_ngram_jaccard",

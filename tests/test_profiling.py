@@ -130,3 +130,59 @@ def test_dau_wau_ordering_and_coverage(spark, sf_dir):
     assert len(rows) == n_days
     for r in rows:
         assert r["dau"] <= r["wau"] <= n_users
+
+
+def test_drift_psi_matches_python_reference(spark, sf_dir):
+    """Third-engine check for the ln-accumulation discipline: the PSI
+    from exact Python floats (same floor-to-1e-9 per term) must equal
+    Spark's bit-for-bit (the text_bigram_lm_score precedent)."""
+    import math
+    from collections import Counter
+
+    from glue_etl_pyspark_spark.queries.analytics import (
+        _PSI_BINS, _PSI_SMOOTH, _PSI_SPLIT, _PSI_WIDTH,
+    )
+
+    rows = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "ts"
+    ).collect()
+    import datetime
+
+    split = datetime.datetime.fromisoformat(_PSI_SPLIT)
+    c1, c2 = Counter(), Counter()
+    types = set()
+    for r in rows:
+        b = min(int(r["value"] // _PSI_WIDTH), _PSI_BINS - 1)
+        types.add(r["event_type"])
+        (c1 if r["ts"] < split else c2)[(r["event_type"], b)] += 1
+    S, B = _PSI_SMOOTH, _PSI_BINS
+    expect = {}
+    for t in types:
+        t1 = sum(c1[(t, b)] for b in range(B))
+        t2 = sum(c2[(t, b)] for b in range(B))
+        acc = 0
+        for b in range(B):
+            n1, n2 = c1[(t, b)], c2[(t, b)]
+            p1 = (n1 + S) / (t1 + S * B)
+            p2 = (n2 + S) / (t2 + S * B)
+            arg = ((n1 + S) * (t2 + S * B)) / ((n2 + S) * (t1 + S * B))
+            acc += math.floor((p1 - p2) * math.log(arg) * 1e9)
+        expect[t] = (t1, t2, acc)
+    got = {
+        r["event_type"]: (r["n_before"], r["n_after"], r["psi_e9"])
+        for r in _df(spark, sf_dir, "events_drift_psi").collect()
+    }
+    assert got == expect
+
+
+def test_embedding_pool_consistency(spark, sf_dir):
+    rows = _df(spark, sf_dir, "embedding_pool_mean").collect()
+    from glue_etl_pyspark_spark.io import load_table as _lt
+
+    n_vec = _lt(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_chunks"] for r in rows) == n_vec
+    for r in rows:
+        assert r["dim"] == 64
+        assert r["norm2_sum_e12"] >= 0
+        # norm2 >= any single component's square contribution
+        assert r["norm2_sum_e12"] >= r["c0_sum_e6"] * r["c0_sum_e6"]
