@@ -804,3 +804,52 @@ def events_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("t2").cast("bigint").alias("n_after"),
         F.sum(F.expr(_PSI_TERM)).cast("bigint").alias("psi_e9"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rate-based bot / abuse detection (burst profile per user)
+# ---------------------------------------------------------------------------
+
+_BURST_WINDOW_US = 3_600_000_000  # trailing 1 hour, in microseconds
+_BURST_BOT = 3                    # >= this many events in-window -> flag
+
+BOT_BURST_ORACLE = f"""
+WITH w AS (
+  SELECT user_id,
+    COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+      RANGE BETWEEN {_BURST_WINDOW_US} PRECEDING AND CURRENT ROW) AS c
+  FROM events
+)
+SELECT user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(MAX(c) AS BIGINT) AS burst_max_1h,
+  CAST(CASE WHEN MAX(c) >= {_BURST_BOT} THEN 1 ELSE 0 END AS INTEGER) AS is_flagged
+FROM w GROUP BY user_id
+"""
+
+
+@query("events_bot_burst_detect", oracle=BOT_BURST_ORACLE, category="analytics")
+def events_bot_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-based abuse detection: each user's maximum trailing-1-hour
+    event burst, flagged when it crosses the bot threshold — the
+    rate-limit rule every ingestion pipeline screens with. The burst
+    is an exact RANGE frame over epoch MICROseconds (epoch seconds
+    would truncate sub-second spacing differently than DuckDB's
+    fractional epoch — frames must bound identical row sets on both
+    engines); RANGE frames are value-bounded, so tied timestamps get
+    identical counts regardless of partition order. One user_id
+    shuffle; per-user windows are account-history-sized, and a 100 TB
+    deployment pre-buckets to (user, hour) counts first (the DAU/WAU
+    pre-reduction) when sub-window precision isn't needed."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.expr("unix_micros(cast(ts AS timestamp))"))
+        .rangeBetween(-_BURST_WINDOW_US, 0)
+    )
+    c = e.select("user_id", F.count("*").over(w).alias("c"))
+    return c.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.max("c").cast("bigint").alias("burst_max_1h"),
+        F.when(F.max("c") >= _BURST_BOT, 1).otherwise(0).cast("int").alias("is_flagged"),
+    )

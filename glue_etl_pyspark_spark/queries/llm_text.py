@@ -322,3 +322,55 @@ def text_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "token", "n", (F.row_number().over(w) + 4).cast("bigint").alias("vocab_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index build (IR engine core)
+# ---------------------------------------------------------------------------
+
+INVERTED_INDEX_ORACLE = f"""
+WITH occ AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents
+), per_doc AS (
+  SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM occ GROUP BY token, doc_id
+)
+SELECT token,
+  CAST(COUNT(*) AS BIGINT) AS df,
+  CAST(SUM(tf) AS BIGINT) AS cf,
+  string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+FROM per_doc GROUP BY token
+"""
+
+
+@query("text_inverted_index", oracle=INVERTED_INDEX_ORACLE, category="llm-text")
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index construction — the IR-engine core behind BM25 /
+    keyword retrieval: per term, document frequency, collection
+    frequency, and the posting list (doc_id:tf pairs, doc-ordered,
+    serialized at the query boundary per the atomic-columns rule).
+    One (token, doc) aggregation then one token aggregation; the
+    posting list is sorted BEFORE serialization (array_sort on the
+    struct — collect_list order is partition-dependent, the repo's
+    sorted-collect rule). At 100 TB a head term's posting list breaks
+    the single-row budget: shard postings by (token, doc_id div R)
+    exactly like `length_bucket_packing`'s row-number sharding; df/cf
+    stay algebraic merges of shard partials."""
+    d = load_table(spark, sf_dir, "documents")
+    occ = d.select("doc_id", F.explode(tokenize_ws("text")).alias("token"))
+    per_doc = occ.groupBy("token", "doc_id").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    return per_doc.groupBy("token").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("cf"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("doc_id", "tf"))
+                ),
+                lambda x: F.concat_ws(":", x["doc_id"], x["tf"]),
+            ),
+            ",",
+        ).alias("postings"),
+    )

@@ -68,8 +68,9 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 # decayed popularity, last-touch attribution, linear quality
 # classifier, fuzzy record linkage, DAU/WAU, BPE tokenizer apply,
 # custom-sink two-phase-commit roundtrip, mean-pool embeddings,
-# PSI drift monitor) = 58 never-checked/changed names — 8 more than
-# the 50-slot window, so the last 8 plus the
+# PSI drift monitor, inverted index, bot-burst detection) = 60
+# never-checked/changed names — 10 more than
+# the 50-slot window, so the last 10 plus the
 # whole 38-name r1-stale block overflow and lead round 6.
 # Pinned by tests/test_registry.py.
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -140,6 +141,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "pyds_writer_roundtrip",
     "embedding_pool_mean",
     "events_drift_psi",
+    "text_inverted_index",
+    "events_bot_burst_detect",
     # --- stalest evidence: last green in ROUND 1 (first 5 of 38) ---
     "join_asof_purchase_click",
     "dedup_ngram_jaccard",

@@ -186,3 +186,25 @@ def test_embedding_pool_consistency(spark, sf_dir):
         assert r["norm2_sum_e12"] >= 0
         # norm2 >= any single component's square contribution
         assert r["norm2_sum_e12"] >= r["c0_sum_e6"] * r["c0_sum_e6"]
+
+
+def test_inverted_index_postings_consistency(spark, sf_dir):
+    rows = _df(spark, sf_dir, "text_inverted_index").collect()
+    for r in rows:
+        entries = r["postings"].split(",")
+        assert len(entries) == r["df"]
+        doc_ids = [int(e.split(":")[0]) for e in entries]
+        tfs = [int(e.split(":")[1]) for e in entries]
+        assert doc_ids == sorted(doc_ids), "postings must be doc-ordered"
+        assert sum(tfs) == r["cf"]
+        assert all(tf >= 1 for tf in tfs)
+
+
+def test_bot_burst_accounts_all_users(spark, sf_dir):
+    rows = _df(spark, sf_dir, "events_bot_burst_detect").collect()
+    e = load_table(spark, sf_dir, "events")
+    assert sum(r["n_events"] for r in rows) == e.count()
+    assert len(rows) == e.select("user_id").distinct().count()
+    for r in rows:
+        assert 1 <= r["burst_max_1h"] <= r["n_events"]
+        assert r["is_flagged"] == (1 if r["burst_max_1h"] >= 3 else 0)
