@@ -154,11 +154,16 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure-SQL TF-IDF (tf x ln(N/df) via joins — oracle-checkable,
     unlike HashingTF+IDF): top-3 terms per doc for doc_id < 100.
     N arrives by broadcast cross join of a 1-row aggregate — no
-    driver-side collect."""
+    driver-side collect. df derives FROM the tf aggregate (one row
+    per (doc, token) already exists there, so COUNT(*) by token ==
+    COUNT(DISTINCT doc_id) over raw tokens): the corpus is tokenized
+    and exploded once instead of twice, and the (doc_id, token)
+    exchange is identical in both branches so Spark reuses it —
+    measured 0.98-1.28 s -> 0.76-0.78 s at sf0.1."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(tokenize_ws("text")).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(df_, "token")
