@@ -16,10 +16,12 @@ from ..io import load_table, register_views
 from ..operators import drop_fields, rename_field, select_fields, spigot
 from ..registry import query
 from ..sources import (
+    read_avro,
     read_csv,
     read_json,
     read_orc,
     scratch_dir,
+    write_avro,
     write_csv,
     write_json,
     write_orc,
@@ -479,4 +481,38 @@ def pyds_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+
+
+AVRO_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+  CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+FROM orders GROUP BY o_orderstatus, o_orderpriority
+"""
+
+
+@query("sink_avro_roundtrip", oracle=AVRO_ORACLE, category="source-sink")
+def sink_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro sink + scan, end to end: Spark 4.1 bundles the avro
+    connector classes in spark-sql; `sources.formats.write_avro/
+    read_avro` reach them through the fully-qualified AvroFileFormat
+    when the short-name ServiceLoader registration (the external
+    spark-avro jar) is absent — so the Glue avro surface runs here
+    after all. Longs/strings/doubles survive Avro losslessly; the
+    re-read aggregate must match the oracle on the original table."""
+    orders = load_table(spark, sf_dir, "orders")
+    path = write_avro(
+        orders.select("o_orderkey", "o_custkey", "o_orderstatus",
+                      "o_orderpriority", "o_totalprice"),
+        scratch_dir("orders_avro"),
+    )
+    back = read_avro(spark, path)
+    return back.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_custkey").cast("bigint").alias("sum_cust"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
     )

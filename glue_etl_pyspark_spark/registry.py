@@ -68,9 +68,9 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 # decayed popularity, last-touch attribution, linear quality
 # classifier, fuzzy record linkage, DAU/WAU, BPE tokenizer apply,
 # custom-sink two-phase-commit roundtrip, mean-pool embeddings,
-# PSI drift monitor, inverted index, bot-burst detection) = 60
-# never-checked/changed names — 10 more than
-# the 50-slot window, so the last 10 plus the
+# PSI drift monitor, inverted index, bot-burst detection) plus the
+# newly-unblocked sink_avro_roundtrip = 61 never-checked/changed
+# names — 11 more than the 50-slot window, so the last 11 plus the
 # whole 38-name r1-stale block overflow and lead round 6.
 # Pinned by tests/test_registry.py.
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -86,6 +86,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
     "agg_rollup",
     "length_bucket_packing",
+    # --- env-partial row CLOSED this round: avro now runs end-to-end
+    # via the spark-sql-bundled AvroFileFormat (needs first evidence) ---
+    "sink_avro_roundtrip",
     # --- new round-5 queries ---
     "curation_token_budget",
     "curation_quality_gate",

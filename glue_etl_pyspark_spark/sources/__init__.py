@@ -2,10 +2,12 @@
 catalog helpers."""
 
 from .formats import (
+    read_avro,
     read_csv,
     read_json,
     read_orc,
     scratch_dir,
+    write_avro,
     write_csv,
     write_json,
     write_orc,
@@ -13,9 +15,11 @@ from .formats import (
 )
 
 __all__ = [
+    "read_avro",
     "read_csv",
     "read_json",
     "read_orc",
+    "write_avro",
     "write_csv",
     "write_json",
     "write_orc",

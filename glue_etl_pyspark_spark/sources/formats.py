@@ -83,18 +83,45 @@ def write_partitioned_parquet(
     return path
 
 
+# Spark 4.1 ships the avro connector classes inside spark-sql itself,
+# but keeps the short name "avro" gated behind the external-module
+# ServiceLoader registration (absent without the spark-avro jar on the
+# session classpath). The fully-qualified FileFormat class bypasses the
+# short-name lookup and uses those bundled classes directly — verified
+# end-to-end in this environment (snappy .avro part files, lossless
+# round-trip). Keep trying the short name first: a deployment WITH the
+# spark-avro package gets the DSv2 path and options like avroSchema.
+_AVRO_FQCN = "org.apache.spark.sql.avro.AvroFileFormat"
+
+
+def _avro_formats() -> tuple[str, ...]:
+    return ("avro", _AVRO_FQCN)
+
+
 def write_avro(df: DataFrame, path: str) -> str:
-    """Avro sink. The spark-avro module is an external jar not present
-    in this environment (no network to fetch it); the call surfaces
-    Spark's own guidance if missing. Plumbing is format("avro") either
-    way."""
-    df.write.mode("overwrite").format("avro").save(path)
-    return path
+    """Avro sink: short name when the spark-avro module is deployed,
+    falling back to the bundled AvroFileFormat class (see note)."""
+    last: Exception | None = None
+    for fmt in _avro_formats():
+        try:
+            df.write.mode("overwrite").format(fmt).save(path)
+            return path
+        except Exception as ex:  # AnalysisException: failed to find source
+            last = ex
+    raise last
 
 
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
-    """Avro scan (see write_avro note on module availability)."""
-    return spark.read.format("avro").load(path)
+    """Avro scan (same short-name-then-bundled-class fallback)."""
+    last: Exception | None = None
+    for fmt in _avro_formats():
+        try:
+            df = spark.read.format(fmt).load(path)
+            df.schema  # force source resolution now, not at first action
+            return df
+        except Exception as ex:
+            last = ex
+    raise last
 
 
 def jdbc_options(

@@ -37,22 +37,26 @@ def test_unbox_csv(spark):
     assert rows == {("a", 1), ("b", 2)}
 
 
-def test_avro_gated_when_module_missing(spark, tmp_path):
-    """Avro is an external Spark module; absent here. The wrapper must
-    surface Spark's own deploy guidance, not crash obscurely."""
-    import pytest
+def test_avro_roundtrip_via_bundled_classes(spark, tmp_path):
+    """Avro end-to-end: the short name needs the external spark-avro
+    jar, but Spark 4.1 bundles the connector classes in spark-sql —
+    the wrapper falls back to the fully-qualified AvroFileFormat and
+    the round trip must be lossless (types + values)."""
+    import os
 
-    from glue_etl_pyspark_spark.sources.formats import write_avro
+    from glue_etl_pyspark_spark.sources.formats import read_avro, write_avro
 
-    df = spark.createDataFrame([(1, "a")], "id int, s string")
-    try:
-        write_avro(df, str(tmp_path / "avro"))
-    except Exception as e:  # noqa: BLE001
-        assert "avro" in str(e).lower()
-    else:  # pragma: no cover - environment with avro deployed
-        from glue_etl_pyspark_spark.sources.formats import read_avro
-
-        assert read_avro(spark, str(tmp_path / "avro")).count() == 1
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -2.25), (3, None, 0.0)],
+        "id bigint, s string, v double",
+    )
+    write_avro(df, str(tmp_path / "avro"))
+    assert any(
+        f.endswith(".avro") for f in os.listdir(tmp_path / "avro")
+    ), "expected .avro part files"
+    back = read_avro(spark, str(tmp_path / "avro"))
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
 
 
 def test_jdbc_options_contract():
