@@ -516,3 +516,54 @@ def sink_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents"),
     )
+
+
+JDBC_ORACLE = """
+SELECT o_orderstatus,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+  CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+FROM orders WHERE o_custkey >= 100
+GROUP BY o_orderstatus
+"""
+
+
+@query("sink_jdbc_roundtrip", oracle=JDBC_ORACLE, category="source-sink")
+def sink_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC sink + scan, END TO END against embedded Derby (the derby
+    jars ship with Spark for the Hive metastore — a real RDBMS with no
+    network needed): write orders over JDBC, read back exercising the
+    FULL production contract — the (partitionColumn, bounds,
+    numPartitions) quartet for a 4-connection parallel scan plus a
+    Glue-style push_down_predicate that lands in every partition's
+    WHERE clause (quoted identifiers: Spark's writer creates
+    case-sensitive lowercase columns, so unquoted names would fold to
+    uppercase and miss). Rows outside the bounds still arrive (bounds
+    shape partitions, never filter) — the re-read aggregate must match
+    the oracle on the original table."""
+    from ..sources.formats import read_jdbc, write_jdbc
+
+    url = f"jdbc:derby:{scratch_dir('jdbc_derby_db')};create=true"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    write_jdbc(orders, url, "orders_rt", mode="overwrite", driver=drv)
+    back = read_jdbc(
+        spark,
+        url,
+        "orders_rt",
+        driver=drv,
+        partition_column="o_orderkey",
+        lower_bound=0,
+        upper_bound=1_000_000,
+        num_partitions=4,
+        push_down_predicate='"o_custkey" >= 100',
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_custkey").cast("bigint").alias("sum_cust"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+    )

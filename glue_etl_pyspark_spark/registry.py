@@ -69,8 +69,9 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 # classifier, fuzzy record linkage, DAU/WAU, BPE tokenizer apply,
 # custom-sink two-phase-commit roundtrip, mean-pool embeddings,
 # PSI drift monitor, inverted index, bot-burst detection) plus the
-# newly-unblocked sink_avro_roundtrip = 61 never-checked/changed
-# names — 11 more than the 50-slot window, so the last 11 plus the
+# newly-unblocked sink_avro_roundtrip and sink_jdbc_roundtrip (the
+# two env-partial rows, both closed this round) = 62 never-checked/
+# changed names — 12 more than the 50-slot window, so the last 12 plus the
 # whole 38-name r1-stale block overflow and lead round 6.
 # Pinned by tests/test_registry.py.
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -89,6 +90,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # --- env-partial row CLOSED this round: avro now runs end-to-end
     # via the spark-sql-bundled AvroFileFormat (needs first evidence) ---
     "sink_avro_roundtrip",
+    "sink_jdbc_roundtrip",
     # --- new round-5 queries ---
     "curation_token_budget",
     "curation_quality_gate",

@@ -344,3 +344,26 @@ def test_jsonldir_writer_two_phase_commit(spark, tmp_path):
         if not n.startswith("_tmp_")
     ]
     assert "_SUCCESS" not in leftover
+
+
+def test_jdbc_roundtrip_partitioned_scan(spark, sf_dir):
+    """The JDBC read in sink_jdbc_roundtrip must be a genuinely
+    parallel scan: partition count == numPartitions, and the pushdown
+    predicate filters at the database."""
+    from glue_etl_pyspark_spark.sources.formats import read_jdbc, write_jdbc
+    from glue_etl_pyspark_spark.sources.formats import scratch_dir
+    from glue_etl_pyspark_spark.io import load_table
+
+    url = f"jdbc:derby:{scratch_dir('jdbc_derby_test')};create=true"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    write_jdbc(orders, url, "t_part", mode="overwrite", driver=drv)
+    back = read_jdbc(
+        spark, url, "t_part", driver=drv,
+        partition_column="o_orderkey", lower_bound=0,
+        upper_bound=1_000_000, num_partitions=4,
+        push_down_predicate='"o_custkey" >= 100',
+    )
+    assert back.rdd.getNumPartitions() == 4
+    expect = orders.filter("o_custkey >= 100").count()
+    assert back.count() == expect
