@@ -282,3 +282,162 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_bands"))
     )
+
+
+# --- hybrid search: BM25 + embedding, reciprocal-rank fusion -------
+
+_RRF_K = 60
+_RRF_DEPTH = 20   # fuse each ranker's top-20
+_RRF_TOPK = 10
+_RRF_QVEC = 0     # the query document's embedding (vec_id == doc_id)
+
+# rrf term from an integer rank: 1/(60+r) as a double (identical on
+# both engines for identical integer r), floored to the 1e-9 grid
+# before the 2-term fixed-order add.
+_RRF_TERM = f"floor(1e9 / ({_RRF_K} + {{r}}))"
+
+HYBRID_RRF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+), dls AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(dl) AS BIGINT) * 1.0 / COUNT(*) AS avgdl
+  FROM dls
+), occ AS (
+  SELECT doc_id, unnest(toks) AS term FROM toks
+), tfs AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM occ WHERE term IN {_TERMS_SQL} GROUP BY doc_id, term
+), dfs AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tfs GROUP BY term
+), scored AS (
+  SELECT t.doc_id, t.term, {_BM25_SCORE} AS s
+  FROM tfs t JOIN dfs USING (term) JOIN dls USING (doc_id) CROSS JOIN stats
+), pivoted AS (
+  SELECT doc_id,
+    coalesce(SUM(CASE WHEN term = '{_BM25_TERMS[0]}' THEN s END), 0.0)
+      + coalesce(SUM(CASE WHEN term = '{_BM25_TERMS[1]}' THEN s END), 0.0)
+      + coalesce(SUM(CASE WHEN term = '{_BM25_TERMS[2]}' THEN s END), 0.0)
+      AS raw
+  FROM pivoted_src GROUP BY doc_id
+), pivoted_src AS (SELECT * FROM scored), bm AS (
+  SELECT doc_id, CAST(row_number() OVER (
+    ORDER BY floor(raw * 1e6) / 1e6 DESC, doc_id) AS BIGINT) AS bm25_rank
+  FROM pivoted QUALIFY bm25_rank <= {_RRF_DEPTH}
+), q AS (
+  SELECT embedding AS qv FROM embeddings WHERE vec_id = {_RRF_QVEC}
+), sims AS (
+  SELECT c.vec_id AS doc_id,
+    SUM(CAST(c.embedding[r.i] AS DOUBLE) * CAST(q.qv[r.i] AS DOUBLE))
+      / (sqrt(SUM(CAST(c.embedding[r.i] AS DOUBLE) * CAST(c.embedding[r.i] AS DOUBLE)))
+         * sqrt(SUM(CAST(q.qv[r.i] AS DOUBLE) * CAST(q.qv[r.i] AS DOUBLE)))) AS cs
+  FROM embeddings c, q, range(1, 65) r(i)
+  WHERE c.vec_id <> {_RRF_QVEC}
+  GROUP BY c.vec_id
+), vec AS (
+  SELECT doc_id, CAST(row_number() OVER (
+    ORDER BY round(cs, 6) DESC, doc_id) AS BIGINT) AS vec_rank
+  FROM sims QUALIFY vec_rank <= {_RRF_DEPTH}
+), fused AS (
+  SELECT COALESCE(bm.doc_id, vec.doc_id) AS doc_id,
+    CAST(COALESCE(bm.bm25_rank, 0) AS BIGINT) AS bm25_rank,
+    CAST(COALESCE(vec.vec_rank, 0) AS BIGINT) AS vec_rank,
+    CAST(COALESCE({_RRF_TERM.format(r="bm.bm25_rank")}, 0)
+       + COALESCE({_RRF_TERM.format(r="vec.vec_rank")}, 0) AS BIGINT) AS rrf_e9
+  FROM bm FULL OUTER JOIN vec ON bm.doc_id = vec.doc_id
+)
+SELECT doc_id, bm25_rank, vec_rank, rrf_e9 FROM fused
+ORDER BY rrf_e9 DESC, doc_id
+LIMIT {_RRF_TOPK}
+"""
+
+
+@query("hybrid_search_rrf", oracle=HYBRID_RRF_ORACLE, category="llm-retrieval")
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval, the modern RAG search stack end to end:
+    lexical BM25 (fixed 3-term query) and dense cosine (the query
+    document's embedding; vec_id aligns with doc_id chunk-for-chunk)
+    each rank the corpus top-20, then reciprocal-rank fusion
+    1/(60+rank) merges them — RRF needs only the integer RANKS, so
+    after each ranker's floor-pinned ordering the fusion is exact
+    arithmetic on both engines (terms floored to the 1e-9 grid, two
+    fixed-order adds). Docs surfaced by only one ranker carry rank 0
+    for the other (RRF's strength: no score calibration needed).
+    Scale: the BM25 side prunes to the query terms at scan; the dense
+    side is the brute-force anchor — swap in `knn_ivf`'s probed search
+    for the 100 TB path; fusion itself joins two top-k lists (tiny)."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+
+    # --- lexical leg (text_bm25_topk's chain, kept to rank depth) ---
+    toks = d.select("doc_id", tokenize_ws("text").alias("toks"))
+    dls = toks.select("doc_id", F.size("toks").cast("bigint").alias("dl"))
+    stats = dls.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl") * F.lit(1.0) / F.count("*")).alias("avgdl"),
+    )
+    occ = toks.select("doc_id", F.explode("toks").alias("term"))
+    tfs = (
+        occ.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfs = tfs.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tfs.join(F.broadcast(dfs), "term")
+        .join(dls, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", F.expr(_BM25_SCORE).alias("s"))
+    )
+    per_term = [
+        F.coalesce(F.sum(F.when(F.col("term") == t, F.col("s"))), F.lit(0.0))
+        for t in _BM25_TERMS
+    ]
+    pivoted = scored.groupBy("doc_id").agg(
+        (per_term[0] + per_term[1] + per_term[2]).alias("raw")
+    )
+    from pyspark.sql import Window
+
+    wb = Window.orderBy(F.desc(F.floor(F.col("raw") * 1e6) / 1e6), "doc_id")
+    bm = (
+        pivoted.withColumn("bm25_rank", F.row_number().over(wb).cast("bigint"))
+        .filter(F.col("bm25_rank") <= _RRF_DEPTH)
+        .select("doc_id", "bm25_rank")
+    )
+
+    # --- dense leg (brute-force anchor against the query embedding) ---
+    from ..functions.vectors import cosine_similarity
+
+    q = e.filter(F.col("vec_id") == _RRF_QVEC).select(
+        F.col("embedding").alias("qv")
+    )
+    sims = (
+        e.filter(F.col("vec_id") != _RRF_QVEC)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_similarity("embedding", "qv").alias("cs"),
+        )
+    )
+    wv = Window.orderBy(F.desc(F.round(F.col("cs"), 6)), "doc_id")
+    vec = (
+        sims.withColumn("vec_rank", F.row_number().over(wv).cast("bigint"))
+        .filter(F.col("vec_rank") <= _RRF_DEPTH)
+        .select("doc_id", "vec_rank")
+    )
+
+    # --- fusion ---
+    fused = bm.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("bm25_rank", F.lit(0)).cast("bigint").alias("bm25_rank"),
+        F.coalesce("vec_rank", F.lit(0)).cast("bigint").alias("vec_rank"),
+        (
+            F.coalesce(F.expr(_RRF_TERM.format(r="bm25_rank")), F.lit(0))
+            + F.coalesce(F.expr(_RRF_TERM.format(r="vec_rank")), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("rrf_e9"),
+    )
+    return fused.orderBy(F.desc("rrf_e9"), "doc_id").limit(_RRF_TOPK)

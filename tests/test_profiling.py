@@ -208,3 +208,15 @@ def test_bot_burst_accounts_all_users(spark, sf_dir):
     for r in rows:
         assert 1 <= r["burst_max_1h"] <= r["n_events"]
         assert r["is_flagged"] == (1 if r["burst_max_1h"] >= 3 else 0)
+
+
+def test_hybrid_rrf_rank_bounds(spark, sf_dir):
+    rows = _df(spark, sf_dir, "hybrid_search_rrf").collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 0 <= r["bm25_rank"] <= 20 and 0 <= r["vec_rank"] <= 20
+        assert r["bm25_rank"] > 0 or r["vec_rank"] > 0
+        assert r["rrf_e9"] > 0
+    # fused order is by the exact integer score
+    scores = [r["rrf_e9"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
