@@ -853,3 +853,61 @@ def events_bot_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c").cast("bigint").alias("burst_max_1h"),
         F.when(F.max("c") >= _BURST_BOT, 1).otherwise(0).cast("int").alias("is_flagged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling median smoother (order statistic over a sliding frame)
+# ---------------------------------------------------------------------------
+
+ROLLING_MEDIAN_ORACLE = """
+WITH base AS (
+  SELECT event_id, event_type,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, ts
+  FROM events
+), framed AS (
+  SELECT event_id, event_type, cents,
+    list(cents) OVER (PARTITION BY event_type ORDER BY ts, event_id
+      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS frame
+  FROM base
+)
+SELECT event_id, event_type, cents,
+  CAST(list_sort(frame)[(len(frame) + 1) // 2] AS BIGINT)
+    AS rolling_median_cents
+FROM framed
+"""
+
+
+@query("events_rolling_median", oracle=ROLLING_MEDIAN_ORACLE, category="analytics")
+def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median denoiser: each event's value smoothed by the
+    exact median of its trailing-5-row frame per type — the
+    outlier-robust smoothing a metrics pipeline applies before
+    alerting (a rolling MEAN chases the spike; the median ignores
+    it). Neither engine has a median window function with compatible
+    interpolation, so both materialize the 5-element frame
+    (collect_list over ROWS / list() OVER), sort it, and PICK the
+    lower-median element — an exact integer-cents order statistic,
+    no interpolation to drift. Short frames at partition starts take
+    the same picked-rank rule. Scale: frame width is constant (5), so
+    state per row is O(1); one event_type shuffle with a unique
+    (ts, event_id) ordering."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        "ts",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    framed = base.withColumn("frame", F.collect_list("cents").over(w))
+    return framed.select(
+        "event_id",
+        "event_type",
+        "cents",
+        F.expr("CAST(sort_array(frame)[CAST((size(frame) + 1) div 2 AS INT) - 1] AS BIGINT)")
+        .alias("rolling_median_cents"),
+    )
