@@ -911,3 +911,122 @@ def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(sort_array(frame)[CAST((size(frame) + 1) div 2 AS INT) - 1] AS BIGINT)")
         .alias("rolling_median_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# User-flow path mining (top event-type trigrams)
+# ---------------------------------------------------------------------------
+
+PATH_TRIGRAM_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p1,
+    lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p2
+  FROM events
+)
+SELECT p2 || '>' || p1 || '>' || event_type AS path,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM seq WHERE p2 IS NOT NULL
+GROUP BY p2 || '>' || p1 || '>' || event_type
+ORDER BY n DESC, path
+LIMIT 15
+"""
+
+
+@query("events_path_trigrams", oracle=PATH_TRIGRAM_ORACLE, category="analytics")
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-flow path mining: the 15 most common 3-step event-type
+    sequences across all users (the edges of a product-flow sankey /
+    the candidate set for funnel design). Two lag windows over ONE
+    user_id partitioning with the unique (ts, event_id) ordering, a
+    path-string aggregate, TakeOrderedAndProject top-k. Generalizes
+    `events_markov_transitions` (bigrams) one order higher — at
+    100 TB the trigram key space stays tiny (|event types|^3), so the
+    aggregate combines map-side into almost nothing."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    )
+    return (
+        seq.filter(F.col("p2").isNotNull())
+        .select(
+            F.concat_ws(">", "p2", "p1", "event_type").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-table amount reconciliation (fact-to-fact audit)
+# ---------------------------------------------------------------------------
+
+RECONCILE_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey,
+    CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      AS li_cents
+  FROM lineitem GROUP BY l_orderkey
+), o AS (
+  SELECT o_orderkey, o_orderstatus,
+    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS o_cents
+  FROM orders
+), j AS (
+  SELECT o.o_orderstatus,
+    CASE WHEN li.l_orderkey IS NULL THEN 'no_lineitems'
+         WHEN li.li_cents = o.o_cents THEN 'exact'
+         ELSE 'mismatch' END AS status,
+    COALESCE(abs(li.li_cents - o.o_cents), 0) AS adiff
+  FROM o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+)
+SELECT o_orderstatus, status,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(adiff) AS BIGINT) AS total_abs_diff_cents
+FROM j GROUP BY o_orderstatus, status
+"""
+
+
+@query("dq_reconcile_amounts", oracle=RECONCILE_ORACLE, category="governance")
+def dq_reconcile_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact amount reconciliation: per order, does the
+    lineitem extendedprice total match the order header's total? The
+    migration/replication audit every finance pipeline runs
+    (`table_checksum` proves table identity; this localizes WHERE two
+    related tables disagree). Exact integer cents on both sides, a
+    single orderkey-partitioned aggregate + left join, and the
+    per-(status, class) rollup with the total absolute discrepancy —
+    at 100 TB both sides pre-aggregate before the join, so the
+    shuffle carries one row per order, not per lineitem."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("li_cents")
+        )
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("o_cents"),
+    )
+    j = o.join(li, o.o_orderkey == li.l_orderkey, "left").select(
+        "o_orderstatus",
+        F.when(F.col("l_orderkey").isNull(), "no_lineitems")
+        .when(F.col("li_cents") == F.col("o_cents"), "exact")
+        .otherwise("mismatch")
+        .alias("status"),
+        F.coalesce(F.abs(F.col("li_cents") - F.col("o_cents")), F.lit(0)).alias("adiff"),
+    )
+    return j.groupBy("o_orderstatus", "status").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("adiff").cast("bigint").alias("total_abs_diff_cents"),
+    )

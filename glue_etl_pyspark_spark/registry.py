@@ -71,8 +71,9 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 # PSI drift monitor, inverted index, bot-burst detection) plus the
 # newly-unblocked sink_avro_roundtrip and sink_jdbc_roundtrip (the
 # two env-partial rows, both closed this round) = 62 never-checked/
-# changed names, plus hybrid_search_rrf and events_rolling_median =
-# 64 — 14 more than the 50-slot window, so the last 14 plus the
+# changed names, plus hybrid_search_rrf, events_rolling_median,
+# events_path_trigrams, and dq_reconcile_amounts = 66 — 16 more than
+# the 50-slot window, so the last 16 plus the
 # whole 38-name r1-stale block overflow and lead round 6.
 # Pinned by tests/test_registry.py.
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -151,6 +152,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_bot_burst_detect",
     "hybrid_search_rrf",
     "events_rolling_median",
+    "events_path_trigrams",
+    "dq_reconcile_amounts",
     # --- stalest evidence: last green in ROUND 1 (first 5 of 38) ---
     "join_asof_purchase_click",
     "dedup_ngram_jaccard",
