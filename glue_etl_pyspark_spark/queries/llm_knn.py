@@ -1006,3 +1006,57 @@ def embedding_pool_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("idx") == 2, F.col("s"))).cast("bigint").alias("c2_sum_e6"),
         F.sum(F.col("s") * F.col("s")).cast("bigint").alias("norm2_sum_e12"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature-scaling statistics (per-dimension normalization prep)
+# ---------------------------------------------------------------------------
+
+FEATURE_STATS_ORACLE = """
+WITH comp AS (
+  SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS v6
+  FROM embeddings
+)
+SELECT dim,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(v6) AS BIGINT) AS sum_e6,
+  CAST(MIN(v6) AS BIGINT) AS min_e6,
+  CAST(MAX(v6) AS BIGINT) AS max_e6,
+  CAST(COUNT(*) * SUM(v6 * v6) - SUM(v6) * SUM(v6) AS BIGINT) AS var_num_e12
+FROM comp GROUP BY dim
+"""
+
+
+@query("embedding_feature_stats", oracle=FEATURE_STATS_ORACLE, category="llm-knn")
+def embedding_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension feature-scaling statistics — the preprocessing
+    pass behind standardization / min-max normalization of an
+    embedding (or tabular feature) matrix. Components floor-scale to
+    exact 1e6 integers, so count/sum/min/max AND the variance
+    numerator n*Σx²-(Σx)² are pure BIGINT algebra: order-invariant,
+    engine-exact (a naive double Σx² drifts under re-partitioning —
+    same rule as `embedding_pool_mean`). Consumers derive mean and
+    std losslessly from (sum, var_num, n). One narrow posexplode, one
+    64-group map-side-combined aggregate; magnitudes stay under 2^63
+    to ~1e9 vectors per the docring bound — past that, fold to
+    DECIMAL(38,0) exactly as `functions.money.msum` does."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select(F.posexplode("embedding").alias("dim", "val")).select(
+        "dim",
+        F.floor(F.col("val").cast("double") * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("v6"),
+    )
+    return comp.groupBy("dim").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v6").cast("bigint").alias("sum_e6"),
+        F.min("v6").cast("bigint").alias("min_e6"),
+        F.max("v6").cast("bigint").alias("max_e6"),
+        (
+            F.count("*") * F.sum(F.col("v6") * F.col("v6"))
+            - F.sum("v6") * F.sum("v6")
+        )
+        .cast("bigint")
+        .alias("var_num_e12"),
+    )

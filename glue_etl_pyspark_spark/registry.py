@@ -72,8 +72,9 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 # newly-unblocked sink_avro_roundtrip and sink_jdbc_roundtrip (the
 # two env-partial rows, both closed this round) = 62 never-checked/
 # changed names, plus hybrid_search_rrf, events_rolling_median,
-# events_path_trigrams, and dq_reconcile_amounts = 66 — 16 more than
-# the 50-slot window, so the last 16 plus the
+# events_path_trigrams, dq_reconcile_amounts, and
+# embedding_feature_stats = 67 — 17 more than
+# the 50-slot window, so the last 17 plus the
 # whole 38-name r1-stale block overflow and lead round 6.
 # Pinned by tests/test_registry.py.
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -154,6 +155,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_rolling_median",
     "events_path_trigrams",
     "dq_reconcile_amounts",
+    "embedding_feature_stats",
     # --- stalest evidence: last green in ROUND 1 (first 5 of 38) ---
     "join_asof_purchase_click",
     "dedup_ngram_jaccard",
