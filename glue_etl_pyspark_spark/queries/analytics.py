@@ -1030,3 +1030,88 @@ def dq_reconcile_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.sum("adiff").cast("bigint").alias("total_abs_diff_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Change-point detection: CUSUM on daily event rates
+# ---------------------------------------------------------------------------
+
+# Deviation from the per-type mean daily count, kept EXACT by scaling
+# through: dev_day = n_day * D - N (D = days observed for the type,
+# N = total events of the type), so sum over any prefix is integer and
+# the running CUSUM needs no division anywhere.
+CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), tot AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS d_days,
+    CAST(SUM(n) AS BIGINT) AS n_total
+  FROM daily GROUP BY event_type
+), cum AS (
+  SELECT d.event_type, d.day,
+    CAST(SUM(d.n * t.d_days - t.n_total) OVER (
+      PARTITION BY d.event_type ORDER BY d.day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cusum_scaled
+  FROM daily d JOIN tot t ON d.event_type = t.event_type
+), ranked AS (
+  SELECT event_type, day, cusum_scaled,
+    row_number() OVER (PARTITION BY event_type
+      ORDER BY abs(cusum_scaled) DESC, day) AS rn
+  FROM cum
+)
+SELECT event_type, CAST(day AS DATE) AS shift_day,
+  cusum_scaled AS peak_cusum_scaled,
+  CAST(CASE WHEN cusum_scaled >= 0 THEN 1 ELSE -1 END AS INTEGER) AS direction
+FROM ranked WHERE rn = 1
+"""
+
+
+@query("events_cusum_shift", oracle=CUSUM_ORACLE, category="analytics")
+def events_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on daily event rates: the running
+    sum of deviations from the period mean peaks (in absolute value)
+    at the most likely rate-shift day — the classic single-change-point
+    estimator, and the op a metrics platform runs behind "did traffic
+    step-change, and when?". The mean never becomes a double: deviations
+    scale through by the day count (n*D - N), so the whole CUSUM path
+    is exact BIGINT and the argmax day is deterministic (unique day
+    tie-break). Scale: daily pre-aggregation first (the 100 TB
+    reduction — the window runs over days-per-type, never events);
+    one type-partitioned window."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    tot = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("d_days"),
+        F.sum("n").cast("bigint").alias("n_total"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        daily.join(F.broadcast(tot), "event_type")
+        .withColumn(
+            "cusum_scaled",
+            F.sum(
+                F.col("n") * F.col("d_days") - F.col("n_total")
+            ).over(w).cast("bigint"),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.desc(F.abs(F.col("cusum_scaled"))), "day"
+    )
+    return (
+        cum.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").cast("date").alias("shift_day"),
+            F.col("cusum_scaled").alias("peak_cusum_scaled"),
+            F.when(F.col("cusum_scaled") >= 0, 1).otherwise(-1).cast("int").alias("direction"),
+        )
+    )
