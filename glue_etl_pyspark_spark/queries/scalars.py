@@ -577,3 +577,91 @@ def func_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "num_or_default"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 SQL-defined functions (CREATE FUNCTION ... RETURN)
+# ---------------------------------------------------------------------------
+
+SQL_UDF_ORACLE = """
+SELECT o_orderstatus,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+  CAST(SUM(CASE WHEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) % 2 = 0
+       THEN 1 ELSE 0 END) AS BIGINT) AS n_even_cents
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@query("sql_udf_declarative", oracle=SQL_UDF_ORACLE, category="scalar")
+def sql_udf_declarative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL-defined functions: CREATE FUNCTION ... RETURN <expr>
+    declares a scalar function in pure SQL — unlike a Python UDF it
+    INLINES into the plan (whole-stage codegen, pushdown through it,
+    zero serialization), which makes it the right tool for shared
+    business logic at 100 TB; the oracle simply inlines the same
+    expressions. Two SQL UDFs compose here (parity(cents(x)) — one
+    calling the other's result) over an ordinary aggregate."""
+    from ..io import register_views
+
+    register_views(spark, sf_dir, "orders")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION money_cents(x DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(floor(x * 100 + 0.5) AS BIGINT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION is_even(n BIGINT) "
+        "RETURNS INT RETURN CASE WHEN n % 2 = 0 THEN 1 ELSE 0 END"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+          CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(money_cents(o_totalprice)) AS BIGINT) AS cents,
+          CAST(SUM(is_even(money_cents(o_totalprice))) AS BIGINT) AS n_even_cents
+        FROM orders GROUP BY o_orderstatus
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 SQL scripting (BEGIN ... END procedural control flow)
+# ---------------------------------------------------------------------------
+
+SQL_SCRIPT_ORACLE = """
+SELECT CAST(4 AS BIGINT) AS checks_run,
+  CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0)
+     + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 0)
+     + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 4 = 0)
+     + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 5 = 0) AS BIGINT)
+    AS total_hits
+"""
+
+
+@query("sql_scripting_loop", oracle=SQL_SCRIPT_ORACLE, category="scalar")
+def sql_scripting_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL scripting: a BEGIN...END block with DECLAREd
+    session variables and a WHILE loop whose body runs data-dependent
+    queries (the procedural maintenance-job surface — what a stored
+    procedure does on a warehouse). The loop counts orders divisible
+    by each modulus 2..5, accumulating into a variable the final
+    SELECT returns; the oracle is the unrolled closed form. Each loop
+    iteration is still a full declarative Spark job — scripting
+    sequences plans, it never row-loops."""
+    from ..io import register_views
+
+    register_views(spark, sf_dir, "orders")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE tot BIGINT DEFAULT 0;
+          DECLARE m INT DEFAULT 2;
+          WHILE m <= 5 DO
+            SET tot = tot + (SELECT COUNT(*) FROM orders WHERE o_orderkey % m = 0);
+            SET m = m + 1;
+          END WHILE;
+          SELECT CAST(4 AS BIGINT) AS checks_run, CAST(tot AS BIGINT) AS total_hits;
+        END
+        """
+    )
