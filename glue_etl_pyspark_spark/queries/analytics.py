@@ -1115,3 +1115,62 @@ def events_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("cusum_scaled") >= 0, 1).otherwise(-1).cast("int").alias("direction"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Percent-of-parent contribution (BI hierarchy share)
+# ---------------------------------------------------------------------------
+
+SHARE_ORACLE = """
+WITH rev AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+    CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name, n.n_name
+), tot AS (
+  SELECT region, CAST(SUM(cents) AS BIGINT) AS region_cents
+  FROM rev GROUP BY region
+)
+SELECT rev.region, rev.nation, rev.cents, tot.region_cents,
+  CAST(rev.cents * 1000000 // tot.region_cents AS BIGINT) AS share_ppm
+FROM rev JOIN tot ON rev.region = tot.region
+"""
+
+
+@query("revenue_share_of_region", oracle=SHARE_ORACLE, category="analytics")
+def revenue_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent contribution: each nation's share of its
+    region's revenue — the BI drill-down ratio behind every treemap.
+    Revenue is exact integer cents and the share is integer ppm
+    (cents*1e6 div region_cents) so both engines agree at every
+    boundary; dimensions broadcast, one fact aggregation, then a
+    groups-sized self-aggregate join (no window over the fact)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    tot = rev.groupBy("region").agg(
+        F.sum("cents").cast("bigint").alias("region_cents")
+    )
+    return rev.join(tot, "region").select(
+        "region",
+        "nation",
+        "cents",
+        "region_cents",
+        F.expr("cents * 1000000 div region_cents").cast("bigint").alias("share_ppm"),
+    )

@@ -4,7 +4,7 @@ do these against the catalog; here against the local warehouse)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -312,3 +312,58 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_users"))
     )
     return merged.join(presence, ["event_type", "day"])
+
+
+# ---------------------------------------------------------------------------
+# At-least-once ingest dedup (replayed-delivery compaction)
+# ---------------------------------------------------------------------------
+
+INGEST_DEDUP_ORACLE = """
+WITH feed AS (
+  SELECT event_id, event_type, 1 AS attempt FROM events
+  UNION ALL
+  SELECT event_id, event_type, 2 AS attempt FROM events WHERE event_id % 3 = 0
+), ranked AS (
+  SELECT event_id, event_type, attempt,
+    row_number() OVER (PARTITION BY event_id ORDER BY attempt) AS rn
+  FROM feed
+)
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_deduped,
+  CAST(SUM(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped_zero,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM feed f2 WHERE f2.event_type = ranked.event_type)
+    AS n_raw_feed
+FROM ranked WHERE rn = 1
+GROUP BY event_type
+"""
+
+
+@query("ingest_dedup_replay", oracle=INGEST_DEDUP_ORACLE, category="etl-pattern")
+def ingest_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once ingestion compaction: a feed with replayed
+    deliveries (every third event redelivered as attempt 2) deduped
+    to exactly-once by keeping the first attempt per event_id — the
+    batch half of the exactly-once story whose streaming half is
+    `stream_dedup` (dropDuplicatesWithinWatermark). One event_id
+    window with the attempt ordering; the raw-feed count rides along
+    so the op reports its own dedup rate. At 100 TB the window
+    becomes the same keyed shuffle `dedup_exact` uses — state is one
+    row per key either way."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    feed = e.withColumn("attempt", F.lit(1)).unionAll(
+        e.filter("event_id % 3 = 0").withColumn("attempt", F.lit(2))
+    )
+    w = Window.partitionBy("event_id").orderBy("attempt")
+    ranked = feed.withColumn("rn", F.row_number().over(w))
+    raw = feed.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n_raw_feed"))
+    kept = (
+        ranked.filter("rn = 1")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_deduped"),
+            F.lit(0).cast("bigint").alias("n_dropped_zero"),
+        )
+    )
+    return kept.join(raw, "event_type").select(
+        "event_type", "n_deduped", "n_dropped_zero", "n_raw_feed"
+    )

@@ -74,8 +74,9 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 # changed names, plus hybrid_search_rrf, events_rolling_median,
 # events_path_trigrams, dq_reconcile_amounts, and
 # embedding_feature_stats, events_cusum_shift, and the Spark-4 SQL
-# surface pair (sql_udf_declarative, sql_scripting_loop) = 70 — 20
-# more than the 50-slot window, so the last 20 plus the
+# surface pair (sql_udf_declarative, sql_scripting_loop), ingest
+# replay dedup, and revenue share-of-region = 72 — 22 more than the
+# 50-slot window, so the last 22 plus the
 # whole 38-name r1-stale block overflow and lead round 6.
 # Pinned by tests/test_registry.py.
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -160,6 +161,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_cusum_shift",
     "sql_udf_declarative",
     "sql_scripting_loop",
+    "ingest_dedup_replay",
+    "revenue_share_of_region",
     # --- stalest evidence: last green in ROUND 1 (first 5 of 38) ---
     "join_asof_purchase_click",
     "dedup_ngram_jaccard",
