@@ -509,3 +509,44 @@ def test_sampled_quantiles_filter_reaches_scan(spark, sf_dir):
     plan = _es(_df(spark, sf_dir, "agg_quantiles_sampled"))
     assert "md5" in plan and "Filter" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_profile_stats_avoids_multi_distinct_expand(spark, sf_dir):
+    """The table profile must NEVER plan the multi-distinct Expand
+    (measured 8-10x slower at the 10x probe): NDVs run as slim
+    per-column aggregates instead."""
+    plan = explain_str(_df(spark, sf_dir, "profile_table_stats"))
+    assert "Expand" not in plan, "multi-distinct Expand crept back in"
+
+
+def test_hybrid_rrf_takeordered_and_broadcasts(spark, sf_dir):
+    plan = explain_str(_df(spark, sf_dir, "hybrid_search_rrf"))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_reconcile_preaggregates_before_join(spark, sf_dir):
+    """The lineitem side must aggregate to one row per order BEFORE
+    the join — the shuffle carries orders, not lineitems."""
+    df = _df(spark, sf_dir, "dq_reconcile_amounts")
+    plan = explain_str(df)
+    # the join's lineitem input is a HashAggregate keyed on l_orderkey
+    import re
+
+    join_pos = plan.find("SortMergeJoin") if "SortMergeJoin" in plan else plan.find("Join")
+    assert join_pos != -1
+    assert plan.count("HashAggregate") >= 2, plan[:500]
+
+
+def test_decayed_popularity_single_pass(spark, sf_dir):
+    """The decay weighting is one map-side-combined aggregate over a
+    broadcast one-row max-date frame: no window, no extra shuffle."""
+    plan = explain_str(_df(spark, sf_dir, "events_decayed_popularity"))
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_inverted_index_partial_aggregation(spark, sf_dir):
+    ops = operator_counts(_df(spark, sf_dir, "text_inverted_index"))
+    n_agg = sum(v for k, v in ops.items() if "Aggregate" in k)
+    assert n_agg >= 2, f"expected partial+final aggregates: {ops}"
