@@ -336,3 +336,52 @@ def test_stateful_timeout_sessions_match_batch(spark, smoke_dir):
     cols = ["user_id", "session_start", "session_end", "n_events"]
     assert _rows(stream, cols) == _rows(batch, cols)
     assert stream.count() > 0
+
+
+def test_streaming_query_listener_observability(spark, smoke_dir):
+    """StreamingQueryListener — the ops-monitoring surface: per-batch
+    progress events must report the rows each micro-batch ingested,
+    and their total must equal the drained input (what a production
+    pipeline exports to its metrics system)."""
+    import time
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    from glue_etl_pyspark_spark.streaming.ops import events_stream
+
+    events = {"progress": [], "started": 0, "terminated": 0}
+
+    class Capture(StreamingQueryListener):
+        def onQueryStarted(self, e):
+            events["started"] += 1
+
+        def onQueryProgress(self, e):
+            events["progress"].append(e.progress.numInputRows)
+
+        def onQueryIdle(self, e):
+            pass
+
+        def onQueryTerminated(self, e):
+            events["terminated"] += 1
+
+    spark.streams.addListener(listener := Capture())
+    try:
+        stream = events_stream(spark, smoke_dir)
+        agg = stream.groupBy("event_type").count()
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("listener_probe")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # listener events are delivered asynchronously
+        deadline = time.time() + 30
+        total_in = spark.read.parquet(f"{smoke_dir}/events.parquet").count()
+        while time.time() < deadline and sum(events["progress"]) < total_in:
+            time.sleep(0.5)
+        assert events["started"] >= 1
+        assert sum(events["progress"]) == total_in, events["progress"]
+    finally:
+        spark.streams.removeListener(listener)
