@@ -149,7 +149,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 SAMPLE_DET_ORACLE = """
 SELECT doc_id, lang, source, n_chars
 FROM documents
-WHERE (doc_id * 2654435761) % 4294967296 < 429496730
+WHERE ((doc_id % 1000000007) * 2654435761) % 4294967296 < 429496730
 """
 
 
@@ -164,8 +164,12 @@ def sample_docs_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracled (the first sampling query that can be): both engines
     compute identical integers."""
     d = load_table(spark, sf_dir, "documents")
+    # fold mod 1e9+7 before the Knuth multiply (ANSI-overflow rule):
+    # bare doc_id * 2654435761 overflows 2^63 past doc_id ~3.4e9
     return d.filter(
-        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) < 429496730
+        ((F.col("doc_id") % F.lit(1000000007)) * F.lit(2654435761))
+        % F.lit(4294967296)
+        < 429496730
     ).select("doc_id", "lang", "source", "n_chars")
 
 
@@ -340,7 +344,7 @@ deduped AS (
 ),
 train AS (
   SELECT doc_id, n_tokens FROM deduped
-  WHERE (doc_id * 2654435761) % 4294967296 >= 429496730
+  WHERE ((doc_id % 1000000007) * 2654435761) % 4294967296 >= 429496730
 ),
 packed AS (
   SELECT doc_id, n_tokens,
@@ -374,7 +378,9 @@ def llm_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deduped = exact_dedup(quality, cols=["text"], tie_break=["doc_id"])
     train = deduped.filter(
-        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) >= 429496730
+        ((F.col("doc_id") % F.lit(1000000007)) * F.lit(2654435761))
+        % F.lit(4294967296)
+        >= 429496730
     ).select("doc_id", "n_tokens")
     packed = pack_concat_chunk(
         train, id_col="doc_id", len_col="n_tokens", ctx_len=_CTX,
