@@ -15,6 +15,7 @@ from . import (  # noqa: F401
     graph,
     io_q,
     joins_q,
+    linalg,
     llm_dedup,
     llm_knn,
     llm_pack,

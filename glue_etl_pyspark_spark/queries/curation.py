@@ -466,3 +466,71 @@ def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _STRAT_N)
         .select("lang", "doc_id", "n_chars", "rn")
     )
+
+
+from .sketches import _md5_mod  # noqa: E402  (SQL fragment builder)
+
+_N_EPOCHS = 3
+_N_SHARDS = 8
+_ORD_MOD = 16777216  # 24-bit portable ordering hash
+
+# Portable per-(epoch, doc) hash key: epoch and doc_id concatenated
+# into one string expression valid verbatim in both dialects.
+_EPOCH_KEY = "concat(cast(epoch as string), '|', cast(doc_id as string))"
+
+EPOCH_SHUFFLE_ORACLE = f"""
+WITH e AS (
+  SELECT doc_id, t.epoch
+  FROM documents, (SELECT epoch FROM range(0, {_N_EPOCHS}) t(epoch)) t
+), h AS (
+  SELECT epoch, doc_id,
+    {_md5_mod(_EPOCH_KEY, "ep", _ORD_MOD)} AS ord_hash
+  FROM e
+)
+SELECT CAST(epoch AS BIGINT) AS epoch,
+  CAST(ord_hash % {_N_SHARDS} AS BIGINT) AS shard,
+  doc_id,
+  CAST(ROW_NUMBER() OVER (
+    PARTITION BY epoch, ord_hash % {_N_SHARDS}
+    ORDER BY ord_hash, doc_id) AS BIGINT) AS pos
+FROM h
+"""
+
+
+@query("epoch_shuffle_shards", oracle=EPOCH_SHUFFLE_ORACLE, category="llm-curation")
+def epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible per-epoch training order: for each of 3 epochs,
+    assign every document to one of 8 shards and a position within
+    the shard, both derived from a portable md5 hash of (epoch,
+    doc_id) — the epoch-shuffle a training loop needs so that every
+    re-run, resume, and worker sees the SAME document order without
+    shuffling the corpus bytes or keeping RNG state.
+
+    Scale design: the hash is a scan-level expression (conv-based
+    one-md5 fast twin on the Spark side, bit-identical to the
+    oracle's polynomial form); the only shuffle is the per-(epoch,
+    shard) row_number window — parallelism = epochs x shards, and at
+    100 TB NSHARDS is sized so one shard is one task's worth of
+    manifest rows (the window sorts manifest entries, never document
+    bodies). ORDER BY ends in doc_id: unique key, deterministic."""
+    from .sketches import _md5_mod_spark
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = d.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.lit(e) for e in range(_N_EPOCHS)])
+        ).alias("epoch"),
+    )
+    hashed = epochs.select(
+        "epoch",
+        "doc_id",
+        F.expr(_md5_mod_spark(_EPOCH_KEY, "ep", _ORD_MOD)).alias("ord_hash"),
+    ).withColumn("shard", (F.col("ord_hash") % _N_SHARDS).cast("bigint"))
+    w = Window.partitionBy("epoch", "shard").orderBy("ord_hash", "doc_id")
+    return hashed.select(
+        F.col("epoch").cast("bigint").alias("epoch"),
+        "shard",
+        "doc_id",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )

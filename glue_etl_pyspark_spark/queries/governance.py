@@ -199,3 +199,120 @@ def scd2_dimension_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("bigint").alias("version"),
         F.lead("eff_ts").over(w).isNull().alias("is_current"),
     )
+
+
+# Deterministic "forget set": ~2% of customers by the folded Knuth
+# hash (the repo-standard reproducible selector — pure function of the
+# key, so membership never needs RNG state or a seed table).
+_FORGET_THR = 85899345  # floor(0.02 * 2^32)
+_FORGET_HASH_SQL = (
+    "(({k} % 1000000007) * 2654435761) % 4294967296"
+)
+
+GDPR_ORACLE = f"""
+WITH po AS (
+  SELECT o_orderkey FROM orders
+  WHERE {_FORGET_HASH_SQL.format(k="o_custkey")} < {_FORGET_THR}
+)
+SELECT 'customer' AS entity,
+  CAST(SUM(CASE WHEN {_FORGET_HASH_SQL.format(k="c_custkey")} < {_FORGET_THR}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
+  CAST(SUM(CASE WHEN {_FORGET_HASH_SQL.format(k="c_custkey")} < {_FORGET_THR}
+                THEN 0 ELSE 1 END) AS BIGINT) AS n_retained
+FROM customer
+UNION ALL
+SELECT 'orders' AS entity,
+  CAST(SUM(CASE WHEN {_FORGET_HASH_SQL.format(k="o_custkey")} < {_FORGET_THR}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
+  CAST(SUM(CASE WHEN {_FORGET_HASH_SQL.format(k="o_custkey")} < {_FORGET_THR}
+                THEN 0 ELSE 1 END) AS BIGINT) AS n_retained
+FROM orders
+UNION ALL
+SELECT 'lineitem' AS entity,
+  CAST(SUM(CASE WHEN po.o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_purged,
+  CAST(SUM(CASE WHEN po.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_retained
+FROM lineitem l LEFT JOIN po ON l.l_orderkey = po.o_orderkey
+"""
+
+
+@query("gdpr_erasure_cascade", oracle=GDPR_ORACLE, category="governance")
+def gdpr_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten impact audit: cascade a deterministic
+    ~2% customer forget-set through orders and lineitem, reporting
+    purged vs retained row counts per table (the report a pipeline
+    emits before executing the actual deletes).
+
+    Scale design: customer and orders classify at SCAN level — forget
+    membership is a pure function of the custkey, so no join, no
+    shuffle, just a conditional aggregate. Only lineitem needs the
+    genuine cascade join (it has no custkey): a keyed LEFT join
+    against the ~2% purged-order keys, which AQE broadcasts at small
+    sf and shuffles on o_orderkey at 100 TB. One pass per table,
+    all aggregation map-side combined."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+
+    def forget(k):
+        return (
+            ((F.col(k) % F.lit(1000000007)) * F.lit(2654435761))
+            % F.lit(4294967296)
+            < _FORGET_THR
+        )
+
+    def audit(df, entity, flag):
+        return df.agg(
+            F.lit(entity).alias("entity"),
+            F.sum(F.when(flag, 1).otherwise(0)).cast("bigint").alias("n_purged"),
+            F.sum(F.when(flag, 0).otherwise(1)).cast("bigint").alias("n_retained"),
+        )
+
+    purged_orders = o.filter(forget("o_custkey")).select("o_orderkey")
+    li_flagged = li.join(
+        purged_orders, li.l_orderkey == purged_orders.o_orderkey, "left"
+    )
+    return (
+        audit(c, "customer", forget("c_custkey"))
+        .unionAll(audit(o, "orders", forget("o_custkey")))
+        .unionAll(
+            audit(li_flagged, "lineitem", F.col("o_orderkey").isNotNull())
+        )
+    )
+
+
+_K_ANON = 10
+
+K_ANON_ORACLE = f"""
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey, c_mktsegment AS segment,
+  CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS balance_band,
+  CAST(COUNT(*) AS BIGINT) AS group_size,
+  COUNT(*) < {_K_ANON} AS at_risk
+FROM customer
+GROUP BY c_nationkey, c_mktsegment, floor(c_acctbal / 2000.0)
+"""
+
+
+@query("dq_k_anonymity", oracle=K_ANON_ORACLE, category="governance")
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers (nation, market
+    segment, account-balance band): every equivalence class with its
+    size and an at-risk flag when fewer than k=10 records share the
+    class — the privacy gate run before releasing a dataset, telling
+    the publisher which classes need suppression or coarser bands.
+
+    The balance band uses explicit floor() BEFORE any cast (the
+    division-as-key rule: DuckDB CAST(double AS BIGINT) rounds
+    half-even while Spark truncates). One map-side-combined groupBy;
+    at 100 TB the class-count aggregate is the same shuffle shape as
+    any low-cardinality profile."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy(
+        F.col("c_nationkey").cast("bigint").alias("nationkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / 2000.0).cast("bigint").alias("balance_band"),
+    ).agg(
+        F.count(F.lit(1)).alias("group_size"),
+        (F.count(F.lit(1)) < _K_ANON).alias("at_risk"),
+    )

@@ -1,0 +1,141 @@
+"""Distributed linear algebra over the embeddings table: exact
+fixed-point Gram matrix + dominant-eigenvector power iteration (the
+PCA/top-principal-component primitive a training-data pipeline uses
+for whitening checks, drift monitoring, and cheap dimensionality
+diagnostics).
+
+100 TB design: the ONLY corpus-sized work is the Gram accumulation —
+a single map-side-combinable groupBy producing a CONSTANT 64x64 = 4096
+cell sketch (same shuffle-shrinker shape as the CMS sketch). The
+power iteration itself runs on that constant-size result: collecting
+4096 bounded rows to the driver is the packing-bases precedent
+(bounded constant intermediate -> literal data), not a scale
+anti-pattern. Per-row Gram terms are floored to a 1e-6 grid BEFORE
+summing, so the aggregate is an order-invariant BIGINT sum that stays
+inside int64 even at 2e10 rows (|t| <= ~3e5 per cell per row ->
+~6e15 at 100 TB < 2^63).
+
+Cross-engine determinism: every double op is a FIXED expression tree
+(products, divisions) evaluated identically under IEEE-754 by Spark,
+DuckDB, and the driver's Python floats; only SUM order could drift,
+and every sum here is an integer sum. Per-round renormalization
+floors to the 1e-9 grid with the division inside
+(floor(w / wmax * 1e9) / 1e9), mirroring the PageRank discipline.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import query
+
+_DIMS = 64
+_ITERS = 6
+_GRID = 1_000_000  # per-row Gram term grid (1e-6)
+
+
+def _unroll_power_oracle() -> str:
+    """Unrolled power-iteration CTE chain (PageRank-oracle idiom):
+    v0 = all-ones, each round w = G_int . v with per-term integer
+    floor, then infinity-norm renormalize on the 1e-9 grid."""
+    parts = [
+        f"""WITH g AS (
+  SELECT ii.i AS i, jj.j AS j,
+    CAST(SUM(CAST(floor(CAST(e.embedding[ii.i + 1] AS DOUBLE)
+                        * CAST(e.embedding[jj.j + 1] AS DOUBLE)
+                        * {float(_GRID)!r}) AS BIGINT)) AS BIGINT) AS gv
+  FROM embeddings e,
+       (SELECT i FROM range(0, {_DIMS}) t(i)) ii,
+       (SELECT j FROM range(0, {_DIMS}) t(j)) jj
+  GROUP BY ii.i, jj.j
+),
+v0 AS (SELECT j, CAST(1.0 AS DOUBLE) AS vd FROM range(0, {_DIMS}) t(j))"""
+    ]
+    for r in range(1, _ITERS + 1):
+        parts.append(
+            f"""w{r} AS (
+  SELECT g.i AS i,
+    CAST(SUM(CAST(floor(CAST(g.gv AS DOUBLE) * v.vd) AS BIGINT)) AS BIGINT) AS w
+  FROM g JOIN v{r - 1} v ON g.j = v.j GROUP BY g.i
+),
+m{r} AS (SELECT MAX(ABS(CAST(w AS DOUBLE))) AS wmax FROM w{r}),
+v{r} AS (
+  SELECT w{r}.i AS j,
+    floor(CAST(w{r}.w AS DOUBLE) / m{r}.wmax * 1e9) / 1e9 AS vd
+  FROM w{r}, m{r}
+)"""
+        )
+    final = (
+        f"SELECT v{_ITERS}.j AS dim, v{_ITERS}.vd AS component,\n"
+        f"  CAST(m{_ITERS}.wmax AS BIGINT) AS eigval_raw\n"
+        f"FROM v{_ITERS}, m{_ITERS}"
+    )
+    return ",\n".join(parts) + "\n" + final
+
+
+PCA_POWER_ORACLE = _unroll_power_oracle()
+
+
+@query("embedding_pca_power", oracle=PCA_POWER_ORACLE, category="llm-linalg")
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding corpus by power
+    iteration on an exact fixed-point Gram matrix.
+
+    Stage 1 (distributed, corpus-sized): each row contributes
+    floor(x_i * x_j * 1e6) for every (i, j) pair — built as ONE
+    narrow nested-transform + flatten + explode pass (no self-join,
+    no shuffle before the aggregate) — and a map-side-combined
+    groupBy yields the 4096-cell integer Gram. Stage 2 (constant
+    size): 6 rounds of w = G.v with per-term integer flooring and
+    infinity-norm renormalization on the 1e-9 grid, computed on the
+    driver over the collected 4096-row sketch (bounded literal-data
+    precedent; Python doubles execute the IDENTICAL IEEE expression
+    tree the oracle's unrolled CTE chain runs). Output: the 64
+    grid-pinned eigenvector components plus the raw scaled
+    eigenvalue estimate — fully value-oracled."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("x")
+    )
+    pairs = e.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "x",
+                    lambda xi, i: F.transform(
+                        F.col("x"),
+                        lambda xj, j: F.struct(
+                            i.alias("i"),
+                            j.alias("j"),
+                            F.floor(xi * xj * F.lit(float(_GRID)))
+                            .cast("bigint")
+                            .alias("t"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.i", "p.j", "p.t")
+    gram_rows = (
+        pairs.groupBy("i", "j").agg(F.sum("t").alias("gv")).collect()
+    )
+    gram = {(r["i"], r["j"]): r["gv"] for r in gram_rows}
+    assert len(gram) == _DIMS * _DIMS
+
+    v = [1.0] * _DIMS
+    wmax = 0.0
+    for _ in range(_ITERS):
+        w = [
+            sum(math.floor(float(gram[(i, j)]) * v[j]) for j in range(_DIMS))
+            for i in range(_DIMS)
+        ]
+        wmax = max(abs(float(wi)) for wi in w)
+        v = [math.floor(float(wi) / wmax * 1e9) / 1e9 for wi in w]
+
+    out = [(i, v[i], int(wmax)) for i in range(_DIMS)]
+    return spark.createDataFrame(
+        out, schema="dim bigint, component double, eigval_raw bigint"
+    )

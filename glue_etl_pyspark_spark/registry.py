@@ -75,9 +75,10 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 # events_path_trigrams, dq_reconcile_amounts, and
 # embedding_feature_stats, events_cusum_shift, and the Spark-4 SQL
 # surface pair (sql_udf_declarative, sql_scripting_loop), ingest
-# replay dedup, and revenue share-of-region = 72 — 22 more than the
-# 50-slot window, so the last 22 plus the
-# whole 38-name r1-stale block overflow and lead round 6.
+# replay dedup, and revenue share-of-region, plus the four closing
+# additions (PCA power iteration, GDPR cascade, k-anonymity, epoch
+# shuffle) = 76 — 26 more than the 50-slot window, so the last 26
+# plus the whole 38-name r1-stale block overflow and lead round 6.
 # Pinned by tests/test_registry.py.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- never externally checked ---
@@ -163,6 +164,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sql_scripting_loop",
     "ingest_dedup_replay",
     "revenue_share_of_region",
+    # --- closing round-5 additions (never checked; past the 50-slot
+    # cutoff, so they lead round 6 with the rest of the overflow) ---
+    "embedding_pca_power",
+    "gdpr_erasure_cascade",
+    "dq_k_anonymity",
+    "epoch_shuffle_shards",
     # --- stalest evidence: last green in ROUND 1 (first 5 of 38) ---
     "join_asof_purchase_click",
     "dedup_ngram_jaccard",
