@@ -1174,3 +1174,195 @@ def revenue_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         "region_cents",
         F.expr("cents * 1000000 div region_cents").cast("bigint").alias("share_ppm"),
     )
+
+
+_SKY_SPAN = 1000  # cents per bucket: bucket count = price DOMAIN / span
+
+SKYLINE_ORACLE = """
+WITH p AS (
+  SELECT p_partkey,
+    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents,
+    CAST(p_size AS BIGINT) AS psize
+  FROM part
+), w AS (
+  SELECT p_partkey, price_cents, psize,
+    MAX(psize) OVER (ORDER BY price_cents
+      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_lt,
+    MAX(psize) OVER (ORDER BY price_cents
+      RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS max_eq
+  FROM p
+)
+SELECT p_partkey, price_cents, psize,
+  psize > COALESCE(max_lt, -1) AND psize = max_eq AS on_frontier
+FROM w
+"""
+
+
+@query("skyline_parts_frontier", oracle=SKYLINE_ORACLE, category="analytics")
+def skyline_parts_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) classification: flag every part
+    that is NOT dominated on (cheaper price, larger size) — the
+    "best tradeoff" operator behind product recommendations and
+    multi-objective candidate pruning.
+
+    The oracle states the textbook global-window form. The Spark plan
+    is the SCALE-SAFE two-phase shape instead (a global ORDER BY
+    window is one task at 100 TB): per-bucket maxima (map-side
+    combined groupBy over cents DIV span; bucket count = price
+    DOMAIN / span, bounded by the value range, not the row count) are
+    collected and prefix-maxed on the driver (bounded-literal
+    precedent), then re-broadcast so each row needs only its bucket's
+    base plus a WITHIN-bucket running max — window parallelism =
+    bucket count. Frame semantics: RANGE ... 1 PRECEDING = strictly
+    cheaper, RANGE CURRENT ROW = price peers; a row is on the
+    frontier iff it beats every strictly-cheaper size and is the max
+    of its price group (identical twins stay, per skyline
+    convention). Both windows share one (bucket, cents) sort."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("price_cents"),
+        F.col("p_size").cast("bigint").alias("psize"),
+    ).withColumn("__bkt", F.expr(f"price_cents DIV {_SKY_SPAN}"))
+
+    bmax = (
+        p.groupBy("__bkt").agg(F.max("psize").alias("m")).collect()
+    )
+    run, bases = -1, []
+    for r in sorted(bmax, key=lambda r: r["__bkt"]):
+        bases.append((r["__bkt"], run))  # max over strictly earlier buckets
+        run = max(run, r["m"])
+    base_df = spark.createDataFrame(bases, schema="__bkt bigint, base bigint")
+
+    w_lt = (
+        Window.partitionBy("__bkt")
+        .orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_eq = (
+        Window.partitionBy("__bkt")
+        .orderBy("price_cents")
+        .rangeBetween(Window.currentRow, Window.currentRow)
+    )
+    flagged = (
+        p.join(F.broadcast(base_df), "__bkt")
+        .withColumn(
+            "max_lt",
+            F.greatest(F.coalesce(F.max("psize").over(w_lt), F.lit(-1)), "base"),
+        )
+        .withColumn("max_eq", F.max("psize").over(w_eq))
+    )
+    return flagged.select(
+        "p_partkey",
+        "price_cents",
+        "psize",
+        (
+            (F.col("psize") > F.col("max_lt"))
+            & (F.col("psize") == F.col("max_eq"))
+        ).alias("on_frontier"),
+    )
+
+
+_AR_MINSUP = 2
+_AR_TOPK = 50
+
+ASSOC_ORACLE = f"""
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_baskets FROM orders),
+ic AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item FROM b GROUP BY l_partkey),
+pc AS (
+  SELECT a.l_partkey AS pa, b2.l_partkey AS pb, CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM b a JOIN b b2
+    ON a.l_orderkey = b2.l_orderkey AND a.l_partkey < b2.l_partkey
+  GROUP BY a.l_partkey, b2.l_partkey
+  HAVING COUNT(*) >= {_AR_MINSUP}
+),
+rules AS (
+  SELECT pa AS antecedent, pb AS consequent, n_pair FROM pc
+  UNION ALL
+  SELECT pb AS antecedent, pa AS consequent, n_pair FROM pc
+),
+scored AS (
+  SELECT r.antecedent, r.consequent, r.n_pair,
+    CAST((r.n_pair * 1000000) // ia.n_item AS BIGINT) AS conf_ppm,
+    CAST(floor(CAST(r.n_pair AS DOUBLE) * t.n_baskets
+               / ia.n_item / ic2.n_item * 1000000) AS BIGINT) AS lift_ppm
+  FROM rules r
+  JOIN ic ia ON r.antecedent = ia.l_partkey
+  JOIN ic ic2 ON r.consequent = ic2.l_partkey
+  CROSS JOIN t
+)
+SELECT antecedent, consequent, n_pair, conf_ppm, lift_ppm
+FROM scored
+ORDER BY lift_ppm DESC, antecedent, consequent
+LIMIT {_AR_TOPK}
+"""
+
+
+@query("basket_association_rules", oracle=ASSOC_ORACLE, category="analytics")
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: for every
+    co-purchased part pair above minimum support, both directed rules
+    with exact-integer support/confidence (ppm via integer division —
+    no doubles in the keyed math) and floor-pinned lift (the one
+    division chain that must stay double is a fixed IEEE expression
+    tree, identical in both engines; the integer product n_pair *
+    n_baskets * 1e6 would overflow int64 at 100 TB, so the double
+    form IS the scale-correct one). Top-50 by (lift, antecedent,
+    consequent) — unique tie-break, TakeOrdered, never a global sort.
+
+    Scale: baskets are bounded (TPC-H orders hold <= 7 lines; real
+    basket data is capped upstream), so the self-join fan-out is
+    O(basket^2) per order — linear in orders. Counts are map-side
+    combined; the item-count joins are on the already-aggregated
+    pair frame (pairs, not raw rows)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, sf_dir, "orders")
+    # read 4x downstream (pair self-join both sides + item counts);
+    # persist makes the distinct physical once instead of re-scanning
+    # lineitem per consumer (same stance as ngram_jaccard_pairs)
+    from pyspark import StorageLevel
+
+    b = li.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    n_baskets = o.agg(F.count(F.lit(1)).alias("n_baskets"))
+    ic = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    a2 = b.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    pc = (
+        b.join(a2, (b.l_orderkey == a2.ok) & (b.l_partkey < a2.pb))
+        .groupBy(F.col("l_partkey").alias("pa"), "pb")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= _AR_MINSUP)
+    )
+    rules = pc.select(
+        F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"), "n_pair"
+    ).unionAll(
+        pc.select(
+            F.col("pb").alias("antecedent"), F.col("pa").alias("consequent"), "n_pair"
+        )
+    )
+    ia = ic.select(F.col("l_partkey").alias("antecedent"), F.col("n_item").alias("n_a"))
+    icn = ic.select(F.col("l_partkey").alias("consequent"), F.col("n_item").alias("n_c"))
+    scored = (
+        rules.join(ia, "antecedent")
+        .join(icn, "consequent")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_pair",
+            F.expr("(n_pair * 1000000) DIV n_a").cast("bigint").alias("conf_ppm"),
+            F.floor(
+                F.col("n_pair").cast("double")
+                * F.col("n_baskets")
+                / F.col("n_a")
+                / F.col("n_c")
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("lift_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift_ppm").desc(), "antecedent", "consequent"
+    ).limit(_AR_TOPK)

@@ -550,3 +550,59 @@ def test_inverted_index_partial_aggregation(spark, sf_dir):
     ops = operator_counts(_df(spark, sf_dir, "text_inverted_index"))
     n_agg = sum(v for k, v in ops.items() if "Aggregate" in k)
     assert n_agg >= 2, f"expected partial+final aggregates: {ops}"
+
+
+def test_skyline_window_partitioned_by_bucket(spark, sf_dir):
+    """The skyline windows must partition by the price bucket (never a
+    global SinglePartition sort) and share ONE Window node; the bucket
+    bases join is a broadcast of driver literals."""
+    plan = explain_str(_df(spark, sf_dir, "skyline_parts_frontier"))
+    assert "Window" in plan
+    assert "windowspecdefinition(__bkt" in plan, plan[:400]
+    ops = operator_counts(_df(spark, sf_dir, "skyline_parts_frontier"))
+    n_win = sum(v for k, v in ops.items() if k.startswith("Window"))
+    assert n_win == 1, f"both frames must share one Window node: {ops}"
+    assert "BroadcastHashJoin" in plan
+
+
+def test_association_rules_takeordered(spark, sf_dir):
+    """Top-50 by lift must be TakeOrderedAndProject (never a global
+    sort), with the item-count joins broadcast."""
+    plan = explain_str(_df(spark, sf_dir, "basket_association_rules"))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pca_gram_partial_aggregation(spark, sf_dir):
+    """The Gram sketch must map-side combine (partial+final aggregate)
+    — the shuffle carries 4096 cells per task, never row-pair data."""
+    import glue_etl_pyspark_spark.queries.linalg as linalg
+    from pyspark.sql import functions as F
+    from glue_etl_pyspark_spark.io import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("x")
+    )
+    pairs = e.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "x",
+                    lambda xi, i: F.transform(
+                        F.col("x"),
+                        lambda xj, j: F.struct(
+                            i.alias("i"), j.alias("j"),
+                            F.floor(xi * xj * F.lit(1e6)).cast("bigint").alias("t"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.i", "p.j", "p.t")
+    g = pairs.groupBy("i", "j").agg(F.sum("t").alias("gv"))
+    ops = operator_counts(g)
+    n_agg = sum(v for k, v in ops.items() if "Aggregate" in k)
+    assert n_agg >= 2, f"expected partial+final aggregates: {ops}"
+    plan = explain_str(g)
+    assert "Generate" in plan  # narrow explode, no join before the agg
+    assert "Join" not in plan
