@@ -534,3 +534,66 @@ def epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.row_number().over(w).cast("bigint").alias("pos"),
     )
+
+
+_TE_K = 20  # smoothing pseudo-count
+
+TARGET_ENCODE_ORACLE = f"""
+WITH joined AS (
+  SELECT p.p_brand AS brand,
+    CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS is_ret
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), per_brand AS (
+  SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(is_ret) AS BIGINT) AS n_ret
+  FROM joined GROUP BY brand
+), gstats AS (
+  SELECT CAST((SUM(n_ret) * 1000000) // SUM(n) AS BIGINT) AS g_ppm
+  FROM per_brand
+)
+SELECT b.brand, b.n, b.n_ret, g.g_ppm,
+  CAST((b.n_ret * 1000000 + {_TE_K} * g.g_ppm) // (b.n + {_TE_K}) AS BIGINT)
+    AS enc_ppm
+FROM per_brand b CROSS JOIN gstats g
+"""
+
+
+@query("feature_target_encode", oracle=TARGET_ENCODE_ORACLE, category="ml-prep")
+def feature_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding of a categorical feature (part brand
+    -> historical return rate): the standard ML-preprocessing encode
+    enc = (n_pos + k*prior) / (n + k), computed ENTIRELY in integer
+    ppm arithmetic (integer DIV on both engines — no doubles, no
+    rounding mode to disagree on). The prior is the global rate in
+    ppm; k=20 pseudo-counts shrink rare brands toward it.
+
+    Scale: one broadcast dim join (part), one map-side-combined
+    groupBy to brand grain, and the global prior is a one-row
+    aggregate OF THE PER-BRAND FRAME (never a second corpus pass)
+    cross-joined back broadcast — the decayed-popularity shape. The
+    n_ret * 1e6 product overflows int64 only past ~9e12 rows per
+    brand; at that scale fold to a wider unit first (msum stance)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    per_brand = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_ret"),
+        )
+    )
+    glob = per_brand.agg(
+        F.expr("(SUM(n_ret) * 1000000) DIV SUM(n)").cast("bigint").alias("g_ppm")
+    )
+    return per_brand.crossJoin(F.broadcast(glob)).select(
+        "brand",
+        "n",
+        "n_ret",
+        "g_ppm",
+        F.expr(f"(n_ret * 1000000 + {_TE_K} * g_ppm) DIV (n + {_TE_K})")
+        .cast("bigint")
+        .alias("enc_ppm"),
+    )

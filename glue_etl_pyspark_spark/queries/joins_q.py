@@ -3,7 +3,7 @@ range time-joins built from scale-safe plans."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -276,4 +276,97 @@ def join_range_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("week_start").agg(
         F.count(F.lit(1)).alias("event_cnt"), F.sum("value").alias("sum_value")
+    )
+
+
+PIT_JOIN_ORACLE = """
+WITH feed AS (
+  SELECT o_custkey AS custkey, o_orderdate AS eff_ts,
+         o_orderpriority AS priority, o_orderkey AS change_id
+  FROM orders
+), ordered AS (
+  SELECT custkey, eff_ts, priority, change_id,
+    lag(priority) OVER w AS prev_priority
+  FROM feed
+  WINDOW w AS (PARTITION BY custkey ORDER BY eff_ts, change_id)
+), dim AS (
+  SELECT custkey, priority, eff_ts AS valid_from,
+    lead(eff_ts) OVER (PARTITION BY custkey ORDER BY eff_ts, change_id)
+      AS valid_to,
+    CAST(row_number() OVER (PARTITION BY custkey ORDER BY eff_ts, change_id)
+      AS BIGINT) AS version
+  FROM ordered
+  WHERE prev_priority IS NULL OR priority <> prev_priority
+), facts AS (
+  SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate AS ship_ts,
+         o.o_custkey AS custkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+)
+SELECT f.l_orderkey, CAST(f.l_linenumber AS BIGINT) AS linenumber,
+  f.ship_ts, f.custkey, d.priority AS priority_at_ship, d.version
+FROM facts f JOIN dim d
+  ON f.custkey = d.custkey
+ AND d.valid_from <= f.ship_ts
+ AND (d.valid_to IS NULL OR f.ship_ts < d.valid_to)
+"""
+
+
+@query("join_point_in_time", oracle=PIT_JOIN_ORACLE, category="join")
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal validity) join — the feature-store
+    lookup that prevents label leakage: each returned lineitem is
+    enriched with the customer-priority version that was valid AT its
+    ship date, from the SCD2 interval table the scd2 query builds
+    (collapse-to-change-points, [valid_from, valid_to) half-open).
+
+    Scale design: the dimension side is interval rows per key
+    (bounded per-key version counts), so the equi-join on custkey
+    plus the range residual fans out by versions-per-key, never a
+    theta product over facts x facts; both sides shuffle once on the
+    join key and the interval filter runs inside the join. Half-open
+    intervals make the match unique and deterministic — a fact on a
+    version boundary belongs to exactly one version."""
+    o = load_table(spark, sf_dir, "orders")
+    feed = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("eff_ts"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderkey").alias("change_id"),
+    )
+    w = Window.partitionBy("custkey").orderBy("eff_ts", "change_id")
+    dim = (
+        feed.withColumn("prev_priority", F.lag("priority").over(w))
+        .filter(
+            F.col("prev_priority").isNull()
+            | (F.col("priority") != F.col("prev_priority"))
+        )
+        .select(
+            "custkey",
+            "priority",
+            F.col("eff_ts").alias("valid_from"),
+            F.lead("eff_ts").over(w).alias("valid_to"),
+            F.row_number().over(w).cast("bigint").alias("version"),
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_linenumber", F.col("l_shipdate").alias("ship_ts"))
+    facts = li.join(
+        o.select("o_orderkey", F.col("o_custkey").alias("custkey")),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select("l_orderkey", "l_linenumber", "ship_ts", "custkey")
+    joined = facts.join(
+        dim.withColumnRenamed("custkey", "d_custkey"),
+        (F.col("custkey") == F.col("d_custkey"))
+        & (F.col("valid_from") <= F.col("ship_ts"))
+        & (F.col("valid_to").isNull() | (F.col("ship_ts") < F.col("valid_to"))),
+    )
+    return joined.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("bigint").alias("linenumber"),
+        "ship_ts",
+        "custkey",
+        F.col("priority").alias("priority_at_ship"),
+        "version",
     )
