@@ -1313,24 +1313,42 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     consequent) — unique tie-break, TakeOrdered, never a global sort.
 
     Scale: baskets are bounded (TPC-H orders hold <= 7 lines; real
-    basket data is capped upstream), so the self-join fan-out is
-    O(basket^2) per order — linear in orders. Counts are map-side
-    combined; the item-count joins are on the already-aggregated
-    pair frame (pairs, not raw rows)."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    o = load_table(spark, sf_dir, "orders")
-    # read 4x downstream (pair self-join both sides + item counts);
-    # persist makes the distinct physical once instead of re-scanning
-    # lineitem per consumer (same stance as ngram_jaccard_pairs)
+    basket data is capped upstream), so pair generation is IN-ARRAY —
+    one groupBy collapses each order to its sorted distinct item set,
+    and a nested-transform explode emits the a<b pairs per basket
+    (O(basket^2) per order, linear in orders) with NO self-join and
+    no second corpus shuffle. Counts are map-side combined; the
+    item-count joins run on the already-aggregated pair frame."""
     from pyspark import StorageLevel
 
-    b = li.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, sf_dir, "orders")
+    # one shuffle to basket grain; read twice (pairs + item counts)
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     n_baskets = o.agg(F.count(F.lit(1)).alias("n_baskets"))
-    ic = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
-    a2 = b.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    ic = baskets.select(F.explode("items").alias("l_partkey")).groupBy(
+        "l_partkey"
+    ).agg(F.count(F.lit(1)).alias("n_item"))
+    # sorted array + j > i slice => pa < pb by construction
     pc = (
-        b.join(a2, (b.l_orderkey == a2.ok) & (b.l_partkey < a2.pb))
-        .groupBy(F.col("l_partkey").alias("pa"), "pb")
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "items",
+                        lambda a, i: F.transform(
+                            F.slice("items", i + 2, F.lit(64)),
+                            lambda pb: F.struct(a.alias("pa"), pb.alias("pb")),
+                        ),
+                    )
+                )
+            ).alias("pr")
+        )
+        .groupBy(F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb"))
         .agg(F.count(F.lit(1)).alias("n_pair"))
         .filter(F.col("n_pair") >= _AR_MINSUP)
     )

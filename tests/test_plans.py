@@ -575,31 +575,17 @@ def test_association_rules_takeordered(spark, sf_dir):
 
 def test_pca_gram_partial_aggregation(spark, sf_dir):
     """The Gram sketch must map-side combine (partial+final aggregate)
-    — the shuffle carries 4096 cells per task, never row-pair data."""
-    import glue_etl_pyspark_spark.queries.linalg as linalg
+    — the shuffle carries at most 2080 triangle cells per task, never
+    row-pair data — with a narrow explode and no pre-agg join."""
     from pyspark.sql import functions as F
+
     from glue_etl_pyspark_spark.io import load_table
+    from glue_etl_pyspark_spark.queries.linalg import gram_triangle
 
     e = load_table(spark, sf_dir, "embeddings").select(
         F.transform("embedding", lambda x: x.cast("double")).alias("x")
     )
-    pairs = e.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "x",
-                    lambda xi, i: F.transform(
-                        F.col("x"),
-                        lambda xj, j: F.struct(
-                            i.alias("i"), j.alias("j"),
-                            F.floor(xi * xj * F.lit(1e6)).cast("bigint").alias("t"),
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.i", "p.j", "p.t")
-    g = pairs.groupBy("i", "j").agg(F.sum("t").alias("gv"))
+    g = gram_triangle(e)
     ops = operator_counts(g)
     n_agg = sum(v for k, v in ops.items() if "Aggregate" in k)
     assert n_agg >= 2, f"expected partial+final aggregates: {ops}"
