@@ -1384,3 +1384,119 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("lift_ppm").desc(), "antecedent", "consequent"
     ).limit(_AR_TOPK)
+
+
+LINEAR_ATTR_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_id, ts, event_type,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+    COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg
+  FROM events
+  WHERE event_type <> 'error'
+), touches AS (
+  SELECT user_id, seg, event_type AS channel FROM ev
+  WHERE event_type <> 'purchase'
+), seg_n AS (
+  SELECT user_id, seg, CAST(COUNT(*) AS BIGINT) AS n FROM touches
+  GROUP BY user_id, seg
+), chan_cnt AS (
+  SELECT user_id, seg, channel, CAST(COUNT(*) AS BIGINT) AS cnt FROM touches
+  GROUP BY user_id, seg, channel
+), purchases AS (
+  SELECT user_id, seg, cents FROM ev WHERE event_type = 'purchase'
+), credited AS (
+  SELECT c.channel, c.cnt,
+    c.cnt * ((p.cents * 1000000) // s.n) AS credit_micro
+  FROM purchases p
+  JOIN seg_n s ON p.user_id = s.user_id AND p.seg = s.seg
+  JOIN chan_cnt c ON p.user_id = c.user_id AND p.seg = c.seg
+), direct AS (
+  SELECT 'direct' AS channel, CAST(COUNT(*) AS BIGINT) AS n_credits,
+    CAST(SUM(p.cents) * 1000000 AS BIGINT) AS credit_micro
+  FROM purchases p LEFT JOIN seg_n s
+    ON p.user_id = s.user_id AND p.seg = s.seg
+  WHERE s.n IS NULL
+)
+SELECT channel, CAST(SUM(cnt) AS BIGINT) AS n_credits,
+  CAST(SUM(credit_micro) AS BIGINT) AS credit_micro
+FROM credited GROUP BY channel
+UNION ALL
+SELECT channel, n_credits, credit_micro FROM direct
+"""
+
+
+@query(
+    "events_attribution_linear", oracle=LINEAR_ATTR_ORACLE, category="analytics"
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's revenue is
+    split EQUALLY across every touch (view/click/signup) since the
+    user's previous purchase — the multi-touch complement of
+    events_attribution_last_touch. Conversion segments come from one
+    user-partitioned window (count of purchases strictly before, so
+    touches attach to their NEXT purchase); per-touch credit is
+    floor(cents * 1e6 / n) micro-cents, exact integer math (the
+    unallocated floor remainder is by-design). Purchases with no
+    preceding touch roll up as 'direct' at full value.
+
+    Scale: one shuffle on user_id for the window; the credit joins
+    run at (user, segment) grain — already aggregated, purchases-
+    sized, never event-sized fan-out."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") != "error"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ev = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).over(w),
+            F.lit(0),
+        ).alias("seg"),
+    )
+    touches = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", "seg", F.col("event_type").alias("channel")
+    )
+    seg_n = touches.groupBy("user_id", "seg").agg(F.count(F.lit(1)).alias("n"))
+    chan_cnt = touches.groupBy("user_id", "seg", "channel").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "seg", "cents"
+    )
+    credited = (
+        purchases.join(seg_n, ["user_id", "seg"])
+        .join(chan_cnt, ["user_id", "seg"])
+        .select(
+            "channel",
+            "cnt",
+            (F.col("cnt") * F.expr("(cents * 1000000) DIV n")).alias(
+                "credit_micro"
+            ),
+        )
+        .groupBy("channel")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_credits"),
+            F.sum("credit_micro").cast("bigint").alias("credit_micro"),
+        )
+    )
+    direct = (
+        purchases.join(seg_n, ["user_id", "seg"], "left")
+        .filter(F.col("n").isNull())
+        .agg(
+            F.lit("direct").alias("channel"),
+            F.count(F.lit(1)).alias("n_credits"),
+            (F.sum("cents") * 1000000).cast("bigint").alias("credit_micro"),
+        )
+    )
+    return credited.unionAll(direct)

@@ -632,3 +632,88 @@ def quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("keep"),
     )
+
+
+_ROC_THRESHOLDS = (
+    800_000, 1_000_000, 1_200_000, 1_300_000,
+    1_400_000, 1_600_000, 1_800_000, 2_200_000,
+)
+
+
+def _roc_oracle() -> str:
+    from .llm_text import _DUCK_STOPLIST, _DUCK_TOKS
+
+    thr_list = ", ".join(str(t) for t in _ROC_THRESHOLDS)
+    return f"""
+WITH t AS (SELECT doc_id, lang, {_DUCK_TOKS} AS toks FROM documents),
+f AS (
+  SELECT doc_id,
+    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
+    CAST(len(toks) AS BIGINT) AS n_tok,
+    CAST(len(array_to_string(toks, '')) AS BIGINT) * 1000 // len(toks) AS mean_len_milli,
+    CAST(len(list_filter(toks, x -> list_contains({_DUCK_STOPLIST}, x))) AS BIGINT) * 1000000 // len(toks) AS stop_ppm,
+    CAST(len(list_distinct(toks)) AS BIGINT) * 1000000 // len(toks) AS distinct_ppm
+  FROM t
+), scored AS (
+  SELECT doc_id, label, CAST({_CLS_Z} AS BIGINT) AS z FROM f
+), sweep AS (
+  SELECT s.label, s.z, t.thr
+  FROM scored s, (SELECT unnest([{thr_list}]) AS thr) t
+), cm AS (
+  SELECT thr,
+    CAST(SUM(CASE WHEN label = 1 AND z >= thr THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(SUM(CASE WHEN label = 0 AND z >= thr THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(SUM(CASE WHEN label = 0 AND z < thr THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+    CAST(SUM(CASE WHEN label = 1 AND z < thr THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM sweep GROUP BY thr
+)
+SELECT CAST(thr AS BIGINT) AS thr, tp, fp, tn, fn,
+  CAST((tp * 1000000) // (tp + fn) AS BIGINT) AS tpr_ppm,
+  CAST((fp * 1000000) // (fp + tn) AS BIGINT) AS fpr_ppm
+FROM cm
+"""
+
+
+@query("quality_gate_roc_sweep", oracle=_roc_oracle(), category="llm-quality")
+def quality_gate_roc_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sweep evaluation of the linear quality gate: the full
+    confusion matrix plus TPR/FPR (integer ppm) at 8 operating points
+    in ONE pass — the ROC table a pipeline inspects before picking the
+    gate threshold. Labels are the corpus's en/non-en split (a proxy
+    target; swapping real labels changes one expression).
+
+    Scale: per-doc scoring is row-local (the classifier's zero-shuffle
+    path); the sweep is a narrow 8x literal fan-out, and the confusion
+    matrix is one map-side-combined conditional aggregate — 8 output
+    rows regardless of corpus size. Everything is exact BIGINT
+    (counts, integer-DIV rates) — nothing to drift."""
+    scored = quality_classifier_linear(spark, sf_dir).select("doc_id", "z_scaled")
+    lang = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+    )
+    s = scored.join(lang, "doc_id").select(
+        "label", F.col("z_scaled").alias("z")
+    )
+    thr = spark.createDataFrame(
+        [(t,) for t in _ROC_THRESHOLDS], schema="thr bigint"
+    )
+    cm = (
+        s.crossJoin(F.broadcast(thr))
+        .groupBy("thr")
+        .agg(
+            F.sum(F.when((F.col("label") == 1) & (F.col("z") >= F.col("thr")), 1).otherwise(0))
+            .cast("bigint").alias("tp"),
+            F.sum(F.when((F.col("label") == 0) & (F.col("z") >= F.col("thr")), 1).otherwise(0))
+            .cast("bigint").alias("fp"),
+            F.sum(F.when((F.col("label") == 0) & (F.col("z") < F.col("thr")), 1).otherwise(0))
+            .cast("bigint").alias("tn"),
+            F.sum(F.when((F.col("label") == 1) & (F.col("z") < F.col("thr")), 1).otherwise(0))
+            .cast("bigint").alias("fn"),
+        )
+    )
+    return cm.select(
+        "thr", "tp", "fp", "tn", "fn",
+        F.expr("(tp * 1000000) DIV (tp + fn)").cast("bigint").alias("tpr_ppm"),
+        F.expr("(fp * 1000000) DIV (fp + tn)").cast("bigint").alias("fpr_ppm"),
+    )

@@ -75,12 +75,12 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 # events_path_trigrams, dq_reconcile_amounts, and
 # embedding_feature_stats, events_cusum_shift, and the Spark-4 SQL
 # surface pair (sql_udf_declarative, sql_scripting_loop), ingest
-# replay dedup, and revenue share-of-region, plus the eight closing
+# replay dedup, and revenue share-of-region, plus the ten closing
 # additions (PCA power iteration, GDPR cascade, k-anonymity, epoch
 # shuffle, skyline frontier, association rules, point-in-time join,
-# target encoding) = 80 — 30 more than the 50-slot window, so the
-# last 30 plus the whole 38-name r1-stale block overflow and lead
-# round 6.
+# target encoding, linear multi-touch attribution, ROC threshold
+# sweep) = 82 — 32 more than the 50-slot window, so the last 32 plus
+# the whole 38-name r1-stale block overflow and lead round 6.
 # Pinned by tests/test_registry.py.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- never externally checked ---
@@ -176,6 +176,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "basket_association_rules",
     "join_point_in_time",
     "feature_target_encode",
+    "events_attribution_linear",
+    "quality_gate_roc_sweep",
     # --- stalest evidence: last green in ROUND 1 (first 5 of 38) ---
     "join_asof_purchase_click",
     "dedup_ngram_jaccard",
