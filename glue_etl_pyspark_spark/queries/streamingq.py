@@ -661,3 +661,63 @@ def stream_stateful_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFr
         F.expr("timestamp_micros(end_us)").cast("timestamp_ntz").alias("session_end"),
         "n_events",
     )
+
+
+# --------------------------------------------------------------------------
+# state-store inspection (Spark 4 statestore reader)
+
+STATE_INSPECT_ORACLE = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+"""
+
+
+@query("stream_state_inspect", oracle=STATE_INSPECT_ORACLE, category="streaming")
+def stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming state-store OBSERVABILITY (Spark 4 `statestore` data
+    source): drain a per-type running count over the replayed events
+    stream, then read the checkpoint's state store back and unnest it
+    — the debugging workflow for inspecting what a stateful query
+    actually holds. Because the drain consumes the whole table, the
+    state contents must equal the batch GROUP BY exactly, which makes
+    this the one streaming query whose STATE (not its sink) is fully
+    value-oracled.
+
+    Scale: state rows = distinct keys, partitioned across the
+    checkpoint's state stores; the reader is a normal parallel scan
+    over them. A fresh checkpoint dir per call keeps reruns and
+    different SFs isolated."""
+    import tempfile
+
+    from ..streaming.ops import _state_partitions_conf
+
+    ckpt = tempfile.mkdtemp(prefix="sgraft_state_inspect_")
+    s = events_stream(spark, sf_dir).select("event_type")
+    agg = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    import os as _os
+
+    # NOTE: ckpt must outlive the returned (lazy) DataFrame — the
+    # statestore scan reads it at collection time, so no cleanup here.
+    name = f"state_inspect_{_os.getpid()}_{id(ckpt)}"
+    with _state_partitions_conf(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(120)
+    if not finished:
+        q.stop()
+        raise TimeoutError("state-inspect drain did not finish")
+    state = spark.read.format("statestore").load(ckpt)
+    # the value struct's field is named after the INTERNAL aggregation
+    # buffer (e.g. `count`), not the query alias — resolve it by
+    # position so the projection survives buffer-name changes
+    value_field = state.schema["value"].dataType.names[0]
+    return state.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col(f"value.{value_field}").cast("bigint").alias("n"),
+    )
