@@ -52,3 +52,34 @@ def test_pca_eigvec_is_dominant_direction(spark, sf_dir):
     comps = [r["component"] for r in rows]
     assert max(abs(c) for c in comps) == 1.0
     assert rows[0]["eigval_raw"] > 0
+
+
+def _run_query(spark, sf_dir, name):
+    from glue_etl_pyspark_spark.registry import load_all
+
+    return load_all()[name].fn(spark, sf_dir)
+
+
+def test_closing_ops_repeated_run_determinism(spark, sf_dir):
+    """Driver-collect determinism stress (the r4 flake lesson) for the
+    closing round-5 ops that ship literal data back into the plan:
+    skyline bucket bases, PCA gram/eigvec, and the epoch-shuffle
+    window must be bit-identical across shuffle widths."""
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    for name in (
+        "skyline_parts_frontier",
+        "embedding_pca_power",
+        "epoch_shuffle_shards",
+    ):
+        runs = []
+        try:
+            for parts in ("2", "32", "200"):
+                spark.conf.set("spark.sql.shuffle.partitions", parts)
+                runs.append(
+                    sorted(map(tuple, _run_query(spark, sf_dir, name).collect()))
+                )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", orig)
+        assert all(r == runs[0] for r in runs[1:]), (
+            f"{name} output varies with shuffle width"
+        )
