@@ -258,3 +258,52 @@ def udtf_analyze_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL extract_fields(e.props, 'k,missing') s
         """
     )
+
+
+MAPINARROW_ORACLE = """
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS linenumber,
+  CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+    AS revenue_cents
+FROM lineitem WHERE l_quantity >= 45
+"""
+
+
+@query("udf_mapinarrow", oracle=MAPINARROW_ORACLE, category="udf")
+def udf_mapinarrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow (iterator of pyarrow RecordBatch -> RecordBatch):
+    the zero-copy Arrow-native leg of the §2.11 matrix — no pandas
+    materialization at all, the batch columns stay Arrow buffers and
+    the math runs in pyarrow.compute kernels. Same IEEE float64
+    expression tree as the SQL twin (multiply, multiply, add, floor),
+    so the integer cents match exactly.
+
+    Use this shape over mapInPandas when the Python step is a
+    columnar kernel (codec, compression, hashing) — pandas adds a
+    copy and dtype coercions this path never pays."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def cents(batches):
+        for b in batches:
+            price = pc.cast(b.column("l_extendedprice"), pa.float64())
+            disc = pc.cast(b.column("l_discount"), pa.float64())
+            rev = pc.multiply(price, pc.subtract(pa.scalar(1.0), disc))
+            cents_col = pc.cast(
+                pc.floor(pc.add(pc.multiply(rev, pa.scalar(100.0)), pa.scalar(0.5))),
+                pa.int64(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("l_orderkey"),
+                    pc.cast(b.column("l_linenumber"), pa.int64()),
+                    cents_col,
+                ],
+                names=["l_orderkey", "linenumber", "revenue_cents"],
+            )
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") >= 45
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+    return li.mapInArrow(
+        cents, schema="l_orderkey bigint, linenumber bigint, revenue_cents bigint"
+    )
