@@ -529,3 +529,99 @@ def agg_quantiles_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_quantity", F.lit(0.25)).alias("q1_qty"),
         F.percentile("l_quantity", F.lit(0.75)).alias("q3_qty"),
     )
+
+
+def _cms_pairs_sql(key: str, table_sql: str) -> str:
+    """Three (seed, bucket) rows per input row of ``table_sql``, using
+    the portable polynomial hash (oracle side)."""
+    b = {f"b{j}": _md5_mod(key, s, _CMS_W) for j, s in enumerate(_CMS_SEEDS)}
+    return f"""
+  SELECT {b['b0']} AS b0, {b['b1']} AS b1, {b['b2']} AS b2 FROM {table_sql}
+"""
+
+
+JOIN_CARD_ORACLE = f"""
+WITH ka AS ({_cms_pairs_sql("l_partkey", "lineitem")}),
+pa AS (
+  SELECT 0 AS seed, b0 AS bucket FROM ka
+  UNION ALL SELECT 1, b1 FROM ka
+  UNION ALL SELECT 2, b2 FROM ka
+),
+sa AS (SELECT seed, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM pa GROUP BY seed, bucket),
+kb AS ({_cms_pairs_sql("p_partkey", "part WHERE p_size >= 25")}),
+pb AS (
+  SELECT 0 AS seed, b0 AS bucket FROM kb
+  UNION ALL SELECT 1, b1 FROM kb
+  UNION ALL SELECT 2, b2 FROM kb
+),
+sb AS (SELECT seed, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM pb GROUP BY seed, bucket),
+ip AS (
+  SELECT sa.seed, CAST(SUM(sa.cnt * sb.cnt) AS BIGINT) AS dot
+  FROM sa JOIN sb ON sa.seed = sb.seed AND sa.bucket = sb.bucket
+  GROUP BY sa.seed
+),
+est AS (SELECT MIN(dot) AS est FROM ip),
+truth AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS true_n
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_size >= 25
+)
+SELECT est.est AS est_join_rows, truth.true_n AS true_join_rows,
+  est.est - truth.true_n AS overcount
+FROM est, truth
+"""
+
+
+@query("sketch_join_cardinality", oracle=JOIN_CARD_ORACLE, category="sketch")
+def sketch_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation WITHOUT running the join (the optimizer /
+    capacity-planning primitive): the inner product of two count-min
+    sketches upper-bounds the equi-join cardinality, taken as the MIN
+    over the d seed rows. Each side is ONE pass emitting d*w counters
+    (constant shuffle regardless of input rows); the inner product and
+    min are constant-size. The true join runs alongside so the
+    one-sided error (est >= true, pinned in tests) is visible.
+
+    Counter products stay in int64 to ~3e9 rows per side per bucket;
+    past that promote the dot-product accumulation to DECIMAL(38,0)
+    (the msum stance). Hash family: conv fast twin on Spark, the same
+    polynomial values in the oracle."""
+    bspark = {
+        f"b{j}": _md5_mod_spark("k", s, _CMS_W) for j, s in enumerate(_CMS_SEEDS)
+    }
+
+    def sketch(df, key):
+        keyed = df.select(F.col(key).alias("k")).select(
+            *[F.expr(e).cast("bigint").alias(n) for n, e in bspark.items()]
+        )
+        pairs = keyed.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(j).alias("seed"), F.col(f"b{j}").alias("bucket"))
+                        for j in range(len(_CMS_SEEDS))
+                    ]
+                )
+            ).alias("p")
+        ).select("p.seed", "p.bucket")
+        return pairs.groupBy("seed", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    pt = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 25)
+    sa = sketch(li, "l_partkey")
+    sb = sketch(pt, "p_partkey").withColumnsRenamed({"cnt": "cnt_b"})
+    ip = (
+        sa.join(sb, ["seed", "bucket"])
+        .groupBy("seed")
+        .agg(F.sum(F.col("cnt") * F.col("cnt_b")).alias("dot"))
+    )
+    est = ip.agg(F.min("dot").cast("bigint").alias("est"))
+    truth = (
+        li.join(pt.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
+        .agg(F.count(F.lit(1)).alias("true_n"))
+    )
+    return est.crossJoin(F.broadcast(truth)).select(
+        F.col("est").alias("est_join_rows"),
+        F.col("true_n").alias("true_join_rows"),
+        (F.col("est") - F.col("true_n")).alias("overcount"),
+    )

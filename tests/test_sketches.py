@@ -147,3 +147,13 @@ def test_md5_mod_spark_fast_twin_is_bit_identical(spark):
         p_at = _md5_mod_at("k", "tw", 1 << 24, off)
         f_at = _md5_mod_at_spark("k", "tw", 1 << 24, off)
         assert df.filter(F.expr(f"{p_at} <> {f_at}")).count() == 0
+
+
+def test_join_cardinality_estimate_is_one_sided(spark, sf_dir):
+    """CMS inner product must never underestimate the true join size
+    (hash collisions only ADD cross terms)."""
+    from glue_etl_pyspark_spark.registry import load_all
+
+    [row] = load_all()["sketch_join_cardinality"].fn(spark, sf_dir).collect()
+    assert row.est_join_rows >= row.true_join_rows
+    assert row.overcount == row.est_join_rows - row.true_join_rows
