@@ -1500,3 +1500,97 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return credited.unionAll(direct)
+
+
+# Selectivity-estimation demo: a 21-bin equi-width histogram on exact
+# integer cents, probed with a deliberately bin-UNALIGNED range so the
+# boundary interpolation (the uniform-within-bin assumption every
+# optimizer makes) is visible against the true count.
+_SEL_BIN_CENTS = 2_500_000            # 25k in cents
+_SEL_LO_CENTS = 3_100_000             # 31k — cuts bin 1 mid-way
+_SEL_HI_CENTS = 21_700_000            # 217k — cuts bin 8 mid-way
+
+HIST_SELECTIVITY_ORACLE = f"""
+WITH c AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders
+), h AS (
+  SELECT CAST(least(cents // {_SEL_BIN_CENTS}, 20) AS BIGINT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM c GROUP BY 1
+), parts AS (
+  SELECT bin, n,
+    CASE WHEN bin * {_SEL_BIN_CENTS} >= {_SEL_LO_CENTS}
+          AND (bin + 1) * {_SEL_BIN_CENTS} <= {_SEL_HI_CENTS} THEN n
+         WHEN (bin + 1) * {_SEL_BIN_CENTS} <= {_SEL_LO_CENTS}
+           OR bin * {_SEL_BIN_CENTS} >= {_SEL_HI_CENTS} THEN 0
+         ELSE (n * (least((bin + 1) * {_SEL_BIN_CENTS}, {_SEL_HI_CENTS})
+                    - greatest(bin * {_SEL_BIN_CENTS}, {_SEL_LO_CENTS})))
+              // {_SEL_BIN_CENTS}
+    END AS contrib
+  FROM h WHERE bin < 20
+), est AS (
+  SELECT CAST(SUM(contrib) AS BIGINT) AS est_rows FROM parts
+), truth AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS true_rows FROM c
+  WHERE cents >= {_SEL_LO_CENTS} AND cents < {_SEL_HI_CENTS}
+)
+SELECT est.est_rows, truth.true_rows,
+  est.est_rows - truth.true_rows AS err_rows
+FROM est, truth
+"""
+
+
+@query(
+    "hist_range_selectivity", oracle=HIST_SELECTIVITY_ORACLE, category="analytics"
+)
+def hist_range_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-based range-selectivity estimation (the optimizer's
+    cardinality model, made inspectable): a 21-bin equi-width
+    histogram over exact order-total cents answers a bin-UNALIGNED
+    range predicate by summing interior bins and linearly
+    interpolating the two boundary bins — entirely in integer
+    arithmetic (overlap_width * n DIV bin_width). The true count runs
+    alongside so the uniform-within-bin error is visible.
+
+    Scale: the histogram is one map-side-combined aggregate (21 rows
+    out regardless of input); estimation is constant-size math. The
+    companion sketch_join_cardinality covers join sizes; this covers
+    range predicates."""
+    o = load_table(spark, sf_dir, "orders")
+    c = o.select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents")
+    )
+    h = (
+        c.select(
+            F.least(F.expr(f"cents DIV {_SEL_BIN_CENTS}"), F.lit(20))
+            .cast("bigint")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("bin") < 20)
+    )
+    lo, hi, w = _SEL_LO_CENTS, _SEL_HI_CENTS, _SEL_BIN_CENTS
+    contrib = (
+        F.when(
+            (F.col("bin") * w >= lo) & ((F.col("bin") + 1) * w <= hi), F.col("n")
+        )
+        .when(((F.col("bin") + 1) * w <= lo) | (F.col("bin") * w >= hi), F.lit(0))
+        .otherwise(
+            F.expr(
+                f"(n * (least((bin + 1) * {w}, {hi})"
+                f" - greatest(bin * {w}, {lo}))) DIV {w}"
+            )
+        )
+    )
+    est = h.select(contrib.alias("contrib")).agg(
+        F.sum("contrib").cast("bigint").alias("est_rows")
+    )
+    truth = c.filter((F.col("cents") >= lo) & (F.col("cents") < hi)).agg(
+        F.count(F.lit(1)).alias("true_rows")
+    )
+    return est.crossJoin(F.broadcast(truth)).select(
+        "est_rows",
+        "true_rows",
+        (F.col("est_rows") - F.col("true_rows")).alias("err_rows"),
+    )

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -189,4 +189,80 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = [(i, v[i], int(wmax)) for i in range(_DIMS)]
     return spark.createDataFrame(
         out, schema="dim bigint, component double, eigval_raw bigint"
+    )
+
+
+ROBUST_SCALE_ORACLE = f"""
+WITH v AS (
+  SELECT i.i AS dim, vec_id,
+    CAST(floor(CAST(embedding[i.i + 1] AS DOUBLE) * 1000000) AS BIGINT) AS micro
+  FROM embeddings, (SELECT i FROM range(0, {_DIMS}) t(i)) i
+), r AS (
+  SELECT dim, micro,
+    ROW_NUMBER() OVER (PARTITION BY dim ORDER BY micro, vec_id) AS rk,
+    COUNT(*) OVER (PARTITION BY dim) AS n
+  FROM v
+)
+SELECT CAST(dim AS BIGINT) AS dim,
+  CAST(MAX(CASE WHEN rk = (n + 3) // 4 THEN micro END) AS BIGINT) AS q25_micro,
+  CAST(MAX(CASE WHEN rk = (n + 1) // 2 THEN micro END) AS BIGINT) AS med_micro,
+  CAST(MAX(CASE WHEN rk = (3 * n + 3) // 4 THEN micro END) AS BIGINT) AS q75_micro,
+  CAST(MAX(CASE WHEN rk = (3 * n + 3) // 4 THEN micro END)
+       - MAX(CASE WHEN rk = (n + 3) // 4 THEN micro END) AS BIGINT) AS iqr_micro
+FROM r GROUP BY dim
+"""
+
+
+@query("embedding_robust_scale", oracle=ROBUST_SCALE_ORACLE, category="llm-linalg")
+def embedding_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-dimension scaling statistics (median / IQR — the
+    outlier-insensitive alternative to mean/std normalization): exact
+    PICKED order statistics over each dimension's 1e-6-grid integer
+    values, ranks broken by vec_id (unique), so both engines select
+    the identical element — no interpolation, no float quantile
+    estimator to disagree on (the events_rolling_median discipline at
+    corpus scale).
+
+    Scale: one narrow posexplode (64 rows per vector), then a window
+    per dim — parallelism = dimension count, each partition one
+    dimension's values. For very large corpora swap the exact pick
+    for the deterministic-sample quantiles path
+    (agg_quantiles_sampled); this exact twin stays the correctness
+    anchor."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "dim", "xv"
+        ),
+    ).select(
+        F.col("dim").cast("bigint").alias("dim"),
+        "vec_id",
+        F.floor(F.col("xv") * 1e6).cast("bigint").alias("micro"),
+    )
+    w = Window.partitionBy("dim").orderBy("micro", "vec_id")
+    wn = Window.partitionBy("dim")
+    r = v.select(
+        "dim",
+        "micro",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    picks = r.groupBy("dim").agg(
+        F.max(F.when(F.col("rk") == F.expr("(n + 3) DIV 4"), F.col("micro")))
+        .cast("bigint")
+        .alias("q25_micro"),
+        F.max(F.when(F.col("rk") == F.expr("(n + 1) DIV 2"), F.col("micro")))
+        .cast("bigint")
+        .alias("med_micro"),
+        F.max(F.when(F.col("rk") == F.expr("(3 * n + 3) DIV 4"), F.col("micro")))
+        .cast("bigint")
+        .alias("q75_micro"),
+    )
+    return picks.select(
+        "dim",
+        "q25_micro",
+        "med_micro",
+        "q75_micro",
+        (F.col("q75_micro") - F.col("q25_micro")).alias("iqr_micro"),
     )
