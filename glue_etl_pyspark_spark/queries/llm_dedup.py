@@ -486,3 +486,94 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dup_ppm"),
         )
     )
+
+
+_CONT_THR_PPM = 900_000
+
+CONTAINMENT_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000,
+         array_to_string(({_DUCK_TOKS})[1:len({_DUCK_TOKS}) - 1], ' ')
+  FROM documents
+),
+sh AS (
+  SELECT doc_id AS id, list_distinct(
+    CASE WHEN len(toks) < 4 THEN []
+         ELSE list_transform(range(1, len(toks) - 2),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END) AS shs
+  FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM corpus)
+  WHERE len(toks) >= 4
+),
+inv AS (SELECT id, unnest(shs) AS shingle FROM sh),
+sizes AS (SELECT id, CAST(len(shs) AS BIGINT) AS n_sh FROM sh),
+shared AS (
+  SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS shared
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b, shared,
+  CAST((shared * 1000000) // sa.n_sh AS BIGINT) AS cont_ab_ppm,
+  CAST((shared * 1000000) // sb.n_sh AS BIGINT) AS cont_ba_ppm
+FROM shared
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE greatest((shared * 1000000) // sa.n_sh,
+               (shared * 1000000) // sb.n_sh) >= {_CONT_THR_PPM}
+"""
+
+
+@query("dedup_containment", oracle=CONTAINMENT_ORACLE, category="llm-dedup")
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment dedup (|A∩B|/|A| — what Jaccard misses):
+    a short document quoted whole inside a long one has low Jaccard
+    (the union is large) but containment ~1 in one direction, which is
+    exactly the quote-inclusion / subset-duplicate case corpus dedup
+    must catch. Same hashed inverted-index count-verify as the Jaccard
+    op (one shuffle, 8-byte keys), different normalization: both
+    directional containments as exact integer ppm (DIV — no doubles),
+    pairs kept when EITHER direction clears 0.9.
+
+    The planted doc-minus-last-word twins surface with cont ~1 in the
+    small->large direction regardless of their Jaccard."""
+    from ..functions.text import hashed_shingles, token_hashes, tokenize_ws
+    from pyspark import StorageLevel
+
+    corpus = _with_perturbed_copies(spark, sf_dir)
+    sh = (
+        corpus.select(F.col("doc_id").alias("id"), F.col("text").alias("__text"))
+        .repartition(F.col("id"))
+        .withColumn("__th", token_hashes(tokenize_ws("__text")))
+        .select("id", F.array_distinct(hashed_shingles("__th", 4)).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    inv = sh.select("id", F.explode("sh").alias("shingle"))
+    shared = (
+        inv.select(F.col("id").alias("id_a"), "shingle")
+        .join(inv.select(F.col("id").alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sizes = sh.select("id", F.size("sh").cast("bigint").alias("n_sh"))
+    out = (
+        shared.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a"
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b"
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "shared",
+            F.expr("(shared * 1000000) DIV n_a").cast("bigint").alias("cont_ab_ppm"),
+            F.expr("(shared * 1000000) DIV n_b").cast("bigint").alias("cont_ba_ppm"),
+        )
+        .filter(
+            F.greatest("cont_ab_ppm", "cont_ba_ppm") >= F.lit(_CONT_THR_PPM)
+        )
+    )
+    return out

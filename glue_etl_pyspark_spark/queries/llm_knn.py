@@ -1060,3 +1060,78 @@ def embedding_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("var_num_e12"),
     )
+
+
+HARD_NEG_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, embedding AS v FROM embeddings),
+sims AS (
+  SELECT q.vec_id AS query_id, q.label AS q_label,
+    c.vec_id AS neg_id, c.label AS n_label,
+    {_COS.format(a="q.v", b="c.v")} AS cs
+  FROM e q, e c, range(1, 65) r(i)
+  WHERE q.vec_id < 20 AND q.label <> c.label
+  GROUP BY q.vec_id, q.label, c.vec_id, c.label
+)
+SELECT query_id, CAST(q_label AS INTEGER) AS q_label, neg_id,
+  CAST(n_label AS INTEGER) AS n_label, round(cs, 6) AS cos_sim, rn
+FROM (
+  SELECT query_id, q_label, neg_id, n_label, cs,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neg_id)
+      AS BIGINT) AS rn
+  FROM sims
+) WHERE rn <= 5
+"""
+
+
+@query("knn_hard_negatives", oracle=HARD_NEG_ORACLE, category="llm-knn")
+def knn_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training: per
+    anchor (vec_id < 20), the 5 MOST similar corpus vectors with a
+    DIFFERENT label — the near-miss negatives that actually teach a
+    dual encoder, versus random negatives that are trivially far. The
+    label filter applies BEFORE the top-k (top-k of negatives, not
+    negatives of top-k — the ordering bug naive implementations hit).
+
+    Same scale shape as knn_bruteforce: anchors broadcast, corpus
+    streams, norms factored out of the pair loop, WindowGroupLimit
+    top-k; the IVF path swaps in for corpus-scale anchor sets."""
+    from ..operators.similarity import dot, l2_norm, l2_normalize
+
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def unit(col):
+        return F.when(l2_norm(col) == 0, F.lit(None)).otherwise(l2_normalize(col))
+
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        unit("embedding").alias("__qv"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("n_label"),
+        unit("embedding").alias("__cv"),
+    )
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_label") != F.col("n_label"))
+        .select(
+            "query_id", "q_label", "neg_id", "n_label",
+            dot("__qv", "__cv").alias("__sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("neg_id")
+    )
+    return (
+        sims.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "query_id",
+            F.col("q_label").cast("int").alias("q_label"),
+            "neg_id",
+            F.col("n_label").cast("int").alias("n_label"),
+            F.round("__sim", 6).alias("cos_sim"),
+            "rn",
+        )
+    )

@@ -75,14 +75,15 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 # events_path_trigrams, dq_reconcile_amounts, and
 # embedding_feature_stats, events_cusum_shift, and the Spark-4 SQL
 # surface pair (sql_udf_declarative, sql_scripting_loop), ingest
-# replay dedup, and revenue share-of-region, plus the fifteen closing
+# replay dedup, and revenue share-of-region, plus the seventeen closing
 # additions (PCA power iteration, GDPR cascade, k-anonymity, epoch
 # shuffle, skyline frontier, association rules, point-in-time join,
 # target encoding, linear multi-touch attribution, ROC threshold
 # sweep, statestore state inspection, mapInArrow, CMS join-size
-# estimate, histogram range selectivity, robust per-dim scaling)
-# = 87 — 37 more than the 50-slot window, so the last 37 plus the
-# whole 38-name r1-stale block overflow and lead round 6.
+# estimate, histogram range selectivity, robust per-dim scaling,
+# containment dedup, hard-negative mining) = 89 — 39 more than the
+# 50-slot window, so the last 39 plus the whole 38-name r1-stale
+# block overflow and lead round 6.
 # Pinned by tests/test_registry.py.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- never externally checked ---
@@ -185,6 +186,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sketch_join_cardinality",
     "hist_range_selectivity",
     "embedding_robust_scale",
+    "dedup_containment",
+    "knn_hard_negatives",
     # --- stalest evidence: last green in ROUND 1 (first 5 of 38) ---
     "join_asof_purchase_click",
     "dedup_ngram_jaccard",
