@@ -597,3 +597,147 @@ def feature_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("enc_ppm"),
     )
+
+
+DATASHEET_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, source, n_chars,
+    CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens,
+    md5(text) AS h
+  FROM documents
+), base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+    CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+    CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct_texts,
+    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+  FROM toks
+)
+SELECT n_docs, total_chars, total_tokens, n_langs, n_sources,
+  CAST(total_tokens // n_docs AS BIGINT) AS mean_tokens,
+  CAST((n_en * 1000000) // n_docs AS BIGINT) AS en_ppm,
+  CAST(((n_docs - n_distinct_texts) * 1000000) // n_docs AS BIGINT)
+    AS dup_ppm
+FROM base
+"""
+
+
+@query("corpus_datasheet", oracle=DATASHEET_ORACLE, category="llm-curation")
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card (the datasheet a corpus release ships
+    with): document/char/token totals, language and source breadth,
+    mean document length, English share, and the exact-duplicate rate
+    (1 - distinct text hashes / docs) — every figure exact-integer
+    (DIV ppm), one pass over the corpus plus the distinct counts.
+
+    Scale: a single aggregate; the distinct counts shuffle fixed-width
+    md5 digests, never text. At 100 TB swap COUNT(DISTINCT h) for the
+    mergeable HLL (agg_hll_portable) and the card stays one pass."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.size(tokenize_ws("text")).cast("bigint").alias("n_tokens"),
+        F.md5("text").alias("h"),
+    )
+    base = t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("h").alias("n_distinct_texts"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_en"),
+    )
+    return base.select(
+        "n_docs",
+        "total_chars",
+        "total_tokens",
+        "n_langs",
+        "n_sources",
+        F.expr("total_tokens DIV n_docs").cast("bigint").alias("mean_tokens"),
+        F.expr("(n_en * 1000000) DIV n_docs").cast("bigint").alias("en_ppm"),
+        F.expr("((n_docs - n_distinct_texts) * 1000000) DIV n_docs")
+        .cast("bigint")
+        .alias("dup_ppm"),
+    )
+
+
+_CURR_SHARDS = 8
+
+CURRICULUM_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+f AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_tok,
+    CAST(len(array_to_string(toks, '')) AS BIGINT) * 1000 // len(toks) AS mean_len_milli,
+    CAST(len(list_distinct(toks)) AS BIGINT) * 1000000 // len(toks) AS distinct_ppm
+  FROM t
+), scored AS (
+  SELECT doc_id,
+    CAST(2 * mean_len_milli + 3 * distinct_ppm + 500 * LEAST(n_tok, 100)
+      AS BIGINT) AS difficulty,
+    CAST(doc_id % {_CURR_SHARDS} AS BIGINT) AS shard
+  FROM f
+), r AS (
+  SELECT doc_id, difficulty, shard,
+    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY difficulty, doc_id) AS rk,
+    COUNT(*) OVER (PARTITION BY shard) AS n
+  FROM scored
+)
+SELECT doc_id, difficulty, shard,
+  CAST(((rk - 1) * 4) // n + 1 AS BIGINT) AS phase
+FROM r
+"""
+
+
+@query("curriculum_phase_assign", oracle=CURRICULUM_ORACLE, category="llm-curation")
+def curriculum_phase_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning phase assignment: rank documents easy->hard
+    by an integer difficulty proxy (length/diversity features, the
+    linear-gate family) and cut each hash-shard into 4 quartile
+    phases — easy docs train first. Quartiles are PER-SHARD: each
+    shard is a uniform doc_id sample, so shard quartiles converge to
+    the global ones at scale while the ranking window stays
+    parallel (the practical distributed-curriculum construction —
+    never a single global row_number). Everything integer; ranks end
+    in doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokenize_ws("text").alias("toks"))
+    f = t.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tok"),
+        F.expr("length(concat_ws('', toks)) * 1000 div size(toks)").alias(
+            "mean_len_milli"
+        ),
+        F.expr("size(array_distinct(toks)) * 1000000 div size(toks)").alias(
+            "distinct_ppm"
+        ),
+    )
+    scored = f.select(
+        "doc_id",
+        F.expr("2 * mean_len_milli + 3 * distinct_ppm + 500 * LEAST(n_tok, 100)")
+        .cast("bigint")
+        .alias("difficulty"),
+        (F.col("doc_id") % _CURR_SHARDS).cast("bigint").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("difficulty", "doc_id")
+    wn = Window.partitionBy("shard")
+    ranked = scored.select(
+        "doc_id",
+        "difficulty",
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("rk"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+    )
+    return ranked.select(
+        "doc_id",
+        "difficulty",
+        "shard",
+        F.expr("((rk - 1) * 4) DIV n + 1").cast("bigint").alias("phase"),
+    )
