@@ -1135,3 +1135,70 @@ def knn_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+
+
+MUTUAL_NN_ORACLE = f"""
+WITH a AS (
+  SELECT vec_id, embedding AS v FROM embeddings
+  WHERE label % 2 = 0 AND vec_id < 300
+),
+b AS (SELECT vec_id, embedding AS v FROM embeddings WHERE label % 2 = 1),
+sims AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+    {_COS.format(a="a.v", b="b.v")} AS cs
+  FROM a, b, range(1, 65) r(i)
+  GROUP BY a.vec_id, b.vec_id
+),
+ranked AS (
+  SELECT a_id, b_id, cs,
+    row_number() OVER (PARTITION BY a_id ORDER BY cs DESC, b_id) AS ra,
+    row_number() OVER (PARTITION BY b_id ORDER BY cs DESC, a_id) AS rb
+  FROM sims
+)
+SELECT a_id, b_id, round(cs, 6) AS cos_sim
+FROM ranked WHERE ra = 1 AND rb = 1
+"""
+
+
+@query("knn_mutual_nn", oracle=MUTUAL_NN_ORACLE, category="llm-knn")
+def knn_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual nearest-neighbor pairing across two vector sets (the
+    bitext-mining / cross-lingual alignment primitive: a pair is kept
+    only when each side is the other's single best match — the
+    reciprocity filter that kills hubness false positives). One
+    similarity frame, TWO windows over it (per-a and per-b ranks, both
+    ending in the partner id), mutual = ra = rb = 1.
+
+    Scale: the bounded anchor set (even-label, vec_id < 300) is the
+    documented all-pairs correctness anchor — the production path
+    blocks through IVF buckets exactly like knn_ivf. Norms factored
+    out of the pair loop; both rankings reuse the single sims
+    exchange."""
+    from ..operators.similarity import dot, l2_norm, l2_normalize
+
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def unit(col):
+        return F.when(l2_norm(col) == 0, F.lit(None)).otherwise(l2_normalize(col))
+
+    a = e.filter((F.col("label") % 2 == 0) & (F.col("vec_id") < 300)).select(
+        F.col("vec_id").alias("a_id"), unit("embedding").alias("__av")
+    )
+    b = e.filter(F.col("label") % 2 == 1).select(
+        F.col("vec_id").alias("b_id"), unit("embedding").alias("__bv")
+    )
+    sims = b.crossJoin(F.broadcast(a)).select(
+        "a_id", "b_id", dot("__av", "__bv").alias("__cs")
+    )
+    wa = Window.partitionBy("a_id").orderBy(F.col("__cs").desc(), F.col("b_id"))
+    wb = Window.partitionBy("b_id").orderBy(F.col("__cs").desc(), F.col("a_id"))
+    ranked = sims.select(
+        "a_id",
+        "b_id",
+        "__cs",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wb).alias("rb"),
+    )
+    return ranked.filter((F.col("ra") == 1) & (F.col("rb") == 1)).select(
+        "a_id", "b_id", F.round("__cs", 6).alias("cos_sim")
+    )

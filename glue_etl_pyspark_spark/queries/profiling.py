@@ -254,3 +254,63 @@ def zone_selectivity(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
     hi = F.lit(_TS_HI).cast("timestamp_ntz")
     kept = zones.filter((F.col("zmax") >= lo) & (F.col("zmin") < hi)).count()
     return kept, zones.count()
+
+
+JOIN_SKEW_ORACLE = """
+WITH k AS (
+  SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY o_custkey
+),
+stats AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS total_rows,
+    CAST(COUNT(*) AS BIGINT) AS n_keys,
+    CAST(MAX(cnt) AS BIGINT) AS max_cnt
+  FROM k
+)
+SELECT k.key, k.cnt,
+  CAST((k.cnt * 1000000) // s.total_rows AS BIGINT) AS share_ppm,
+  CAST((s.max_cnt * s.n_keys * 1000000) // s.total_rows AS BIGINT)
+    AS skew_factor_ppm,
+  CAST(s.max_cnt * s.n_keys // s.total_rows + 1 AS BIGINT)
+    AS suggested_salt
+FROM k, stats s
+ORDER BY k.cnt DESC, k.key
+LIMIT 10
+"""
+
+
+@query("dq_join_skew_report", oracle=JOIN_SKEW_ORACLE, category="profiling")
+def dq_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic (what you run BEFORE a big join
+    misbehaves): the 10 heaviest keys with their row share, the
+    overall skew factor (max key count vs the uniform expectation,
+    ppm), and the salt fan-out that would level the heaviest key —
+    all exact integer math from one map-side-combined key-count
+    aggregate. The skew_salted_join operator consumes exactly this
+    suggestion; AQE's runtime skew split is the safety net when the
+    report wasn't run."""
+    o = load_table(spark, sf_dir, "orders")
+    k = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    stats = k.agg(
+        F.sum("cnt").cast("bigint").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+    )
+    return (
+        k.crossJoin(F.broadcast(stats))
+        .select(
+            "key",
+            "cnt",
+            F.expr("(cnt * 1000000) DIV total_rows").cast("bigint").alias("share_ppm"),
+            F.expr("(max_cnt * n_keys * 1000000) DIV total_rows")
+            .cast("bigint")
+            .alias("skew_factor_ppm"),
+            F.expr("max_cnt * n_keys DIV total_rows + 1")
+            .cast("bigint")
+            .alias("suggested_salt"),
+        )
+        .orderBy(F.col("cnt").desc(), "key")
+        .limit(10)
+    )

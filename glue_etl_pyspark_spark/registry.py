@@ -75,16 +75,16 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 # events_path_trigrams, dq_reconcile_amounts, and
 # embedding_feature_stats, events_cusum_shift, and the Spark-4 SQL
 # surface pair (sql_udf_declarative, sql_scripting_loop), ingest
-# replay dedup, and revenue share-of-region, plus the nineteen closing
+# replay dedup, and revenue share-of-region, plus the twenty-one closing
 # additions (PCA power iteration, GDPR cascade, k-anonymity, epoch
 # shuffle, skyline frontier, association rules, point-in-time join,
 # target encoding, linear multi-touch attribution, ROC threshold
 # sweep, statestore state inspection, mapInArrow, CMS join-size
 # estimate, histogram range selectivity, robust per-dim scaling,
 # containment dedup, hard-negative mining, corpus datasheet,
-# curriculum phases) = 91 — 41 more than the 50-slot window, so the
-# last 41 plus the whole 38-name r1-stale block overflow and lead
-# round 6.
+# curriculum phases, mutual-NN pairing, join-skew report) = 93 — 43
+# more than the 50-slot window, so the last 43 plus the whole
+# 38-name r1-stale block overflow and lead round 6.
 # Pinned by tests/test_registry.py.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- never externally checked ---
@@ -191,6 +191,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "knn_hard_negatives",
     "corpus_datasheet",
     "curriculum_phase_assign",
+    "knn_mutual_nn",
+    "dq_join_skew_report",
     # --- stalest evidence: last green in ROUND 1 (first 5 of 38) ---
     "join_asof_purchase_click",
     "dedup_ngram_jaccard",
