@@ -1594,3 +1594,80 @@ def hist_range_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_rows",
         (F.col("est_rows") - F.col("true_rows")).alias("err_rows"),
     )
+
+
+_TTC_BUCKET_US = 1_800_000_000  # 30 minutes in microseconds
+_TTC_CAP = 48                   # cap at 24h
+
+TTC_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id,
+    MIN(CASE WHEN event_type IN ('view', 'click', 'signup')
+             THEN epoch_us(ts) END) AS first_touch_us,
+    MIN(CASE WHEN event_type = 'purchase'
+             THEN epoch_us(ts) END) AS first_purchase_us
+  FROM events GROUP BY user_id
+), lat AS (
+  SELECT user_id,
+    (first_purchase_us - first_touch_us) AS lat_us
+  FROM per_user
+  WHERE first_touch_us IS NOT NULL AND first_purchase_us IS NOT NULL
+    AND first_purchase_us >= first_touch_us
+)
+SELECT CAST(least(lat_us // {_TTC_BUCKET_US}, {_TTC_CAP}) AS BIGINT)
+    AS bucket_30m,
+  CAST(COUNT(*) AS BIGINT) AS n_users,
+  CAST(MIN(lat_us) AS BIGINT) AS min_lat_us,
+  CAST(MAX(lat_us) AS BIGINT) AS max_lat_us
+FROM lat
+GROUP BY least(lat_us // {_TTC_BUCKET_US}, {_TTC_CAP})
+"""
+
+
+@query("events_time_to_conversion", oracle=TTC_ORACLE, category="analytics")
+def events_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-conversion distribution: latency from each user's FIRST
+    touch (view/click/signup) to their FIRST purchase, bucketed into
+    30-minute bins capped at 24h — the funnel-latency histogram
+    growth teams read daily. All arithmetic in exact epoch
+    MICROseconds (the bot-burst discipline: epoch seconds would be
+    fractional doubles) with integer DIV bucketing.
+
+    Scale: one map-side-combined per-user aggregate (two conditional
+    MINs — never a window), then a constant-size bucket rollup."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(
+            F.when(
+                F.col("event_type").isin("view", "click", "signup"),
+                F.expr("unix_micros(cast(ts AS timestamp))"),
+            )
+        ).alias("first_touch_us"),
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.expr("unix_micros(cast(ts AS timestamp))"),
+            )
+        ).alias("first_purchase_us"),
+    )
+    lat = per_user.filter(
+        F.col("first_touch_us").isNotNull()
+        & F.col("first_purchase_us").isNotNull()
+        & (F.col("first_purchase_us") >= F.col("first_touch_us"))
+    ).select(
+        (F.col("first_purchase_us") - F.col("first_touch_us")).alias("lat_us")
+    )
+    return (
+        lat.groupBy(
+            F.least(
+                F.expr(f"lat_us DIV {_TTC_BUCKET_US}"), F.lit(_TTC_CAP)
+            )
+            .cast("bigint")
+            .alias("bucket_30m")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("lat_us").cast("bigint").alias("min_lat_us"),
+            F.max("lat_us").cast("bigint").alias("max_lat_us"),
+        )
+    )

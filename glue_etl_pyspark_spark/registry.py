@@ -75,16 +75,17 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 # events_path_trigrams, dq_reconcile_amounts, and
 # embedding_feature_stats, events_cusum_shift, and the Spark-4 SQL
 # surface pair (sql_udf_declarative, sql_scripting_loop), ingest
-# replay dedup, and revenue share-of-region, plus the twenty-one closing
+# replay dedup, and revenue share-of-region, plus the twenty-two closing
 # additions (PCA power iteration, GDPR cascade, k-anonymity, epoch
 # shuffle, skyline frontier, association rules, point-in-time join,
 # target encoding, linear multi-touch attribution, ROC threshold
 # sweep, statestore state inspection, mapInArrow, CMS join-size
 # estimate, histogram range selectivity, robust per-dim scaling,
 # containment dedup, hard-negative mining, corpus datasheet,
-# curriculum phases, mutual-NN pairing, join-skew report) = 93 — 43
-# more than the 50-slot window, so the last 43 plus the whole
-# 38-name r1-stale block overflow and lead round 6.
+# curriculum phases, mutual-NN pairing, join-skew report,
+# time-to-conversion histogram) = 94 — 44 more than the 50-slot
+# window, so the last 44 plus the whole 38-name r1-stale block
+# overflow and lead round 6.
 # Pinned by tests/test_registry.py.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- never externally checked ---
@@ -193,6 +194,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "curriculum_phase_assign",
     "knn_mutual_nn",
     "dq_join_skew_report",
+    "events_time_to_conversion",
     # --- stalest evidence: last green in ROUND 1 (first 5 of 38) ---
     "join_asof_purchase_click",
     "dedup_ngram_jaccard",
