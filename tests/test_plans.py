@@ -592,3 +592,14 @@ def test_pca_gram_partial_aggregation(spark, sf_dir):
     plan = explain_str(g)
     assert "Generate" in plan  # narrow explode, no join before the agg
     assert "Join" not in plan
+
+
+def test_point_in_time_join_stays_equi(spark, sf_dir):
+    """The temporal-validity join must extract the custkey equi-key
+    with the interval bounds as a join residual — never degrade to a
+    nested-loop over facts x versions."""
+    plan = explain_str(_df(spark, sf_dir, "join_point_in_time"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the residual rides the hash/merge join, not a post-join filter
+    assert "Join" in plan and "valid_from" in plan
