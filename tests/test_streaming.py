@@ -385,3 +385,55 @@ def test_streaming_query_listener_observability(spark, smoke_dir):
         assert sum(events["progress"]) == total_in, events["progress"]
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_rocksdb_state_store_provider(spark, smoke_dir):
+    """Production state backend: the same per-type count drained under
+    the RocksDB state-store provider (state off-heap, incremental
+    checkpointing — the 100 TB configuration) must equal the batch
+    GROUP BY, and its checkpoint must be readable via the statestore
+    source. Provider is pinned per-query via the conf at start time;
+    restored afterwards."""
+    import tempfile
+
+    from glue_etl_pyspark_spark.io import load_table
+    from glue_etl_pyspark_spark.streaming.ops import events_stream
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    prev = spark.conf.get(key, None)
+    ckpt = tempfile.mkdtemp(prefix="sgraft_rocksdb_")
+    try:
+        spark.conf.set(key, rocks)
+        agg = events_stream(spark, smoke_dir).groupBy("event_type").count()
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("rocksdb_probe")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    got = {
+        (r["event_type"], r["count"])
+        for r in spark.table("rocksdb_probe").collect()
+    }
+    want = {
+        (r["event_type"], r["n"])
+        for r in load_table(spark, smoke_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+    state = spark.read.format("statestore").load(ckpt)
+    assert state.count() == len(want)
