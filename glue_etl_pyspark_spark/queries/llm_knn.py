@@ -1202,3 +1202,98 @@ def knn_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter((F.col("ra") == 1) & (F.col("rb") == 1)).select(
         "a_id", "b_id", F.round("__cs", 6).alias("cos_sim")
     )
+
+
+TRIPLET_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, embedding AS v FROM embeddings),
+sims AS (
+  SELECT q.vec_id AS anchor_id, q.label AS a_label,
+    c.vec_id AS cand_id, c.label = q.label AS is_same,
+    {_COS.format(a="q.v", b="c.v")} AS cs
+  FROM e q, e c, range(1, 65) r(i)
+  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+  GROUP BY q.vec_id, q.label, c.vec_id, c.label
+),
+ranked AS (
+  SELECT anchor_id, a_label, cand_id, is_same, cs,
+    row_number() OVER (PARTITION BY anchor_id, is_same
+                       ORDER BY cs DESC, cand_id) AS rn
+  FROM sims
+),
+pos AS (SELECT anchor_id, a_label, cand_id AS pos_id, cs AS pos_cs
+        FROM ranked WHERE is_same AND rn = 1),
+neg AS (SELECT anchor_id, cand_id AS neg_id, cs AS neg_cs
+        FROM ranked WHERE NOT is_same AND rn = 1)
+SELECT p.anchor_id, CAST(p.a_label AS INTEGER) AS a_label,
+  p.pos_id, n.neg_id,
+  round(p.pos_cs, 6) AS pos_sim, round(n.neg_cs, 6) AS neg_sim,
+  round(p.pos_cs, 6) - round(n.neg_cs, 6) AS margin
+FROM pos p JOIN neg n ON p.anchor_id = n.anchor_id
+"""
+
+
+@query("knn_triplet_mining", oracle=TRIPLET_ORACLE, category="llm-knn")
+def knn_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training triplet generation: per anchor, the most
+    similar SAME-label vector (positive) and the most similar
+    DIFFERENT-label vector (hard negative) with the similarity margin
+    — the (a, p, n) batches a triplet/InfoNCE loss trains on, mined
+    in one pass. One sims frame, one window partitioned by (anchor,
+    same-label flag) yields both picks; margin = difference of the
+    6dp-rounded sims (identical expression both engines).
+
+    Scale: same bounded-anchor all-pairs anchor as the knn family;
+    corpus-scale mining swaps in the IVF bucketed path for candidate
+    generation, the ranking shape is unchanged."""
+    from ..operators.similarity import dot, l2_norm, l2_normalize
+
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def unit(col):
+        return F.when(l2_norm(col) == 0, F.lit(None)).otherwise(l2_normalize(col))
+
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("a_label"),
+        unit("embedding").alias("__qv"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("c_label"),
+        unit("embedding").alias("__cv"),
+    )
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("anchor_id") != F.col("cand_id"))
+        .select(
+            "anchor_id",
+            "a_label",
+            "cand_id",
+            (F.col("c_label") == F.col("a_label")).alias("is_same"),
+            dot("__qv", "__cv").alias("__cs"),
+        )
+    )
+    w = Window.partitionBy("anchor_id", "is_same").orderBy(
+        F.col("__cs").desc(), F.col("cand_id")
+    )
+    ranked = sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    pos = ranked.filter(F.col("is_same")).select(
+        "anchor_id",
+        F.col("a_label").cast("int").alias("a_label"),
+        F.col("cand_id").alias("pos_id"),
+        F.round("__cs", 6).alias("pos_sim"),
+    )
+    neg = ranked.filter(~F.col("is_same")).select(
+        "anchor_id",
+        F.col("cand_id").alias("neg_id"),
+        F.round("__cs", 6).alias("neg_sim"),
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "a_label",
+        "pos_id",
+        "neg_id",
+        "pos_sim",
+        "neg_sim",
+        (F.col("pos_sim") - F.col("neg_sim")).alias("margin"),
+    )

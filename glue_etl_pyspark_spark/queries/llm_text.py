@@ -379,3 +379,46 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("postings"),
     )
+
+
+LANGID_CONFUSION_ORACLE = f"""
+WITH pred AS ({LANGID_ORACLE})
+, cm AS (
+  SELECT lang AS true_lang, predicted_lang,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM pred GROUP BY lang, predicted_lang
+), per_true AS (
+  SELECT true_lang, CAST(SUM(n) AS BIGINT) AS n_true FROM cm GROUP BY true_lang
+)
+SELECT cm.true_lang, cm.predicted_lang, cm.n,
+  cm.true_lang = cm.predicted_lang AS correct,
+  CAST((cm.n * 1000000) // p.n_true AS BIGINT) AS row_share_ppm
+FROM cm JOIN per_true p ON cm.true_lang = p.true_lang
+"""
+
+
+@query(
+    "langid_confusion_matrix", oracle=LANGID_CONFUSION_ORACLE, category="llm-text"
+)
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the trigram language-ID against the
+    fixture's ground-truth labels: per (true, predicted) cell counts,
+    correctness flag, and the row-normalized share (integer ppm) —
+    per-language recall sits on the diagonal. The model-evaluation
+    table any langid deployment reviews before trusting the gate.
+
+    Scale: consumes the langid query's output (two aggregation
+    passes + broadcast profile join) and adds one cell-grain rollup —
+    output is languages², constant."""
+    pred = text_language_id(spark, sf_dir)
+    cm = pred.groupBy(
+        F.col("lang").alias("true_lang"), "predicted_lang"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    per_true = cm.groupBy("true_lang").agg(F.sum("n").cast("bigint").alias("n_true"))
+    return cm.join(per_true, "true_lang").select(
+        "true_lang",
+        "predicted_lang",
+        "n",
+        (F.col("true_lang") == F.col("predicted_lang")).alias("correct"),
+        F.expr("(n * 1000000) DIV n_true").cast("bigint").alias("row_share_ppm"),
+    )
