@@ -437,3 +437,54 @@ def func_datename(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayname("o_orderdate").alias("dow_name"),
         F.monthname("o_orderdate").alias("mon_name"),
     )
+
+
+_EWMA_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+seq AS (
+  SELECT event_type, day, x,
+    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+      AS BIGINT) AS rn
+  FROM daily
+),
+ew(event_type, rn, day, x, prev_micro, ewma_micro) AS (
+  SELECT event_type, rn, day, x,
+    CAST(NULL AS BIGINT), x * 1000000
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.event_type, s.rn, s.day, s.x, e.ewma_micro,
+    CAST(floor((3 * e.ewma_micro + s.x * 1000000) / 4.0) AS BIGINT)
+  FROM ew e JOIN seq s
+    ON s.event_type = e.event_type AND s.rn = e.rn + 1
+)
+SELECT event_type, day, x, ewma_micro,
+  prev_micro IS NOT NULL AND 2 * x * 1000000 > 3 * prev_micro AS spike,
+  prev_micro IS NOT NULL AND 2 * x * 1000000 < prev_micro AS drop_alert
+FROM ew
+"""
+
+EWMA_ORACLE = _EWMA_SQL
+
+
+@query("events_ewma_control", oracle=EWMA_ORACLE, category="analytics")
+def events_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart over daily event rates (alpha = 1/4): the
+    smoothed baseline plus spike (x > 1.5x previous EWMA) and drop
+    (x < 0.5x) alerts — the anomaly monitor that reacts faster than
+    the seasonal baseline and smoother than raw thresholds. The
+    recursion is genuinely sequential, so it runs as a WITH RECURSIVE
+    program — the IDENTICAL SQL text on both engines (the
+    sql_recursive_cte precedent). All state is integer micro-units;
+    the alpha = 1/4 update divides by a power of two, so the double
+    division is exact and floor-pinned.
+
+    Scale: the corpus-sized work is the daily pre-aggregation;
+    recursion depth = number of DAYS (bounded by the window, not the
+    data volume), and each step joins on (event_type, rn) — types
+    advance in parallel."""
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_EWMA_SQL)

@@ -422,3 +422,61 @@ def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("true_lang") == F.col("predicted_lang")).alias("correct"),
         F.expr("(n * 1000000) DIV n_true").cast("bigint").alias("row_share_ppm"),
     )
+
+
+AUTOCOMPLETE_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest({_DUCK_TOKS}) AS token FROM documents
+),
+counts AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM toks GROUP BY token
+),
+pre AS (
+  SELECT substring(token, 1, CAST(p.p AS INTEGER)) AS prefix, token, freq
+  FROM counts, (SELECT p FROM range(1, 5) t(p)) p
+  WHERE length(token) >= p.p
+)
+SELECT prefix, token, freq, rn FROM (
+  SELECT prefix, token, freq,
+    CAST(row_number() OVER (PARTITION BY prefix ORDER BY freq DESC, token)
+      AS BIGINT) AS rn
+  FROM pre
+) WHERE rn <= 3
+"""
+
+
+@query("text_autocomplete_index", oracle=AUTOCOMPLETE_ORACLE, category="llm-text")
+def text_autocomplete_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-autocomplete index: for every 1-4 char prefix, the top-3
+    corpus tokens by frequency — the typeahead table a search box
+    serves. Built from the token-frequency aggregate (vocabulary-
+    sized, never corpus-sized) with a narrow 4x prefix fan-out and a
+    per-prefix WindowGroupLimit; ORDER BY ends in the token (unique).
+
+    Scale: the only corpus pass is the token count (map-side
+    combined); the prefix index is vocab x 4 rows in, <= 3 per prefix
+    out."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(tokenize_ws("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pre = (
+        counts.select(
+            "token",
+            "freq",
+            F.explode(F.sequence(F.lit(1), F.least(F.length("token"), F.lit(4)))).alias(
+                "p"
+            ),
+        )
+        .select(
+            F.expr("substring(token, 1, p)").alias("prefix"), "token", "freq"
+        )
+    )
+    w = Window.partitionBy("prefix").orderBy(F.col("freq").desc(), F.col("token"))
+    return (
+        pre.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select("prefix", "token", "freq", "rn")
+    )
