@@ -552,3 +552,78 @@ def length_bucket_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pad_tokens"
         ),
     )
+
+
+_RS_N = 1000          # resample size (number of drawn positions)
+_RS_SHARD = 250       # doc_id span per prefix-sum shard
+
+RESAMPLE_SYS_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS wt FROM documents
+), cum AS (
+  SELECT doc_id, wt,
+    CAST(SUM(wt) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - wt AS BIGINT)
+      AS cum_lo
+  FROM w
+), tot AS (SELECT CAST(SUM(wt) AS BIGINT) AS total FROM w),
+rng AS (
+  SELECT c.doc_id, c.wt, c.cum_lo,
+    -- odd integers m with m*total in [2N*cum_lo, 2N*(cum_lo+wt)):
+    -- m >= ceil(A/total), m <= ceil(B/total) - 1
+    (2 * {_RS_N} * c.cum_lo + t.total - 1) // t.total AS mlo,
+    (2 * {_RS_N} * (c.cum_lo + c.wt) + t.total - 1) // t.total - 1 AS mhi
+  FROM cum c, tot t
+)
+SELECT doc_id, wt, CAST(cum_lo AS BIGINT) AS cum_lo,
+  CAST((mhi + 1) // 2 - mlo // 2 AS BIGINT) AS n_copies
+FROM rng
+WHERE mhi >= mlo AND (mhi + 1) // 2 - mlo // 2 > 0
+"""
+
+
+@query(
+    "sample_weighted_systematic", oracle=RESAMPLE_SYS_ORACLE, category="llm-curation"
+)
+def sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted resampling WITH replacement (systematic
+    / low-variance bootstrap): N = 1000 equally-spaced positions over
+    the cumulative weight line select documents proportionally to
+    weight (n_chars) — heavy docs draw multiple copies, light docs
+    may draw none, and the copy counts ALWAYS sum to exactly N (the
+    property test). This is the resample-to-target-size primitive
+    behind corpus mixing and bagged training sets, with zero RNG
+    state: a pure function of the weights.
+
+    Each doc's copy count comes from a closed-form count of odd
+    integers m with m*total in [2N*cum_lo, 2N*cum_hi) — all BIGINT
+    ceil-division, no doubles. The running weight sum is the sharded
+    two-phase prefix sum (literal bases, the r4-flake-proof
+    construction), NOT a single-partition window; products stay in
+    int64 to total*2N < 2^63 (fold to DECIMAL(38,0) past ~4e15 total
+    weight)."""
+    from ..operators.packing import sharded_prefix_sum
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("wt")
+    )
+    cum = sharded_prefix_sum(d, id_col="doc_id", len_col="wt", shard_span=_RS_SHARD)
+    cum = cum.select(
+        "doc_id", "wt", (F.col("__base") + F.col("__local_start")).alias("cum_lo")
+    )
+    tot = d.agg(F.sum("wt").cast("bigint").alias("total"))
+    rng = cum.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "wt",
+        "cum_lo",
+        F.expr(f"(2 * {_RS_N} * cum_lo + total - 1) DIV total").alias("mlo"),
+        F.expr(
+            f"(2 * {_RS_N} * (cum_lo + wt) + total - 1) DIV total - 1"
+        ).alias("mhi"),
+    )
+    return rng.filter(F.col("mhi") >= F.col("mlo")).select(
+        "doc_id",
+        "wt",
+        F.col("cum_lo").cast("bigint").alias("cum_lo"),
+        F.expr("(mhi + 1) DIV 2 - mlo DIV 2").cast("bigint").alias("n_copies"),
+    ).filter(F.col("n_copies") > 0)

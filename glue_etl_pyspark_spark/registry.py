@@ -75,7 +75,7 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 # events_path_trigrams, dq_reconcile_amounts, and
 # embedding_feature_stats, events_cusum_shift, and the Spark-4 SQL
 # surface pair (sql_udf_declarative, sql_scripting_loop), ingest
-# replay dedup, and revenue share-of-region, plus the twenty-six closing
+# replay dedup, and revenue share-of-region, plus the twenty-seven closing
 # additions (PCA power iteration, GDPR cascade, k-anonymity, epoch
 # shuffle, skyline frontier, association rules, point-in-time join,
 # target encoding, linear multi-touch attribution, ROC threshold
@@ -84,9 +84,10 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 # containment dedup, hard-negative mining, corpus datasheet,
 # curriculum phases, mutual-NN pairing, join-skew report,
 # time-to-conversion histogram, triplet mining, langid confusion
-# matrix, autocomplete index, EWMA control chart) = 98 — 48 more
-# than the 50-slot window, so the last 48 plus the whole 38-name
-# r1-stale block overflow and lead round 6.
+# matrix, autocomplete index, EWMA control chart, systematic
+# weighted resampling) = 99 — 49 more than the 50-slot window, so
+# the last 49 plus the whole 38-name r1-stale block overflow and
+# lead round 6.
 # Pinned by tests/test_registry.py.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- never externally checked ---
@@ -200,6 +201,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "langid_confusion_matrix",
     "text_autocomplete_index",
     "events_ewma_control",
+    "sample_weighted_systematic",
     # --- stalest evidence: last green in ROUND 1 (first 5 of 38) ---
     "join_asof_purchase_click",
     "dedup_ngram_jaccard",

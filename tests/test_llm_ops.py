@@ -611,3 +611,19 @@ def test_semdedup_keeps_one_per_true_group(spark, sf_dir):
     assert groups_kept == set(range(20)), "some true group lost entirely"
     # heavy collapse: >=80% of the corpus is removed as semantic dups
     assert len(kept) <= 200, f"kept {len(kept)} - dedup barely fired"
+
+
+def test_systematic_resample_sums_to_n(spark, sf_dir):
+    """Systematic weighted resampling must draw EXACTLY N copies in
+    total (the low-variance guarantee), stably across shuffle widths
+    (the prefix-sum bases are literal data)."""
+    totals = []
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for parts in ("2", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            rows = _run(spark, sf_dir, "sample_weighted_systematic").collect()
+            totals.append(sum(r.n_copies for r in rows))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert totals == [1000, 1000]
