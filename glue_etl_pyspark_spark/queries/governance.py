@@ -316,3 +316,68 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("group_size"),
         (F.count(F.lit(1)) < _K_ANON).alias("at_risk"),
     )
+
+
+SCD3_ORACLE = """
+WITH feed AS (
+  SELECT o_custkey AS custkey, o_orderdate AS eff_ts,
+         o_orderpriority AS priority, o_orderkey AS change_id
+  FROM orders
+), ordered AS (
+  SELECT custkey, eff_ts, priority, change_id,
+    lag(priority) OVER w AS prev_priority
+  FROM feed
+  WINDOW w AS (PARTITION BY custkey ORDER BY eff_ts, change_id)
+), changes AS (
+  SELECT custkey, eff_ts, priority, change_id
+  FROM ordered
+  WHERE prev_priority IS NULL OR priority <> prev_priority
+)
+SELECT custkey,
+  priority AS current_priority,
+  lag(priority) OVER w AS previous_priority,
+  eff_ts AS changed_at,
+  CAST(row_number() OVER w AS BIGINT) AS n_changes
+FROM changes
+WINDOW w AS (PARTITION BY custkey ORDER BY eff_ts, change_id)
+QUALIFY row_number() OVER (PARTITION BY custkey
+                           ORDER BY eff_ts DESC, change_id DESC) = 1
+"""
+
+
+@query("scd3_previous_value", oracle=SCD3_ORACLE, category="governance")
+def scd3_previous_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 3 — current + previous attribute in ONE row per key
+    (the limited-history alternative to the Type 2 interval table):
+    collapse the change feed to change points (the scd2 machinery),
+    then keep each key's LATEST change carrying the lagged prior
+    value and the total change count. Same single (custkey | eff_ts,
+    change_id) shuffle as scd2; the latest-row cut is a QUALIFY over
+    the same partitioning."""
+    feed = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("eff_ts"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderkey").alias("change_id"),
+    )
+    w = Window.partitionBy("custkey").orderBy("eff_ts", "change_id")
+    changes = (
+        feed.withColumn("prev_priority", F.lag("priority").over(w))
+        .filter(
+            F.col("prev_priority").isNull()
+            | (F.col("priority") != F.col("prev_priority"))
+        )
+        .drop("prev_priority")
+    )
+    wd = Window.partitionBy("custkey").orderBy(
+        F.col("eff_ts").desc(), F.col("change_id").desc()
+    )
+    annotated = changes.select(
+        "custkey",
+        F.col("priority").alias("current_priority"),
+        F.lag("priority").over(w).alias("previous_priority"),
+        F.col("eff_ts").alias("changed_at"),
+        F.row_number().over(w).cast("bigint").alias("n_changes"),
+        F.row_number().over(wd).alias("__latest"),
+    )
+    return annotated.filter(F.col("__latest") == 1).drop("__latest")

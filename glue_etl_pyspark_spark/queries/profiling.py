@@ -314,3 +314,72 @@ def dq_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "key")
         .limit(10)
     )
+
+
+CDC_EXTRACT_ORACLE = """
+WITH old AS (
+  SELECT o_orderkey, o_orderstatus,
+    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 97 <> 0
+), new AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END
+      AS o_orderstatus,
+    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 89 <> 0
+)
+SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+  CASE WHEN o.o_orderkey IS NULL THEN 'I'
+       WHEN n.o_orderkey IS NULL THEN 'D'
+       ELSE 'U' END AS op,
+  n.o_orderstatus AS new_status, n.cents AS new_cents,
+  o.o_orderstatus AS old_status, o.cents AS old_cents
+FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+   OR o.o_orderstatus <> n.o_orderstatus OR o.cents <> n.cents
+"""
+
+
+@query("cdc_extract_changes", oracle=CDC_EXTRACT_ORACLE, category="profiling")
+def cdc_extract_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC EXTRACTION — the inverse of cdc_upsert_merge: derive the
+    I/U/D change feed from two table snapshots (old = keys % 97 != 0;
+    new = keys % 89 != 0 with every 11th status mutated), emitting
+    old and new images per changed key — what a snapshot-based
+    replication pipeline publishes downstream. Unchanged rows are
+    filtered INSIDE the full-outer join's projection, so the output
+    is change-sized, not table-sized.
+
+    Scale: one keyed full-outer join (both sides shuffle once on the
+    PK); image comparison is row-local. Exact integer cents."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    old = o.filter(F.col("o_orderkey") % 97 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("old_status"),
+        cents.alias("old_cents"),
+    )
+    new = o.filter(F.col("o_orderkey") % 89 != 0).select(
+        F.col("o_orderkey").alias("k2"),
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("new_status"),
+        cents.alias("new_cents"),
+    )
+    j = old.join(new, old.k == new.k2, "full_outer")
+    return j.filter(
+        F.col("k").isNull()
+        | F.col("k2").isNull()
+        | (F.col("old_status") != F.col("new_status"))
+        | (F.col("old_cents") != F.col("new_cents"))
+    ).select(
+        F.coalesce("k", "k2").alias("o_orderkey"),
+        F.when(F.col("k").isNull(), "I")
+        .when(F.col("k2").isNull(), "D")
+        .otherwise("U")
+        .alias("op"),
+        "new_status",
+        "new_cents",
+        "old_status",
+        "old_cents",
+    )
