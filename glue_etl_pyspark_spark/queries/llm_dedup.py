@@ -577,3 +577,73 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+JACCARD_PREFIX_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT doc_id + 10000,
+         array_to_string(({_DUCK_TOKS})[1:len({_DUCK_TOKS}) - 1], ' ')
+  FROM documents WHERE doc_id < 200
+),
+sh AS (
+  SELECT doc_id AS id, list_distinct(
+    CASE WHEN len(toks) < 3 THEN []
+         ELSE list_transform(range(1, len(toks) - 1),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS shs
+  FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM corpus)
+  WHERE len(toks) >= 3
+),
+inv AS (SELECT id, unnest(shs) AS shingle FROM sh),
+sizes AS (SELECT id, len(shs) AS n_sh FROM sh),
+shared AS (
+  SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS shared
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+  shared * 1.0 / (sa.n_sh + sb.n_sh - shared) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.75
+"""
+
+
+@query(
+    "dedup_jaccard_prefix", oracle=JACCARD_PREFIX_ORACLE, category="llm-dedup"
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PREFIX-FILTERED (AllPairs/SSJoin) Jaccard path with its own
+    external correctness row: 3-gram shingles saturate this corpus's
+    tiny vocabulary (avg df ~19), which is exactly the regime where
+    indexing only each doc's |sh| - ceil(tau*|sh|) + 1 globally-rarest
+    shingles prevents the df^2 candidate blowup a complete inverted
+    index suffers. Higher threshold (0.75) keeps the prefix short.
+    Candidate generation is lossless for pairs >= tau (the prefix
+    overlap guarantee); verification re-intersects the full hashed
+    shingle arrays. Same result as the complete-index path (equality
+    pinned in tests); this registration gives the ALGORITHM its own
+    driver evidence. Corpus bounded to 200 base docs + twins so the
+    vanilla-session window stages stay driver-cheap; the algorithm
+    path is identical at any size."""
+    corpus = _with_perturbed_copies(spark, sf_dir).filter(
+        (F.col("doc_id") % 10000) < 200
+    )
+    # the prefix path chains several windows/joins over a TINY frame:
+    # on a vanilla 200-partition session every stage pays 200 tasks.
+    # Pin the shuffle width for the materialization and restore (the
+    # streaming _state_partitions_conf stance applied to batch) — the
+    # driver evaluates queries sequentially, so the set/restore is
+    # race-free. eagerly materialize under the pinned width via
+    # localCheckpoint, then hand back a plain frame.
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        out = ngram_jaccard_pairs(
+            corpus, "doc_id", "text", n=3, threshold=0.75, prefix_filter=True
+        ).localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    return out
