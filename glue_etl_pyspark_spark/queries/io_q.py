@@ -567,3 +567,68 @@ def sink_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents"),
     )
+
+
+BINARYFILE_ORACLE = """
+WITH payload AS (
+  SELECT lang,
+    string_agg(text, chr(10) ORDER BY doc_id) AS body
+  FROM documents WHERE doc_id < 100 GROUP BY lang
+)
+SELECT lang || '.bin' AS file_name,
+  CAST(octet_length(encode(body)) AS BIGINT) AS n_bytes,
+  sha256(base64(encode(body))) AS content_sha256_b64
+FROM payload
+"""
+
+
+@query("scan_binary_files", oracle=BINARYFILE_ORACLE, category="source-sink")
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `binaryFile` source — the ingestion row every multimodal
+    pipeline starts from (images/audio arrive as opaque bytes): stage
+    one deterministic .bin file per language (newline-joined doc_id <
+    100 texts, UTF-8), then scan them back as (path, length, content)
+    and fingerprint the bytes. The oracle reconstructs the identical
+    payload from the documents view and hashes the same base64 text
+    (binary-vs-varchar casts differ between engines; base64 is the
+    portable byte identity).
+
+    Scale: binaryFile scans parallelize per file and prune with
+    pathGlobFilter; content stays opaque binary end to end — the
+    schema/plumbing half of the multimodal story, complementing the
+    mapInPandas codec kernels in operators/multimodal.py."""
+    import os
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    payloads = (
+        d.groupBy("lang")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda s: s["text"],
+                ),
+                "\n",
+            ).alias("body")
+        )
+        .collect()
+    )
+    stage = tempfile.mkdtemp(prefix="sgraft_binscan_")
+    for r in payloads:
+        with open(os.path.join(stage, f"{r['lang']}.bin"), "wb") as f:
+            f.write(r["body"].encode("utf-8"))
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(stage)
+    )
+    return bf.select(
+        F.element_at(F.split("path", "/"), -1).alias("file_name"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        # Spark's base64 is MIME-chunked (CRLF every 76 chars); strip
+        # to the unwrapped form DuckDB/python emit before hashing
+        F.sha2(
+            F.regexp_replace(F.base64("content"), "\r\n", ""), 256
+        ).alias("content_sha256_b64"),
+    )
