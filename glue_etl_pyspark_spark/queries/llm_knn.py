@@ -1297,3 +1297,27 @@ def knn_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neg_sim",
         (F.col("pos_sim") - F.col("neg_sim")).alias("margin"),
     )
+
+
+@query("knn_ivf_persisted", oracle=KNN_IVF_ORACLE, category="llm-knn")
+def knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN workflow: build the IVF index ONCE, persist
+    it as parquet (centroids + members partitioned by cent_id so a
+    probe reads only its clusters' files), reload, then serve the
+    search from the PERSISTED index. Same oracle as knn_ivf — the
+    save/load roundtrip must be value-lossless (floats come back
+    bit-identical from parquet), so the persisted search returns
+    exactly what the in-memory build returns. This is the row that
+    proves index amortization: train nightly, serve all day."""
+    import tempfile
+
+    from ..operators.similarity import ivf_build, ivf_load, ivf_save, ivf_search
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents, members = ivf_build(e, centroid_stride=31, lloyd_iters=2)
+    path = tempfile.mkdtemp(prefix="sgraft_ivf_idx_")
+    ivf_save(cents, members, path)
+    cents2, members2 = ivf_load(spark, path)
+    return ivf_search(
+        e.filter(F.col("vec_id") < 20), cents2, members2, k=5, nprobe=10
+    )
