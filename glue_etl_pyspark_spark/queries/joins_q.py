@@ -370,3 +370,83 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("priority").alias("priority_at_ship"),
         "version",
     )
+
+
+_ASOF_TOL_US = 1_800_000_000  # 30 minutes
+
+ASOF_TOLERANCE_ORACLE = f"""
+WITH clicks AS (
+  SELECT user_id, ts, MAX(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+), u AS (
+  SELECT user_id, ts, 1 AS side, event_id, value,
+         CAST(NULL AS TIMESTAMP) AS click_ts, CAST(NULL AS DOUBLE) AS click_value
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, 0 AS side, NULL, NULL, ts, click_value FROM clicks
+), f AS (
+  SELECT user_id, ts, side, event_id, value,
+    last_value(click_ts IGNORE NULLS) OVER w AS click_ts,
+    last_value(click_value IGNORE NULLS) OVER w AS click_value
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, side
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, ts, value,
+  CASE WHEN click_ts IS NOT NULL
+        AND epoch_us(ts) - epoch_us(click_ts) <= {_ASOF_TOL_US}
+       THEN click_ts END AS click_ts,
+  CASE WHEN click_ts IS NOT NULL
+        AND epoch_us(ts) - epoch_us(click_ts) <= {_ASOF_TOL_US}
+       THEN click_value END AS click_value,
+  click_ts IS NOT NULL
+    AND epoch_us(ts) - epoch_us(click_ts) <= {_ASOF_TOL_US} AS fresh
+FROM f WHERE side = 1
+"""
+
+
+@query(
+    "join_asof_tolerance", oracle=ASOF_TOLERANCE_ORACLE, category="join"
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a STALENESS TOLERANCE (the feature-store
+    variant: a feature older than the bound must NOT be served): same
+    union+window machinery as join_asof_purchase_click, then matches
+    older than 30 minutes are nulled out and flagged — a purchase
+    with only a stale click behaves as unmatched. Staleness compares
+    exact epoch MICROseconds (the bot-burst discipline). One shuffle
+    on user_id; the tolerance is a row-local projection — the
+    100 TB-safe as-of shape is unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+        .withColumn("click_ts", F.col("ts"))
+    )
+    from ..operators.joins import asof_join
+
+    matched = asof_join(
+        purchases,
+        clicks.select("user_id", "ts", "click_ts", "click_value"),
+        on="ts",
+        by=["user_id"],
+        value_cols=["click_ts", "click_value"],
+    )
+    age_us = F.expr(
+        "unix_micros(cast(ts AS timestamp))"
+        " - unix_micros(cast(click_ts AS timestamp))"
+    )
+    fresh = F.col("click_ts").isNotNull() & (age_us <= _ASOF_TOL_US)
+    return matched.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.when(fresh, F.col("click_ts")).alias("click_ts"),
+        F.when(fresh, F.col("click_value")).alias("click_value"),
+        fresh.alias("fresh"),
+    )
