@@ -1671,3 +1671,91 @@ def events_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("lat_us").cast("bigint").alias("max_lat_us"),
         )
     )
+
+
+ROLLING_CORR_ORACLE = """
+WITH v AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events WHERE event_type = 'view' GROUP BY CAST(ts AS DATE)
+), p AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events WHERE event_type = 'purchase' GROUP BY CAST(ts AS DATE)
+), d AS (
+  SELECT COALESCE(v.day, p.day) AS day,
+    COALESCE(v.x, 0) AS x, COALESCE(p.y, 0) AS y
+  FROM v FULL OUTER JOIN p ON v.day = p.day
+), w AS (
+  SELECT day, x, y,
+    CAST(COUNT(*) OVER win AS BIGINT) AS n,
+    CAST(SUM(x) OVER win AS BIGINT) AS sx,
+    CAST(SUM(y) OVER win AS BIGINT) AS sy,
+    CAST(SUM(x * y) OVER win AS BIGINT) AS sxy,
+    CAST(SUM(x * x) OVER win AS BIGINT) AS sxx,
+    CAST(SUM(y * y) OVER win AS BIGINT) AS syy
+  FROM d
+  WINDOW win AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT day, x, y, n,
+  CAST(n * sxy - sx * sy AS BIGINT) AS corr_num,
+  CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+       THEN CAST(floor(
+         CAST(n * sxy - sx * sy AS DOUBLE)
+         / sqrt(CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE))
+         * 1000000) AS BIGINT)
+  END AS corr_ppm
+FROM w WHERE n = 7
+"""
+
+
+@query("events_rolling_correlation", oracle=ROLLING_CORR_ORACLE, category="analytics")
+def events_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling Pearson correlation between daily view and
+    purchase volumes — the co-movement monitor behind funnel-health
+    dashboards. All window sums are exact BIGINTs over the DAILY
+    aggregate (rows bounded by the calendar, not the data volume, so
+    the single ordered window is domain-bounded by construction); the
+    one unavoidable double — num / sqrt(denx*deny) — is a fixed IEEE
+    expression over exact integers, floor-pinned at ppm. Degenerate
+    (zero-variance) windows emit NULL."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").groupBy(
+        F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    p = e.filter(F.col("event_type") == "purchase").groupBy(
+        F.col("ts").cast("date").alias("day2")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    d = v.join(p, v.day == p.day2, "full").select(
+        F.coalesce("day", "day2").alias("day"),
+        F.coalesce("x", F.lit(0)).alias("x"),
+        F.coalesce("y", F.lit(0)).alias("y"),
+    )
+    win = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    w = d.select(
+        "day",
+        "x",
+        "y",
+        F.count(F.lit(1)).over(win).cast("bigint").alias("n"),
+        F.sum("x").over(win).cast("bigint").alias("sx"),
+        F.sum("y").over(win).cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(win).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(win).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(win).cast("bigint").alias("syy"),
+    ).filter(F.col("n") == 7)
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return w.select(
+        "day",
+        "x",
+        "y",
+        "n",
+        num.cast("bigint").alias("corr_num"),
+        F.when(
+            (denx > 0) & (deny > 0),
+            F.floor(
+                num.cast("double")
+                / F.sqrt((denx * deny).cast("double"))
+                * 1000000
+            ).cast("bigint"),
+        ).alias("corr_ppm"),
+    )
