@@ -1759,3 +1759,88 @@ def events_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint"),
         ).alias("corr_ppm"),
     )
+
+
+COHORT_LTV_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), rev AS (
+  SELECT f.cohort_week,
+    CAST(datediff('day', f.cohort_week, date_trunc('week', e.ts)) // 7 AS BIGINT)
+      AS week_offset,
+    CAST(SUM(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase'
+  GROUP BY f.cohort_week,
+    datediff('day', f.cohort_week, date_trunc('week', e.ts)) // 7
+), sized AS (
+  SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS n_buyers FROM firsts
+  GROUP BY cohort_week
+)
+SELECT CAST(r.cohort_week AS DATE) AS cohort_week, r.week_offset,
+  r.cents AS week_cents,
+  CAST(SUM(r.cents) OVER (PARTITION BY r.cohort_week ORDER BY r.week_offset
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS cum_cents,
+  s.n_buyers,
+  CAST(CAST(SUM(r.cents) OVER (PARTITION BY r.cohort_week ORDER BY r.week_offset
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    // s.n_buyers AS BIGINT) AS ltv_cents_per_buyer
+FROM rev r JOIN sized s ON r.cohort_week = s.cohort_week
+"""
+
+
+@query("cohort_ltv_curve", oracle=COHORT_LTV_ORACLE, category="analytics")
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves — the revenue companion to the
+    retention triangle: buyers cohort by the week of their FIRST
+    purchase; each (cohort, week-offset) cell carries that week's
+    exact purchase cents, the running cumulative, and cumulative LTV
+    per buyer (integer DIV). The table every growth model reads to
+    project payback windows.
+
+    Scale: first-purchase frame is buyers-sized; the revenue rollup
+    pre-aggregates to (cohort, offset) grain BEFORE the cumulative
+    window, so the window runs over the cohort-calendar grid (domain-
+    bounded), never over purchases."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    firsts = purchases.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    rev = (
+        purchases.join(firsts, "user_id")
+        .select(
+            "cohort_week",
+            F.expr(
+                "CAST(datediff(date_trunc('week', ts), cohort_week) DIV 7"
+                " AS BIGINT)"
+            ).alias("week_offset"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("c"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.sum("c").cast("bigint").alias("week_cents"))
+    )
+    sized = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_buyers")
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rev.join(sized, "cohort_week")
+        .select(
+            F.col("cohort_week").cast("date").alias("cohort_week"),
+            "week_offset",
+            "week_cents",
+            F.sum("week_cents").over(w).cast("bigint").alias("cum_cents"),
+            "n_buyers",
+        )
+        .withColumn(
+            "ltv_cents_per_buyer",
+            F.expr("cum_cents DIV n_buyers").cast("bigint"),
+        )
+    )
