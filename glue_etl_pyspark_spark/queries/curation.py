@@ -741,3 +741,68 @@ def curriculum_phase_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         F.expr("((rk - 1) * 4) DIV n + 1").cast("bigint").alias("phase"),
     )
+
+
+SAMPLER_CHI2_ORACLE = """
+WITH base AS (
+  SELECT lang,
+    CAST(COUNT(*) AS BIGINT) AS n_lang,
+    CAST(SUM(CASE WHEN ((doc_id % 1000000007) * 2654435761) % 4294967296
+                       < 429496730 THEN 1 ELSE 0 END) AS BIGINT) AS obs
+  FROM documents GROUP BY lang
+), tot AS (
+  SELECT CAST(SUM(n_lang) AS BIGINT) AS n_total,
+    CAST(SUM(obs) AS BIGINT) AS n_sel
+  FROM base
+)
+SELECT b.lang, b.n_lang, b.obs,
+  CAST((t.n_sel * b.n_lang * 1000000) // t.n_total AS BIGINT)
+    AS expected_micro,
+  CAST(((b.obs * t.n_total - t.n_sel * b.n_lang)
+        * (b.obs * t.n_total - t.n_sel * b.n_lang) * 1000000)
+       // (t.n_sel * b.n_lang * t.n_total) AS BIGINT) AS chi2_term_ppm
+FROM base b, tot t
+"""
+
+
+@query("dq_sampler_chi2", oracle=SAMPLER_CHI2_ORACLE, category="governance")
+def dq_sampler_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodness-of-fit audit of the deterministic hash sampler: per
+    language, the observed selection count vs the proportional
+    expectation and the chi-square contribution — the statistical QA
+    a pipeline runs to prove its ~10% subset is not biased by
+    language (a skewed hash would show a fat chi2 term). All exact
+    integer arithmetic: the per-term (obs*N - sel*n)^2 * 1e6 DIV
+    (sel*n*N) form clears the division without doubles; terms stay in
+    int64 to ~3e9 docs (fold to DECIMAL(38,0) beyond — msum stance).
+
+    One conditional aggregate pass, languages-sized output."""
+    d = load_table(spark, sf_dir, "documents")
+    sel = (
+        ((F.col("doc_id") % F.lit(1000000007)) * F.lit(2654435761))
+        % F.lit(4294967296)
+        < 429496730
+    )
+    base = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_lang"),
+        F.sum(F.when(sel, 1).otherwise(0)).cast("bigint").alias("obs"),
+    )
+    tot = base.agg(
+        F.sum("n_lang").cast("bigint").alias("n_total"),
+        F.sum("obs").cast("bigint").alias("n_sel"),
+    )
+    return base.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_lang",
+        "obs",
+        F.expr("(n_sel * n_lang * 1000000) DIV n_total")
+        .cast("bigint")
+        .alias("expected_micro"),
+        F.expr(
+            "((obs * n_total - n_sel * n_lang)"
+            " * (obs * n_total - n_sel * n_lang) * 1000000)"
+            " DIV (n_sel * n_lang * n_total)"
+        )
+        .cast("bigint")
+        .alias("chi2_term_ppm"),
+    )
