@@ -13,10 +13,13 @@ from ..io import load_table
 from ..operators.multimodal import attach_media, extract_features, resize_media
 from ..functions.vectors import cosine_similarity
 from ..operators.similarity import (
+    dot,
     embedding_dup_pairs,
     ivf_build,
     ivf_knn,
     knn_bruteforce,
+    l2_norm,
+    l2_normalize,
     lsh_knn,
 )
 from ..registry import query
@@ -1321,3 +1324,128 @@ def knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search(
         e.filter(F.col("vec_id") < 20), cents2, members2, k=5, nprobe=10
     )
+
+
+CLUSTER_MEDOID_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cent_id,
+         list_transform(v, x -> CAST(x AS DOUBLE)) AS cv
+       FROM e WHERE vec_id % 31 = 0),
+{_lloyd_cte("c0", "1")},
+{_lloyd_cte("c1", "2")},
+cent_sims AS (
+  SELECT a.vec_id, c.cent_id, {_COS.format(a="a.v", b="c.cv")} AS cs
+  FROM e a, c2 c, range(1, 65) r(i)
+  GROUP BY a.vec_id, c.cent_id
+),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
+    FROM cent_sims) WHERE rn = 1
+),
+sizes AS (
+  SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM assign GROUP BY cent_id
+),
+pairs AS (
+  SELECT a.cent_id, a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assign a JOIN assign b
+    ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id
+),
+ps AS (
+  SELECT p.cent_id, p.id_a, p.id_b,
+    CAST(floor(({_COS.format(a="va.v", b="vb.v")}) * 1e9) AS BIGINT) AS c9
+  FROM pairs p
+  JOIN e va ON va.vec_id = p.id_a
+  JOIN e vb ON vb.vec_id = p.id_b,
+  range(1, 65) r(i)
+  GROUP BY p.cent_id, p.id_a, p.id_b
+),
+scores AS (
+  SELECT cent_id, id_a AS vec_id, CAST(SUM(c9) AS BIGINT) AS score9
+  FROM ps GROUP BY cent_id, id_a
+),
+winners AS (
+  SELECT cent_id, vec_id, score9 FROM (
+    SELECT cent_id, vec_id, score9,
+      row_number() OVER (PARTITION BY cent_id ORDER BY score9 DESC, vec_id)
+        AS rn
+    FROM scores) WHERE rn = 1
+)
+SELECT w.cent_id, w.vec_id AS medoid_id, s.n_members, w.score9
+FROM winners w JOIN sizes s ON w.cent_id = s.cent_id
+UNION ALL
+SELECT s.cent_id, a.vec_id AS medoid_id, s.n_members,
+  CAST(0 AS BIGINT) AS score9
+FROM sizes s JOIN assign a ON a.cent_id = s.cent_id
+WHERE s.n_members = 1
+"""
+
+
+@query("cluster_medoids", oracle=CLUSTER_MEDOID_ORACLE, category="llm-knn")
+def cluster_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True MEDOID per k-means cluster — the member maximizing summed
+    cosine to its cluster peers (the representative SemDeDup keeps
+    when quality matters more than min-id): per-pair cosines floor to
+    the 1e-9 integer grid so the per-member sum is order-invariant
+    BIGINT; argmax ties break on vec_id; singleton clusters elect
+    their lone member at score 0.
+
+    Scale: the pair stage is the SemDeDup equi-join on cent_id —
+    quadratic only within a cluster (~sqrt(n) members at ncents ~
+    sqrt(n)); everything downstream is cluster-sized."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents, members = ivf_build(e, centroid_stride=31, lloyd_iters=2)
+    assign = members.select("cent_id", F.col("neighbor_id").alias("vec_id"))
+    sizes = assign.groupBy("cent_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+
+    def unit(col):
+        return F.when(l2_norm(col) == 0, F.lit(None)).otherwise(l2_normalize(col))
+
+    ev = e.select("vec_id", unit("embedding").alias("__u"))
+    a = assign.join(ev, "vec_id").select(
+        "cent_id", F.col("vec_id").alias("id_a"), F.col("__u").alias("__ua")
+    )
+    b = assign.join(ev, "vec_id").select(
+        "cent_id", F.col("vec_id").alias("id_b"), F.col("__u").alias("__ub")
+    )
+    ps = (
+        a.join(b, "cent_id")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            "cent_id",
+            "id_a",
+            F.floor(dot("__ua", "__ub") * F.lit(1e9)).cast("bigint").alias("c9"),
+        )
+    )
+    scores = ps.groupBy("cent_id", "id_a").agg(
+        F.sum("c9").cast("bigint").alias("score9")
+    )
+    w = Window.partitionBy("cent_id").orderBy(
+        F.col("score9").desc(), F.col("id_a")
+    )
+    winners = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cent_id", F.col("id_a").alias("w_id"), "score9")
+    )
+    multi = winners.join(sizes, "cent_id").select(
+        "cent_id",
+        F.col("w_id").alias("medoid_id"),
+        "n_members",
+        F.col("score9").cast("bigint").alias("score9"),
+    )
+    singles = (
+        sizes.filter(F.col("n_members") == 1)
+        .join(assign, "cent_id")
+        .select(
+            "cent_id",
+            F.col("vec_id").alias("medoid_id"),
+            "n_members",
+            F.lit(0).cast("bigint").alias("score9"),
+        )
+    )
+    return multi.unionAll(singles)

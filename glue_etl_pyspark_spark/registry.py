@@ -75,7 +75,7 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 # events_path_trigrams, dq_reconcile_amounts, and
 # embedding_feature_stats, events_cusum_shift, and the Spark-4 SQL
 # surface pair (sql_udf_declarative, sql_scripting_loop), ingest
-# replay dedup, and revenue share-of-region, plus the thirty-six closing
+# replay dedup, and revenue share-of-region, plus the thirty-seven closing
 # additions (PCA power iteration, GDPR cascade, k-anonymity, epoch
 # shuffle, skyline frontier, association rules, point-in-time join,
 # target encoding, linear multi-touch attribution, ROC threshold
@@ -87,9 +87,10 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 # matrix, autocomplete index, EWMA control chart, systematic
 # weighted resampling, CDC extraction, SCD Type 3, prefix-filtered
 # jaccard, binaryFile scan, persisted-IVF search, tolerant as-of,
-# rolling correlation, cohort LTV, sampler chi-square audit) = 108
-# — 58 more than the 50-slot window, so the last 58 plus the whole
-# 38-name r1-stale block overflow and lead round 6.
+# rolling correlation, cohort LTV, sampler chi-square audit,
+# cluster medoids) = 109 — 59 more than the 50-slot window, so the
+# last 59 plus the whole 38-name r1-stale block overflow and lead
+# round 6.
 # Pinned by tests/test_registry.py.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- never externally checked ---
@@ -213,6 +214,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_rolling_correlation",
     "cohort_ltv_curve",
     "dq_sampler_chi2",
+    "cluster_medoids",
     # --- stalest evidence: last green in ROUND 1 (first 5 of 38) ---
     "join_asof_purchase_click",
     "dedup_ngram_jaccard",

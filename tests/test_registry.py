@@ -114,7 +114,7 @@ def test_priority_window_targets_external_coverage_gaps():
             if n not in set(never_green) and n not in r5_changed_early
         ]
         assert not wasted, f"{missing} spilled while window wastes slots on {wasted}"
-        assert len(missing) <= 58, f"spill grew past the documented tail: {missing}"
+        assert len(missing) <= 59, f"spill grew past the documented tail: {missing}"
     # slots re-spent on already-green queries are ONLY the documented
     # round-5 changed set + the r1-stale refresh filler
     r5_changed = {
