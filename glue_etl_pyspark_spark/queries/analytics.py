@@ -1340,8 +1340,13 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.flatten(
                     F.transform(
                         "items",
+                        # length = size(items): slice clamps to the array
+                        # end, so every j > i partner is emitted — a
+                        # literal cap here would silently undercount
+                        # pairs for baskets wider than the cap ("no
+                        # silent caps"); size() is O(1) per element.
                         lambda a, i: F.transform(
-                            F.slice("items", i + 2, F.lit(64)),
+                            F.slice("items", i + 2, F.size("items")),
                             lambda pb: F.struct(a.alias("pa"), pb.alias("pb")),
                         ),
                     )
@@ -1700,7 +1705,8 @@ SELECT day, x, y, n,
   CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
        THEN CAST(floor(
          CAST(n * sxy - sx * sy AS DOUBLE)
-         / sqrt(CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE))
+         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
          * 1000000) AS BIGINT)
   END AS corr_ppm
 FROM w WHERE n = 7
@@ -1714,9 +1720,14 @@ def events_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     dashboards. All window sums are exact BIGINTs over the DAILY
     aggregate (rows bounded by the calendar, not the data volume, so
     the single ordered window is domain-bounded by construction); the
-    one unavoidable double — num / sqrt(denx*deny) — is a fixed IEEE
-    expression over exact integers, floor-pinned at ppm. Degenerate
-    (zero-variance) windows emit NULL."""
+    one unavoidable double — num / (sqrt(denx) * sqrt(deny)) — is a
+    fixed IEEE expression over exact integers, floor-pinned at ppm.
+    The two variance terms are cast to DOUBLE and square-rooted
+    SEPARATELY so no denx*deny BIGINT product (daily_count^4 — over
+    2^63 once daily counts reach ~1e4) is ever formed; the remaining
+    integer terms (n*sxx etc., daily_count^2-scale) stay exact to
+    ~1.1e9 events/day. Degenerate (zero-variance) windows emit
+    NULL."""
     e = load_table(spark, sf_dir, "events")
     v = e.filter(F.col("event_type") == "view").groupBy(
         F.col("ts").cast("date").alias("day")
@@ -1754,7 +1765,7 @@ def events_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (denx > 0) & (deny > 0),
             F.floor(
                 num.cast("double")
-                / F.sqrt((denx * deny).cast("double"))
+                / (F.sqrt(denx.cast("double")) * F.sqrt(deny.cast("double")))
                 * 1000000
             ).cast("bigint"),
         ).alias("corr_ppm"),

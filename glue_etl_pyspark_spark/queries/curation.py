@@ -754,14 +754,20 @@ WITH base AS (
   SELECT CAST(SUM(n_lang) AS BIGINT) AS n_total,
     CAST(SUM(obs) AS BIGINT) AS n_sel
   FROM base
+), wide AS (
+  SELECT b.lang, b.n_lang, b.obs,
+    CAST((CAST(t.n_sel AS HUGEINT) * b.n_lang * 1000000) // t.n_total
+         AS BIGINT) AS expected_micro
+  FROM base b, tot t
+), dev AS (
+  SELECT lang, n_lang, obs, expected_micro,
+    obs * 1000000 - expected_micro AS dev_micro
+  FROM wide
 )
-SELECT b.lang, b.n_lang, b.obs,
-  CAST((t.n_sel * b.n_lang * 1000000) // t.n_total AS BIGINT)
-    AS expected_micro,
-  CAST(((b.obs * t.n_total - t.n_sel * b.n_lang)
-        * (b.obs * t.n_total - t.n_sel * b.n_lang) * 1000000)
-       // (t.n_sel * b.n_lang * t.n_total) AS BIGINT) AS chi2_term_ppm
-FROM base b, tot t
+SELECT lang, n_lang, obs, expected_micro,
+  CAST((CAST(dev_micro AS HUGEINT) * dev_micro)
+       // GREATEST(expected_micro, 1) AS BIGINT) AS chi2_term_ppm
+FROM dev
 """
 
 
@@ -772,9 +778,17 @@ def dq_sampler_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     expectation and the chi-square contribution — the statistical QA
     a pipeline runs to prove its ~10% subset is not biased by
     language (a skewed hash would show a fat chi2 term). All exact
-    integer arithmetic: the per-term (obs*N - sel*n)^2 * 1e6 DIV
-    (sel*n*N) form clears the division without doubles; terms stay in
-    int64 to ~3e9 docs (fold to DECIMAL(38,0) beyond — msum stance).
+    integer arithmetic, reduced BEFORE squaring: the expectation is
+    floored to micro units (n_sel*n_lang*1e6 DIV n_total, accumulated
+    in DECIMAL(38,0)/HUGEINT so the triple product never touches
+    int64), the deviation dev_micro = obs*1e6 - expected_micro stays
+    int64 to ~9e12 docs per language, and dev_micro^2 is squared in
+    DECIMAL(38,0) (≤1e38) before the single integer division — the
+    unreduced (obs*N - sel*n)^2 form the first cut used crosses 2^63
+    around ~1e5 docs (ANSI Spark errors, DuckDB silently widens to
+    int128 and DIVERGES — the CLAUDE.md landmine class).
+    GREATEST(expected_micro, 1) guards the degenerate empty-sample
+    divisor on both engines.
 
     One conditional aggregate pass, languages-sized output."""
     d = load_table(spark, sf_dir, "documents")
@@ -791,17 +805,25 @@ def dq_sampler_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_lang").cast("bigint").alias("n_total"),
         F.sum("obs").cast("bigint").alias("n_sel"),
     )
-    return base.crossJoin(F.broadcast(tot)).select(
+    wide = base.crossJoin(F.broadcast(tot)).withColumn(
+        "expected_micro",
+        F.expr(
+            "(CAST(n_sel AS DECIMAL(38,0)) * n_lang * 1000000) DIV n_total"
+        ).cast("bigint"),
+    )
+    # dev_micro staged in its OWN withColumn (lateral-alias rule) so the
+    # decimal square below references the materialized column.
+    dev = wide.withColumn(
+        "dev_micro", F.expr("obs * 1000000 - expected_micro")
+    )
+    return dev.select(
         "lang",
         "n_lang",
         "obs",
-        F.expr("(n_sel * n_lang * 1000000) DIV n_total")
-        .cast("bigint")
-        .alias("expected_micro"),
+        "expected_micro",
         F.expr(
-            "((obs * n_total - n_sel * n_lang)"
-            " * (obs * n_total - n_sel * n_lang) * 1000000)"
-            " DIV (n_sel * n_lang * n_total)"
+            "(CAST(dev_micro AS DECIMAL(38,0)) * dev_micro)"
+            " DIV GREATEST(expected_micro, 1)"
         )
         .cast("bigint")
         .alias("chi2_term_ppm"),

@@ -596,9 +596,18 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: binaryFile scans parallelize per file and prune with
     pathGlobFilter; content stays opaque binary end to end — the
     schema/plumbing half of the multimodal story, complementing the
-    mapInPandas codec kernels in operators/multimodal.py."""
+    mapInPandas codec kernels in operators/multimodal.py.
+
+    NOTE on the collect() below: it is TEST SCAFFOLDING, not the
+    ingest path — it only fabricates the per-lang .bin fixtures this
+    demo scans (one tiny row per language, staged under the atexit-
+    cleaned scratch root). At scale, binary payloads originate ON
+    STORAGE (object store / DFS paths) and the binaryFile reader
+    scans them directly; production ingest never routes bytes
+    through the driver."""
     import os
-    import tempfile
+
+    from ..sources.formats import staging_dir
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     payloads = (
@@ -614,7 +623,7 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .collect()
     )
-    stage = tempfile.mkdtemp(prefix="sgraft_binscan_")
+    stage = staging_dir("sgraft_binscan_")
     for r in payloads:
         with open(os.path.join(stage, f"{r['lang']}.bin"), "wb") as f:
             f.write(r["body"].encode("utf-8"))

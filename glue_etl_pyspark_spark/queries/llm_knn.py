@@ -1311,14 +1311,16 @@ def knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     save/load roundtrip must be value-lossless (floats come back
     bit-identical from parquet), so the persisted search returns
     exactly what the in-memory build returns. This is the row that
-    proves index amortization: train nightly, serve all day."""
-    import tempfile
-
+    proves index amortization: train nightly, serve all day. The
+    staged index lives under the atexit-cleaned scratch root
+    (sources.formats.staging_dir) — it must outlive this LAZY result
+    frame, so cleanup happens at process exit, not here."""
     from ..operators.similarity import ivf_build, ivf_load, ivf_save, ivf_search
+    from ..sources.formats import staging_dir
 
     e = load_table(spark, sf_dir, "embeddings")
     cents, members = ivf_build(e, centroid_stride=31, lloyd_iters=2)
-    path = tempfile.mkdtemp(prefix="sgraft_ivf_idx_")
+    path = staging_dir("sgraft_ivf_idx_")
     ivf_save(cents, members, path)
     cents2, members2 = ivf_load(spark, path)
     return ivf_search(
@@ -1402,15 +1404,29 @@ def cluster_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members")
     )
 
-    def unit(col):
-        return F.when(l2_norm(col) == 0, F.lit(None)).otherwise(l2_normalize(col))
-
-    ev = e.select("vec_id", unit("embedding").alias("__u"))
+    # Norms factored OUT as columns; the pair cosine is dot(raw)/(na*nb)
+    # — the SAME IEEE expression tree as the oracle's _COS (sum of raw
+    # products over a materialized norm product).  The earlier
+    # pre-normalized form (sum of (xi/na)*(yi/nb)) evaluates a different
+    # tree that lands ~0.04% of pair cells on a different floor(x*1e9)
+    # grid cell (divergence up to 1.4e-15) — a latent driver-hash flake
+    # even though both scale factors happened to pass.
+    ev = e.select(
+        "vec_id",
+        F.col("embedding").alias("__v"),
+        l2_norm("embedding").alias("__n"),
+    )
     a = assign.join(ev, "vec_id").select(
-        "cent_id", F.col("vec_id").alias("id_a"), F.col("__u").alias("__ua")
+        "cent_id",
+        F.col("vec_id").alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
     )
     b = assign.join(ev, "vec_id").select(
-        "cent_id", F.col("vec_id").alias("id_b"), F.col("__u").alias("__ub")
+        "cent_id",
+        F.col("vec_id").alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
     )
     ps = (
         a.join(b, "cent_id")
@@ -1418,7 +1434,13 @@ def cluster_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "cent_id",
             "id_a",
-            F.floor(dot("__ua", "__ub") * F.lit(1e9)).cast("bigint").alias("c9"),
+            F.floor(
+                dot("__va", "__vb")
+                / (F.col("__na") * F.col("__nb"))
+                * F.lit(1e9)
+            )
+            .cast("bigint")
+            .alias("c9"),
         )
     )
     scores = ps.groupBy("cent_id", "id_a").agg(

@@ -686,18 +686,19 @@ def stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: state rows = distinct keys, partitioned across the
     checkpoint's state stores; the reader is a normal parallel scan
     over them. A fresh checkpoint dir per call keeps reruns and
-    different SFs isolated."""
-    import tempfile
-
+    different SFs isolated; it lives under the atexit-cleaned scratch
+    root since the lazy statestore frame reads it at collect time."""
+    from ..sources.formats import staging_dir
     from ..streaming.ops import _state_partitions_conf
 
-    ckpt = tempfile.mkdtemp(prefix="sgraft_state_inspect_")
+    ckpt = staging_dir("sgraft_state_inspect_")
     s = events_stream(spark, sf_dir).select("event_type")
     agg = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     import os as _os
 
     # NOTE: ckpt must outlive the returned (lazy) DataFrame — the
-    # statestore scan reads it at collection time, so no cleanup here.
+    # statestore scan reads it at collection time, so no cleanup here;
+    # the scratch root it lives under is removed atexit.
     name = f"state_inspect_{_os.getpid()}_{id(ckpt)}"
     with _state_partitions_conf(spark, 8):
         q = (

@@ -50,110 +50,40 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 
 
 # The driver checks the FIRST 50 queries in ``queries()`` dict-insertion
-# order (confirmed rounds 1-4; r4 checked exactly the first 50 names,
-# stopping right before agg_histogram).  Round-5 window (audited):
-# 1 never-checked (agg_histogram) + 2 r4 hash-FAILs re-fixed
-# (pack determinism rework) + 6 whose values or oracles changed this
-# round (mix fold / surprisal floor / pagerank floor / msum x2 /
-# sharded bucket packing) + 28 new round-5 queries (12 early + 16
-# late: entropy gate / source cap / bigram PMI / minhash
-# contamination / triangle counting / BPE merges / weighted A-ES
-# sampling / winsorize bounds / Markov transitions / analyze-time
-# UDTF / hourly rolling window / PQ-ADC knn / portable hyperplane
-# LSH / equi-depth histogram / MAD outliers / PQ+rerank two-stage)
-# + 8 post-sweep additions (portable + grouped HLL, sampled
-# quantiles, boilerplate strip, bigram LM, SemDeDup, seasonal
-# baseline, incremental agg merge) + 9 final additions (table
-# profile, snapshot diff, zone-map pruning, substring-span dedup,
-# decayed popularity, last-touch attribution, linear quality
-# classifier, fuzzy record linkage, DAU/WAU, BPE tokenizer apply,
-# custom-sink two-phase-commit roundtrip, mean-pool embeddings,
-# PSI drift monitor, inverted index, bot-burst detection) plus the
-# newly-unblocked sink_avro_roundtrip and sink_jdbc_roundtrip (the
-# two env-partial rows, both closed this round) = 62 never-checked/
-# changed names, plus hybrid_search_rrf, events_rolling_median,
-# events_path_trigrams, dq_reconcile_amounts, and
-# embedding_feature_stats, events_cusum_shift, and the Spark-4 SQL
-# surface pair (sql_udf_declarative, sql_scripting_loop), ingest
-# replay dedup, and revenue share-of-region, plus the thirty-seven closing
-# additions (PCA power iteration, GDPR cascade, k-anonymity, epoch
-# shuffle, skyline frontier, association rules, point-in-time join,
-# target encoding, linear multi-touch attribution, ROC threshold
-# sweep, statestore state inspection, mapInArrow, CMS join-size
-# estimate, histogram range selectivity, robust per-dim scaling,
-# containment dedup, hard-negative mining, corpus datasheet,
-# curriculum phases, mutual-NN pairing, join-skew report,
-# time-to-conversion histogram, triplet mining, langid confusion
-# matrix, autocomplete index, EWMA control chart, systematic
-# weighted resampling, CDC extraction, SCD Type 3, prefix-filtered
-# jaccard, binaryFile scan, persisted-IVF search, tolerant as-of,
-# rolling correlation, cohort LTV, sampler chi-square audit,
-# cluster medoids) = 109 — 59 more than the 50-slot window, so the
-# last 59 plus the whole 38-name r1-stale block overflow and lead
-# round 6.
+# order (confirmed rounds 1-5; r5 checked exactly the first 50 names,
+# stopping right before dedup_substring_spans).
+#
+# ROUND-6 WINDOW (evidence round — VERDICT r5 item 1): 59 priority
+# names have never met the driver (the r5 breadth outran the window).
+# The window leads with the seven of those whose code CHANGED this
+# round (the ADVICE r5 fixes: cluster_medoids cosine-tree alignment,
+# dq_sampler_chi2 overflow-safe decimal form, events_rolling_correlation
+# sqrt split, basket_association_rules cap removal, and the
+# staging-dir/atexit rework under knn_ivf_persisted, scan_binary_files,
+# stream_state_inspect), then multimodal_features (the board's one
+# stale-err: its r3 row was a driver-hasher crash; r4 recorded
+# rows=500 but the judge still counts it weak — one explicit fresh
+# row closes it), then the remaining 52 never-checked names in their
+# round-5 registration order.  7 + 1 + 42 = 50; the last 10 spill and
+# lead round 7 together with the two never-checked rows-only streaming
+# queries and the r1-stale refresh block.
 # Pinned by tests/test_registry.py.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- never externally checked ---
-    "agg_histogram",
-    # --- r4 hash-FAIL, determinism reworked this round ---
-    "doc_pack_sequences",
-    "llm_training_manifest",
-    # --- values/oracle changed in round 5 (need fresh evidence) ---
-    "corpus_mix_resample",
-    "text_idf_quality",
-    "graph_pagerank_topk",
-    "q1_pricing_summary",
-    "agg_rollup",
-    "length_bucket_packing",
-    # --- env-partial row CLOSED this round: avro now runs end-to-end
-    # via the spark-sql-bundled AvroFileFormat (needs first evidence) ---
-    "sink_avro_roundtrip",
-    "sink_jdbc_roundtrip",
-    # --- new round-5 queries ---
-    "curation_token_budget",
-    "curation_quality_gate",
-    "text_oov_rate",
-    "dq_fk_orphans",
-    "events_gap_fill_hourly",
-    "corpus_split_assign",
-    "text_bm25_topk",
-    "dedup_minhash_portable",
-    "dedup_incremental_batch",
-    "text_tokenize_to_ids",
-    "dedup_cluster_canonical",
-    "sample_stratified_exact",
-    # --- late-round-5 additions (never checked; displace 4 stale slots) ---
-    "text_entropy_gate",
-    "curation_source_cap",
-    "text_bigram_pmi",
-    "contamination_minhash",
-    "graph_triangles_topk",
-    "vocab_bpe_merges",
-    "sample_weighted_noreplace",
-    "events_winsorize_bounds",
-    "events_markov_transitions",
-    "udtf_analyze_dynamic",
-    "events_rolling_hourly",
-    "knn_pq_adc",
-    "embedding_lsh_portable",
-    "agg_histogram_equidepth",
-    "dq_outliers_mad",
-    "knn_pq_rerank",
-    # --- post-sweep round-5 additions (never checked; displace 6 more
-    # stale slots — same never-green-outranks-stale rule) ---
-    "agg_hll_portable",
-    "text_boilerplate_strip",
-    "text_bigram_lm_score",
-    "dedup_semantic_clusters",
-    "agg_hll_grouped",
-    "agg_quantiles_sampled",
-    "events_seasonal_baseline",
-    "agg_incremental_merge",
-    # --- final round-5 additions (never checked; the last 2 plus the
-    # stale block overflow the 50-slot window and lead round 6) ---
-    "profile_table_stats",
-    "snapshot_diff",
-    "scan_zonemap_prune",
+    # --- ADVICE-r5-changed, never externally checked: fresh code
+    # needs fresh evidence FIRST (all seven re-verified vs their
+    # oracles at sf0.01 AND sf0.1 after the change) ---
+    "cluster_medoids",
+    "dq_sampler_chi2",
+    "events_rolling_correlation",
+    "basket_association_rules",
+    "knn_ivf_persisted",
+    "scan_binary_files",
+    "stream_state_inspect",
+    # --- the board's one stale-err (r3 hasher crash; rows-only;
+    # r4 already recorded rows=500 but an explicit fresh row ends it) ---
+    "multimodal_features",
+    # --- round-5 overflow: never externally checked, original
+    # registration order (42 fit; the last 10 spill to round 7) ---
     "dedup_substring_spans",
     "events_decayed_popularity",
     "events_attribution_last_touch",
@@ -176,19 +106,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sql_scripting_loop",
     "ingest_dedup_replay",
     "revenue_share_of_region",
-    # --- closing round-5 additions (never checked; past the 50-slot
-    # cutoff, so they lead round 6 with the rest of the overflow) ---
     "embedding_pca_power",
     "gdpr_erasure_cascade",
     "dq_k_anonymity",
     "epoch_shuffle_shards",
     "skyline_parts_frontier",
-    "basket_association_rules",
     "join_point_in_time",
     "feature_target_encode",
     "events_attribution_linear",
     "quality_gate_roc_sweep",
-    "stream_state_inspect",
     "udf_mapinarrow",
     "sketch_join_cardinality",
     "hist_range_selectivity",
@@ -200,6 +126,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "knn_mutual_nn",
     "dq_join_skew_report",
     "events_time_to_conversion",
+    # ================= 50-slot window cutoff =================
+    # --- never-checked spill: leads round 7 ---
     "knn_triplet_mining",
     "langid_confusion_matrix",
     "text_autocomplete_index",
@@ -208,20 +136,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "cdc_extract_changes",
     "scd3_previous_value",
     "dedup_jaccard_prefix",
-    "scan_binary_files",
-    "knn_ivf_persisted",
     "join_asof_tolerance",
-    "events_rolling_correlation",
     "cohort_ltv_curve",
-    "dq_sampler_chi2",
-    "cluster_medoids",
-    # --- stalest evidence: last green in ROUND 1 (first 5 of 38) ---
+    # --- never-checked rows-only streaming pair ---
+    "stream_stream_join_outer",
+    "stream_stateful_timeout_sessions",
+    # --- stalest evidence: last green in ROUND 1 (38-name block) ---
     "join_asof_purchase_click",
     "dedup_ngram_jaccard",
     "skew_salted_join",
     "bucketed_join",
     "dpp_partitioned_join",
-    # --- overflow: lead round 6 ---
     "cdc_upsert_merge",
     "agg_decimal_exact",
     "agg_distinct",

@@ -15,7 +15,9 @@ tests/test_plans.py).
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -23,13 +25,32 @@ from pyspark.sql import DataFrame, SparkSession
 _SCRATCH_ROOT: str | None = None
 
 
-def scratch_dir(label: str) -> str:
-    """A per-process scratch directory for sink round-trips."""
+def _scratch_root() -> str:
+    """The per-process scratch root, removed at interpreter exit.
+
+    atexit (not eager cleanup) because several callers return LAZY
+    frames that read their staging dir only when the driver collects —
+    the dir must outlive the DataFrame, and process exit is the first
+    moment that is guaranteed. This bounds the former per-run /tmp
+    leak (IVF index copies, .bin staging, statestore checkpoints) to
+    one root per process, deleted on exit."""
     global _SCRATCH_ROOT
     if _SCRATCH_ROOT is None:
         _SCRATCH_ROOT = tempfile.mkdtemp(prefix="glue_etl_pyspark_spark_io_")
-    d = os.path.join(_SCRATCH_ROOT, label)
-    return d
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    return _SCRATCH_ROOT
+
+
+def scratch_dir(label: str) -> str:
+    """A per-process scratch directory for sink round-trips."""
+    return os.path.join(_scratch_root(), label)
+
+
+def staging_dir(prefix: str) -> str:
+    """A unique staging directory under the atexit-cleaned scratch
+    root — for queries that persist an artifact (IVF index, binary
+    fixture, streaming checkpoint) a lazy result frame later reads."""
+    return tempfile.mkdtemp(prefix=prefix, dir=_scratch_root())
 
 
 def write_csv(df: DataFrame, path: str, header: bool = True, sep: str = ",") -> str:

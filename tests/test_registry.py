@@ -65,79 +65,34 @@ def test_registry_order_is_priority_prefix():
 
 
 def test_priority_window_targets_external_coverage_gaps():
-    """Round-5 rotation: the driver window (first 50) leads with the
-    only never-checked query (agg_histogram), then the two r4
-    hash-FAILs whose packer was reworked, then every query whose
-    values or oracle CHANGED in round 5 (they are green in old rounds
-    but that evidence no longer describes the shipped code), then the
-    six new round-5 queries, and fills the rest with the stalest
-    (round-1-green) refresh block."""
+    """Round-6 rotation (evidence round): every slot of the driver
+    window (first 50) is spent on a query that has NEVER been
+    externally checked through round 5 — with two documented
+    exceptions: multimodal_features (the board's one stale-err: its r3
+    row was a driver-hasher crash, its r4 row rows-only) and any
+    ADVICE-r5-changed query (fresh code, fresh evidence). No slot is
+    wasted on a merely-stale refresh while never-checked names spill."""
     import json
     import pathlib
 
     root = pathlib.Path(__file__).resolve().parents[1]
-    green: set[str] = set()
-    for fname in (
-        "CORRECTNESS_r01.json",
-        "CORRECTNESS_r02.json",
-        "CORRECTNESS_r03.json",
-        "CORRECTNESS_r04.json",
-    ):
-        for n, row in json.loads((root / fname).read_text()).items():
-            if isinstance(row, dict) and row.get("hash_match"):
-                green.add(n)
+    ever_checked: set[str] = set()
+    for r in range(1, 6):
+        fname = f"CORRECTNESS_r{r:02d}.json"
+        ever_checked |= set(json.loads((root / fname).read_text()))
     specs = load_all()
     names = list(specs)[:50]
-    assert names[0] == "agg_histogram"
-    # the r4 hash-FAIL pair must re-earn evidence immediately
-    assert "doc_pack_sequences" in names[:3]
-    assert "llm_training_manifest" in names[:3]
-    # every oracled query with NO hash-green row through r4 sits inside
-    # — unless the window is already saturated with never-green names,
-    # in which case only the documented final-additions tail may spill
-    never_green = [
-        n for n in specs if specs[n].oracle is not None and n not in green
-    ]
-    missing = [n for n in never_green if n not in names]
-    if missing:
-        # a spill is legitimate ONLY when every window slot is spent on
-        # a never-green name or a documented round-5 value-change (no
-        # slot wasted on a merely-stale refresh)
-        r5_changed_early = {
-            "doc_pack_sequences", "llm_training_manifest",
-            "corpus_mix_resample", "text_idf_quality",
-            "graph_pagerank_topk", "q1_pricing_summary",
-            "agg_rollup", "length_bucket_packing",
-        }
-        wasted = [
-            n for n in names
-            if n not in set(never_green) and n not in r5_changed_early
-        ]
-        assert not wasted, f"{missing} spilled while window wastes slots on {wasted}"
-        assert len(missing) <= 59, f"spill grew past the documented tail: {missing}"
-    # slots re-spent on already-green queries are ONLY the documented
-    # round-5 changed set + the r1-stale refresh filler
-    r5_changed = {
-        "doc_pack_sequences", "llm_training_manifest", "corpus_mix_resample",
-        "text_idf_quality", "graph_pagerank_topk", "q1_pricing_summary",
-        "agg_rollup", "length_bucket_packing",
+    advice_changed = {
+        "cluster_medoids", "dq_sampler_chi2", "events_rolling_correlation",
+        "basket_association_rules", "knn_ivf_persisted", "scan_binary_files",
+        "stream_state_inspect",
     }
-    r1_only: set[str] = set()
-    r1 = json.loads((root / "CORRECTNESS_r01.json").read_text())
-    later: set[str] = set()
-    for fname in (
-        "CORRECTNESS_r02.json",
-        "CORRECTNESS_r03.json",
-        "CORRECTNESS_r04.json",
-    ):
-        for n, row in json.loads((root / fname).read_text()).items():
-            if isinstance(row, dict) and row.get("hash_match"):
-                later.add(n)
-    for n, row in r1.items():
-        if isinstance(row, dict) and row.get("hash_match") and n not in later:
-            r1_only.add(n)
-    unexplained = [
+    # the changed queries lead the window
+    assert set(names[:7]) == advice_changed
+    assert names[7] == "multimodal_features"
+    wasted = [
         n for n in names
-        if n in green and n not in r5_changed and n not in r1_only
+        if n in ever_checked and n not in advice_changed
+        and n != "multimodal_features"
     ]
-    assert not unexplained, f"window wastes slots on {unexplained}"
+    assert not wasted, f"window wastes slots on already-checked {wasted}"
