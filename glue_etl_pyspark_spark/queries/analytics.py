@@ -1136,7 +1136,8 @@ WITH rev AS (
   FROM rev GROUP BY region
 )
 SELECT rev.region, rev.nation, rev.cents, tot.region_cents,
-  CAST(rev.cents * 1000000 // tot.region_cents AS BIGINT) AS share_ppm
+  CAST(CAST(rev.cents AS HUGEINT) * 1000000 // tot.region_cents AS BIGINT)
+    AS share_ppm
 FROM rev JOIN tot ON rev.region = tot.region
 """
 
@@ -1146,9 +1147,12 @@ def revenue_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percent-of-parent contribution: each nation's share of its
     region's revenue — the BI drill-down ratio behind every treemap.
     Revenue is exact integer cents and the share is integer ppm
-    (cents*1e6 div region_cents) so both engines agree at every
-    boundary; dimensions broadcast, one fact aggregation, then a
-    groups-sized self-aggregate join (no window over the fact)."""
+    (cents*1e6 div region_cents, with the product in
+    DECIMAL(38,0)/HUGEINT — a 100 TB region's revenue is ~1e16 cents,
+    so the int64 product dies while the ppm quotient always fits) so
+    both engines agree at every boundary; dimensions broadcast, one
+    fact aggregation, then a groups-sized self-aggregate join (no
+    window over the fact)."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
@@ -1172,7 +1176,9 @@ def revenue_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nation",
         "cents",
         "region_cents",
-        F.expr("cents * 1000000 div region_cents").cast("bigint").alias("share_ppm"),
+        F.expr("CAST(cents AS DECIMAL(38,0)) * 1000000 div region_cents")
+        .cast("bigint")
+        .alias("share_ppm"),
     )
 
 

@@ -1026,7 +1026,8 @@ SELECT dim,
   CAST(SUM(v6) AS BIGINT) AS sum_e6,
   CAST(MIN(v6) AS BIGINT) AS min_e6,
   CAST(MAX(v6) AS BIGINT) AS max_e6,
-  CAST(COUNT(*) * SUM(v6 * v6) - SUM(v6) * SUM(v6) AS BIGINT) AS var_num_e12
+  CAST((COUNT(*) * SUM(CAST(v6 AS HUGEINT) * v6) - SUM(v6) * SUM(v6))
+       // (CAST(COUNT(*) AS HUGEINT) * COUNT(*)) AS BIGINT) AS var_e12
 FROM comp GROUP BY dim
 """
 
@@ -1036,14 +1037,19 @@ def embedding_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension feature-scaling statistics — the preprocessing
     pass behind standardization / min-max normalization of an
     embedding (or tabular feature) matrix. Components floor-scale to
-    exact 1e6 integers, so count/sum/min/max AND the variance
-    numerator n*Σx²-(Σx)² are pure BIGINT algebra: order-invariant,
-    engine-exact (a naive double Σx² drifts under re-partitioning —
-    same rule as `embedding_pool_mean`). Consumers derive mean and
-    std losslessly from (sum, var_num, n). One narrow posexplode, one
-    64-group map-side-combined aggregate; magnitudes stay under 2^63
-    to ~1e9 vectors per the docring bound — past that, fold to
-    DECIMAL(38,0) exactly as `functions.money.msum` does."""
+    exact 1e6 integers, so count/sum/min/max AND the variance are pure
+    integer algebra: order-invariant, engine-exact (a naive double Σx²
+    drifts under re-partitioning — same rule as
+    `embedding_pool_mean`). The variance ships as the exact population
+    variance in 1e-12 units, (n*Σx² - (Σx)²) DIV n², with Σx² and the
+    products accumulated in DECIMAL(38,0)/HUGEINT — the raw numerator
+    n*Σx²-(Σx)² grows as n²·1e12 and crosses 2^63 at only ~3k vectors
+    (an earlier cut shipped it as the output column: green at sf0.1's
+    2k vectors, an ANSI overflow error one scale notch up, and a
+    silent DuckDB int128 divergence — the audited landmine class),
+    while the DIV-n² form is corpus-size-invariant (≤ range²·1e12)
+    and exact to ~3e12 vectors in the decimal intermediate. One narrow
+    posexplode, one 64-group map-side-combined aggregate."""
     e = load_table(spark, sf_dir, "embeddings")
     comp = e.select(F.posexplode("embedding").alias("dim", "val")).select(
         "dim",
@@ -1051,17 +1057,27 @@ def embedding_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("v6"),
     )
-    return comp.groupBy("dim").agg(
+    stats = comp.groupBy("dim").agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("v6").cast("bigint").alias("sum_e6"),
         F.min("v6").cast("bigint").alias("min_e6"),
         F.max("v6").cast("bigint").alias("max_e6"),
-        (
-            F.count("*") * F.sum(F.col("v6") * F.col("v6"))
-            - F.sum("v6") * F.sum("v6")
+        # Σx² in DECIMAL(38,0): the bigint sum alone overflows at ~1e6
+        # vectors (Σv6² ~ n·1e13)
+        F.sum(F.col("v6").cast("decimal(38,0)") * F.col("v6")).alias("__ssq"),
+    )
+    return stats.select(
+        "dim",
+        "n",
+        "sum_e6",
+        "min_e6",
+        "max_e6",
+        F.expr(
+            "(n * __ssq - CAST(sum_e6 AS DECIMAL(38,0)) * sum_e6)"
+            " DIV (CAST(n AS DECIMAL(38,0)) * n)"
         )
         .cast("bigint")
-        .alias("var_num_e12"),
+        .alias("var_e12"),
     )
 
 

@@ -357,9 +357,12 @@ def line_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # masked iff the Knuth hash of (d * 1000003 + b) clears a 15% (of
 # 2^32) threshold — whole 3-token blocks drop, approximating T5's
 # mean-span-3 noise with pure BIGINT math both engines replay exactly.
-# The pre-hash is folded mod 1e9+7 BEFORE the Knuth multiply so the
-# product stays under 2^63 (ANSI overflow at sf0.1 doc_ids otherwise;
-# DuckDB would silently widen to int128 and diverge).
+# BOTH multiplies fold mod 1e9+7 first: doc_id folds before the
+# *1000003 pre-mix (unfolded, doc_ids past ~9e12 overflow that
+# product) and the mixed value folds again before the Knuth multiply
+# (ANSI overflow at sf0.1 doc_ids otherwise; DuckDB would silently
+# widen to int128 and diverge). Folding first is value-identical:
+# (d*k) mod p == ((d mod p)*k) mod p.
 _SPAN_THR = 644245094  # floor(0.15 * 2^32)
 
 SPAN_CORRUPT_ORACLE = f"""
@@ -375,7 +378,8 @@ pos AS (
 ),
 flagged AS (
   SELECT doc_id, n_tokens, pos,
-    CASE WHEN (((doc_id * 1000003 + pos // 3) % 1000000007) * 2654435761)
+    CASE WHEN ((((doc_id % 1000000007) * 1000003 + pos // 3) % 1000000007)
+               * 2654435761)
               % 4294967296 < {_SPAN_THR} THEN 1 ELSE 0 END AS masked
   FROM pos
 )
@@ -408,7 +412,8 @@ def span_corruption_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = pos.withColumn(
         "masked",
         F.when(
-            (((F.col("doc_id") * 1000003 + F.floor(F.col("pos") / 3))
+            ((((F.col("doc_id") % 1000000007) * 1000003
+               + F.floor(F.col("pos") / 3))
               % 1000000007)
              * 2654435761) % 4294967296
             < _SPAN_THR,

@@ -269,9 +269,9 @@ stats AS (
 )
 SELECT k.key, k.cnt,
   CAST((k.cnt * 1000000) // s.total_rows AS BIGINT) AS share_ppm,
-  CAST((s.max_cnt * s.n_keys * 1000000) // s.total_rows AS BIGINT)
-    AS skew_factor_ppm,
-  CAST(s.max_cnt * s.n_keys // s.total_rows + 1 AS BIGINT)
+  CAST((CAST(s.max_cnt AS HUGEINT) * s.n_keys * 1000000) // s.total_rows
+       AS BIGINT) AS skew_factor_ppm,
+  CAST(CAST(s.max_cnt AS HUGEINT) * s.n_keys // s.total_rows + 1 AS BIGINT)
     AS suggested_salt
 FROM k, stats s
 ORDER BY k.cnt DESC, k.key
@@ -286,7 +286,11 @@ def dq_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     overall skew factor (max key count vs the uniform expectation,
     ppm), and the salt fan-out that would level the heaviest key —
     all exact integer math from one map-side-combined key-count
-    aggregate. The skew_salted_join operator consumes exactly this
+    aggregate. The max_cnt*n_keys*1e6 product runs in
+    DECIMAL(38,0)/HUGEINT: it scales as rows*skew*1e6 (a 6e11-row
+    fact table with a 1e3-hot key already crosses 2^63), while the
+    quotients themselves — a ppm ratio and a salt fan-out — always
+    fit BIGINT. The skew_salted_join operator consumes exactly this
     suggestion; AQE's runtime skew split is the safety net when the
     report wasn't run."""
     o = load_table(spark, sf_dir, "orders")
@@ -304,10 +308,13 @@ def dq_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "key",
             "cnt",
             F.expr("(cnt * 1000000) DIV total_rows").cast("bigint").alias("share_ppm"),
-            F.expr("(max_cnt * n_keys * 1000000) DIV total_rows")
+            F.expr(
+                "(CAST(max_cnt AS DECIMAL(38,0)) * n_keys * 1000000)"
+                " DIV total_rows"
+            )
             .cast("bigint")
             .alias("skew_factor_ppm"),
-            F.expr("max_cnt * n_keys DIV total_rows + 1")
+            F.expr("CAST(max_cnt AS DECIMAL(38,0)) * n_keys DIV total_rows + 1")
             .cast("bigint")
             .alias("suggested_salt"),
         )

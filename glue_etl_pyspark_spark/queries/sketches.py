@@ -556,11 +556,11 @@ pb AS (
 ),
 sb AS (SELECT seed, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM pb GROUP BY seed, bucket),
 ip AS (
-  SELECT sa.seed, CAST(SUM(sa.cnt * sb.cnt) AS BIGINT) AS dot
+  SELECT sa.seed, SUM(CAST(sa.cnt AS HUGEINT) * sb.cnt) AS dot
   FROM sa JOIN sb ON sa.seed = sb.seed AND sa.bucket = sb.bucket
   GROUP BY sa.seed
 ),
-est AS (SELECT MIN(dot) AS est FROM ip),
+est AS (SELECT CAST(MIN(dot) AS BIGINT) AS est FROM ip),
 truth AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS true_n
   FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
@@ -582,10 +582,12 @@ def sketch_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     min are constant-size. The true join runs alongside so the
     one-sided error (est >= true, pinned in tests) is visible.
 
-    Counter products stay in int64 to ~3e9 rows per side per bucket;
-    past that promote the dot-product accumulation to DECIMAL(38,0)
-    (the msum stance). Hash family: conv fast twin on Spark, the same
-    polynomial values in the oracle."""
+    The dot product accumulates in DECIMAL(38,0)/HUGEINT (the msum
+    stance): per-bucket counter products scale as (n_a/w)*(n_b/w) and
+    their sum as n_a*n_b/w, which crosses 2^63 long before real fact
+    tables do — only the final MIN (the estimate itself, a join
+    cardinality) casts back to BIGINT. Hash family: conv fast twin on
+    Spark, the same polynomial values in the oracle."""
     bspark = {
         f"b{j}": _md5_mod_spark("k", s, _CMS_W) for j, s in enumerate(_CMS_SEEDS)
     }
@@ -613,7 +615,11 @@ def sketch_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ip = (
         sa.join(sb, ["seed", "bucket"])
         .groupBy("seed")
-        .agg(F.sum(F.col("cnt") * F.col("cnt_b")).alias("dot"))
+        .agg(
+            F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("cnt_b")).alias(
+                "dot"
+            )
+        )
     )
     est = ip.agg(F.min("dot").cast("bigint").alias("est"))
     truth = (
