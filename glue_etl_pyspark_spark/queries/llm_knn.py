@@ -19,7 +19,6 @@ from ..operators.similarity import (
     ivf_knn,
     knn_bruteforce,
     l2_norm,
-    l2_normalize,
     lsh_knn,
 )
 from ..registry import query
@@ -1112,31 +1111,42 @@ def knn_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     negatives of top-k — the ordering bug naive implementations hit).
 
     Same scale shape as knn_bruteforce: anchors broadcast, corpus
-    streams, norms factored out of the pair loop, WindowGroupLimit
-    top-k; the IVF path swaps in for corpus-scale anchor sets."""
-    from ..operators.similarity import dot, l2_norm, l2_normalize
+    streams, norms factored out of the pair loop (materialized
+    columns; the pair cosine is dot(raw)/(na*nb) — the oracle's exact
+    IEEE tree, per the cluster_medoids precedent: a pre-normalized
+    sum evaluates a different tree that can split a rounding-grid
+    boundary), WindowGroupLimit top-k; the IVF path swaps in for
+    corpus-scale anchor sets."""
+    from ..operators.similarity import dot, l2_norm
 
     e = load_table(spark, sf_dir, "embeddings")
-
-    def unit(col):
-        return F.when(l2_norm(col) == 0, F.lit(None)).otherwise(l2_normalize(col))
-
-    q = e.filter(F.col("vec_id") < 20).select(
+    ev = e.select(
+        "vec_id", "label", F.col("embedding").alias("__v"),
+        l2_norm("embedding").alias("__n"),
+    )
+    q = ev.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("q_label"),
-        unit("embedding").alias("__qv"),
+        F.col("__v").alias("__qv"),
+        F.col("__n").alias("__qn"),
     )
-    c = e.select(
+    c = ev.select(
         F.col("vec_id").alias("neg_id"),
         F.col("label").alias("n_label"),
-        unit("embedding").alias("__cv"),
+        F.col("__v").alias("__cv"),
+        F.col("__n").alias("__cn"),
     )
     sims = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("q_label") != F.col("n_label"))
         .select(
             "query_id", "q_label", "neg_id", "n_label",
-            dot("__qv", "__cv").alias("__sim"),
+            F.when(
+                (F.col("__qn") == 0) | (F.col("__cn") == 0),
+                F.lit(None).cast("double"),
+            )
+            .otherwise(dot("__qv", "__cv") / (F.col("__qn") * F.col("__cn")))
+            .alias("__sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1191,23 +1201,35 @@ def knn_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the bounded anchor set (even-label, vec_id < 300) is the
     documented all-pairs correctness anchor — the production path
     blocks through IVF buckets exactly like knn_ivf. Norms factored
-    out of the pair loop; both rankings reuse the single sims
-    exchange."""
-    from ..operators.similarity import dot, l2_norm, l2_normalize
+    out as materialized columns (pair cosine = dot(raw)/(na*nb), the
+    oracle's exact IEEE tree — cluster_medoids precedent); both
+    rankings reuse the single sims exchange."""
+    from ..operators.similarity import dot, l2_norm
 
     e = load_table(spark, sf_dir, "embeddings")
-
-    def unit(col):
-        return F.when(l2_norm(col) == 0, F.lit(None)).otherwise(l2_normalize(col))
-
-    a = e.filter((F.col("label") % 2 == 0) & (F.col("vec_id") < 300)).select(
-        F.col("vec_id").alias("a_id"), unit("embedding").alias("__av")
+    ev = e.select(
+        "vec_id", "label", F.col("embedding").alias("__v"),
+        l2_norm("embedding").alias("__n"),
     )
-    b = e.filter(F.col("label") % 2 == 1).select(
-        F.col("vec_id").alias("b_id"), unit("embedding").alias("__bv")
+    a = ev.filter((F.col("label") % 2 == 0) & (F.col("vec_id") < 300)).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("__v").alias("__av"),
+        F.col("__n").alias("__an"),
+    )
+    b = ev.filter(F.col("label") % 2 == 1).select(
+        F.col("vec_id").alias("b_id"),
+        F.col("__v").alias("__bv"),
+        F.col("__n").alias("__bn"),
     )
     sims = b.crossJoin(F.broadcast(a)).select(
-        "a_id", "b_id", dot("__av", "__bv").alias("__cs")
+        "a_id",
+        "b_id",
+        F.when(
+            (F.col("__an") == 0) | (F.col("__bn") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(dot("__av", "__bv") / (F.col("__an") * F.col("__bn")))
+        .alias("__cs"),
     )
     wa = Window.partitionBy("a_id").orderBy(F.col("__cs").desc(), F.col("b_id"))
     wb = Window.partitionBy("b_id").orderBy(F.col("__cs").desc(), F.col("a_id"))
@@ -1261,25 +1283,29 @@ def knn_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     same-label flag) yields both picks; margin = difference of the
     6dp-rounded sims (identical expression both engines).
 
-    Scale: same bounded-anchor all-pairs anchor as the knn family;
-    corpus-scale mining swaps in the IVF bucketed path for candidate
-    generation, the ranking shape is unchanged."""
-    from ..operators.similarity import dot, l2_norm, l2_normalize
+    Scale: same bounded-anchor all-pairs anchor as the knn family
+    (norms factored out as materialized columns, pair cosine =
+    dot(raw)/(na*nb) — the oracle's exact IEEE tree); corpus-scale
+    mining swaps in the IVF bucketed path for candidate generation,
+    the ranking shape is unchanged."""
+    from ..operators.similarity import dot, l2_norm
 
     e = load_table(spark, sf_dir, "embeddings")
-
-    def unit(col):
-        return F.when(l2_norm(col) == 0, F.lit(None)).otherwise(l2_normalize(col))
-
-    q = e.filter(F.col("vec_id") < 20).select(
+    ev = e.select(
+        "vec_id", "label", F.col("embedding").alias("__v"),
+        l2_norm("embedding").alias("__n"),
+    )
+    q = ev.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("anchor_id"),
         F.col("label").alias("a_label"),
-        unit("embedding").alias("__qv"),
+        F.col("__v").alias("__qv"),
+        F.col("__n").alias("__qn"),
     )
-    c = e.select(
+    c = ev.select(
         F.col("vec_id").alias("cand_id"),
         F.col("label").alias("c_label"),
-        unit("embedding").alias("__cv"),
+        F.col("__v").alias("__cv"),
+        F.col("__n").alias("__cn"),
     )
     sims = (
         c.crossJoin(F.broadcast(q))
@@ -1289,7 +1315,12 @@ def knn_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "a_label",
             "cand_id",
             (F.col("c_label") == F.col("a_label")).alias("is_same"),
-            dot("__qv", "__cv").alias("__cs"),
+            F.when(
+                (F.col("__qn") == 0) | (F.col("__cn") == 0),
+                F.lit(None).cast("double"),
+            )
+            .otherwise(dot("__qv", "__cv") / (F.col("__qn") * F.col("__cn")))
+            .alias("__cs"),
         )
     )
     w = Window.partitionBy("anchor_id", "is_same").orderBy(
