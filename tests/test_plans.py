@@ -603,3 +603,81 @@ def test_point_in_time_join_stays_equi(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # the residual rides the hash/merge join, not a post-join filter
     assert "Join" in plan and "valid_from" in plan
+
+
+# ---------------------------------------------------------------------------
+# Round-6 pins: scale-load-bearing plan properties of the driver-window
+# queries (each one costs ~100x at the 100 TB target if silently lost)
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_medoids_pair_join_is_equi_not_cartesian(spark, sf_dir):
+    # the SemDeDup pair stage must join on cent_id — an accidental
+    # cartesian over members is the all-pairs explosion the design bans
+    plan = explain_str(_df(spark, sf_dir, "cluster_medoids"))
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_anchor_family_broadcasts_bounded_side(spark, sf_dir):
+    # the cross join's BROADCAST side must be the bounded anchor set;
+    # a plain CartesianProduct would shuffle the corpus against itself
+    for name in ("knn_hard_negatives", "knn_mutual_nn", "knn_triplet_mining"):
+        plan = explain_str(_df(spark, sf_dir, name))
+        assert "BroadcastNestedLoopJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_knn_ivf_persisted_prunes_index_partitions(spark, sf_dir):
+    # the reloaded members index is partitioned by cent_id; the probe
+    # search must read only its clusters' files — the property that
+    # makes a persisted ANN index serve at scale
+    plan = explain_str(_df(spark, sf_dir, "knn_ivf_persisted"))
+    assert "PartitionFilters" in plan and "cent_id" in plan
+
+
+def test_revenue_share_broadcasts_dims(spark, sf_dir):
+    df = _df(spark, sf_dir, "revenue_share_of_region")
+    assert_broadcast_joins(df, at_least=4)
+
+
+def test_embedding_feature_stats_partial_final_agg(spark, sf_dir):
+    # one narrow Generate, then map-side-combined aggregation: exactly
+    # partial+final around a single exchange
+    ops = operator_counts(_df(spark, sf_dir, "embedding_feature_stats"))
+    assert sum(v for k, v in ops.items() if "HashAggregate" in k) >= 2
+    assert sum(v for k, v in ops.items() if k == "Exchange") == 1
+
+
+def test_events_time_to_conversion_has_no_window(spark, sf_dir):
+    # per-user latencies come from conditional MINs — a Window over
+    # event-grain rows would serialize per-user partitions needlessly
+    plan = explain_str(_df(spark, sf_dir, "events_time_to_conversion"))
+    assert "Window" not in plan
+
+
+def test_curriculum_phase_window_is_shard_partitioned(spark, sf_dir):
+    # the ranking window must partition by shard (parallel), never run
+    # as one global ordered partition
+    plan = explain_str(_df(spark, sf_dir, "curriculum_phase_assign"))
+    assert "shard" in plan  # the windowspecdefinition partitions on it
+    assert "SinglePartition" not in plan
+
+
+def test_chi2_and_target_encode_broadcast_scalar_totals(spark, sf_dir):
+    # the one-row totals frame joins by broadcast, never a shuffle
+    for name in ("dq_sampler_chi2", "feature_target_encode"):
+        plan = explain_str(_df(spark, sf_dir, name))
+        assert "BroadcastExchange" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_rolling_correlation_prefilters_event_types(spark, sf_dir):
+    # the view/purchase filters must reach the scan; the window then
+    # runs over the daily aggregate, not event grain
+    df = _df(spark, sf_dir, "events_rolling_correlation")
+    assert_pushed_filter(df, "event_type")
+
+
+def test_containment_dedup_joins_inverted_index_equi(spark, sf_dir):
+    plan = explain_str(_df(spark, sf_dir, "dedup_containment"))
+    assert "CartesianProduct" not in plan
