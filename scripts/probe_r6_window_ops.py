@@ -32,6 +32,15 @@ PROBED = (
     "events_rolling_correlation",
     "cohort_ltv_curve",
     "sample_weighted_systematic",
+    # round-7 spill block (never driver-checked; probed here so their
+    # scale rows exist before their window turn): the prefix-filtered
+    # AllPairs join is the quadratic-danger one, the rest read the
+    # cloned documents/embeddings/events tables
+    "dedup_jaccard_prefix",
+    "knn_triplet_mining",
+    "join_asof_tolerance",
+    "events_ewma_control",
+    "langid_confusion_matrix",
 )
 
 
