@@ -81,6 +81,7 @@ def synthesize(spark, factor: int) -> None:
                     * F.col("c").cast("double")
                 ).cast("float"),
             ).alias("embedding"),
+            "label",
         )
         .write.mode("overwrite")
         .parquet(f"{OUT}/embeddings.parquet")
