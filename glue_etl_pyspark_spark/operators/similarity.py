@@ -44,20 +44,24 @@ def knn_bruteforce(
     the cross join); the corpus side never shuffles until the final
     per-query top-k, which carries only k rows per query partition.
     """
-    # Pre-normalize each side ONCE (NULL for zero-norm vectors, matching
-    # cosine_similarity's NULL-excluding semantics) so the O(|q|·|c|)
-    # pair loop is a single dot product — computing cosine_similarity
-    # per pair re-evaluates both norms 40k times for a 20×2k case.
-    def _unit(vec_col: str):
-        return F.when(l2_norm(vec_col) == 0, F.lit(None)).otherwise(
-            l2_normalize(vec_col)
-        )
-
+    # Cosine tree = dot(raw)/(na*nb) with each side's norm materialized
+    # ONCE pre-join (zero-norm -> NULL, matching cosine_similarity's
+    # NULL-excluding semantics). This is the SAME IEEE expression tree
+    # as the DuckDB oracle's _COS fragment — pre-normalizing the
+    # vectors and dotting the unit vectors is NOT (sum((xi/na)*(yi/nb))
+    # differs by up to ~2e-15, enough to cross a 6 dp grid boundary;
+    # measured on cluster_medoids in round 6, CLAUDE.md rule). Per-pair
+    # cost is unchanged: one dot + one divide; norms are per-vector
+    # projections below the join, evaluated once.
     q = queries.select(
-        F.col(query_id).alias("query_id"), _unit(query_vec).alias("__qv")
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("__qv"),
+        l2_norm(query_vec).alias("__qn"),
     )
     c = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"), _unit(corpus_vec).alias("__cv")
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("__cv"),
+        l2_norm(corpus_vec).alias("__cn"),
     )
     sims = (
         c.crossJoin(broadcast(q))
@@ -65,7 +69,12 @@ def knn_bruteforce(
         .select(
             "query_id",
             "neighbor_id",
-            dot("__qv", "__cv").alias("__sim"),
+            F.when(
+                (F.col("__qn") == 0) | (F.col("__cn") == 0),
+                F.lit(None).cast("double"),
+            )
+            .otherwise(dot("__qv", "__cv") / (F.col("__qn") * F.col("__cn")))
+            .alias("__sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -32,6 +32,17 @@ _COS = (
     " * sqrt(SUM(CAST({b}[r.i] AS DOUBLE) * CAST({b}[r.i] AS DOUBLE))))"
 )
 
+# Zero-norm-safe twin: NULLIF on the norm product turns a 0/0 into NULL
+# instead of NaN (which would ERROR under a downstream CAST(floor(...))
+# in both engines). Bit-identical to _COS whenever both norms are
+# non-zero — NULLIF(x, 0) returns x itself, no extra float op on the
+# live path — so swapping it in cannot move a hash.
+_COS_SAFE = (
+    "SUM(CAST({a}[r.i] AS DOUBLE) * CAST({b}[r.i] AS DOUBLE))"
+    " / NULLIF(sqrt(SUM(CAST({a}[r.i] AS DOUBLE) * CAST({a}[r.i] AS DOUBLE)))"
+    " * sqrt(SUM(CAST({b}[r.i] AS DOUBLE) * CAST({b}[r.i] AS DOUBLE))), 0)"
+)
+
 KNN_BRUTE_ORACLE = f"""
 WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
 sims AS (
@@ -1404,7 +1415,7 @@ pairs AS (
 ),
 ps AS (
   SELECT p.cent_id, p.id_a, p.id_b,
-    CAST(floor(({_COS.format(a="va.v", b="vb.v")}) * 1e9) AS BIGINT) AS c9
+    CAST(floor(({_COS_SAFE.format(a="va.v", b="vb.v")}) * 1e9) AS BIGINT) AS c9
   FROM pairs p
   JOIN e va ON va.vec_id = p.id_a
   JOIN e vb ON vb.vec_id = p.id_b,
@@ -1481,12 +1492,20 @@ def cluster_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "cent_id",
             "id_a",
-            F.floor(
-                dot("__va", "__vb")
-                / (F.col("__na") * F.col("__nb"))
-                * F.lit(1e9)
+            # zero-norm guard (mirrors the oracle's NULLIF): a 0-norm
+            # member would make 0/0=NaN and CAST(floor(NaN)) ERRORS
+            # under ANSI; NULL drops out of the SUM on both engines.
+            F.when(
+                (F.col("__na") == 0) | (F.col("__nb") == 0),
+                F.lit(None).cast("bigint"),
             )
-            .cast("bigint")
+            .otherwise(
+                F.floor(
+                    dot("__va", "__vb")
+                    / (F.col("__na") * F.col("__nb"))
+                    * F.lit(1e9)
+                ).cast("bigint")
+            )
             .alias("c9"),
         )
     )

@@ -268,7 +268,8 @@ stats AS (
   FROM k
 )
 SELECT k.key, k.cnt,
-  CAST((k.cnt * 1000000) // s.total_rows AS BIGINT) AS share_ppm,
+  CAST((CAST(k.cnt AS HUGEINT) * 1000000) // s.total_rows AS BIGINT)
+    AS share_ppm,
   CAST((CAST(s.max_cnt AS HUGEINT) * s.n_keys * 1000000) // s.total_rows
        AS BIGINT) AS skew_factor_ppm,
   CAST(CAST(s.max_cnt AS HUGEINT) * s.n_keys // s.total_rows + 1 AS BIGINT)
@@ -307,7 +308,12 @@ def dq_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "key",
             "cnt",
-            F.expr("(cnt * 1000000) DIV total_rows").cast("bigint").alias("share_ppm"),
+            # cnt*1e6 promoted to DECIMAL(38,0)/HUGEINT like the
+            # adjacent skew product — a single key past ~9.2e12 rows
+            # would overflow the int64 form (same audited class).
+            F.expr("(CAST(cnt AS DECIMAL(38,0)) * 1000000) DIV total_rows")
+            .cast("bigint")
+            .alias("share_ppm"),
             F.expr(
                 "(CAST(max_cnt AS DECIMAL(38,0)) * n_keys * 1000000)"
                 " DIV total_rows"

@@ -380,6 +380,36 @@ def test_int8_quantized_knn_recall(spark, sf_dir):
     assert recall >= 0.95, f"int8 knn recall {recall:.2f} < 0.95 (measured 0.99)"
 
 
+def test_knn_bruteforce_tree_matches_oracle_cosine_bitexact(spark, sf_dir):
+    """knn_bruteforce's sim tree must be BIT-IDENTICAL (no rounding) to
+    cosine_similarity — i.e. dot(raw)/(na*nb) with norms materialized
+    once, the same IEEE tree the DuckDB _COS oracle evaluates. The
+    pre-r7 form (pre-normalize then dot unit vectors) differs by up to
+    ~2e-15, which crosses 6 dp grid boundaries (the cluster_medoids r6
+    failure class, CLAUDE.md rule); this pin makes a regression to that
+    tree a hard failure rather than a measured-safe residual."""
+    from glue_etl_pyspark_spark.functions.vectors import cosine_similarity
+    from glue_etl_pyspark_spark.io import load_table
+    from glue_etl_pyspark_spark.operators.similarity import knn_bruteforce
+
+    e = load_table(spark, sf_dir, "embeddings")
+    got = knn_bruteforce(
+        e.filter(F.col("vec_id") < 20), e, k=5, round_dp=None
+    ).withColumnRenamed("cos_sim", "got_sim")
+    q = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("__q"))
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__c"))
+    ref = got.join(q, "query_id").join(c, "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        "got_sim",
+        cosine_similarity("__q", "__c").alias("want_sim"),
+    )
+    diverged = ref.filter(
+        F.col("got_sim").cast("string") != F.col("want_sim").cast("string")
+    ).count()
+    assert diverged == 0, f"{diverged} pairs diverge from the oracle cosine tree"
+
+
 def test_greedy_packing_properties(spark, sf_dir):
     """First-fit sequential packing invariants: every document is
     assigned exactly once; no bin exceeds ctx_len unless it holds a

@@ -65,34 +65,26 @@ def test_registry_order_is_priority_prefix():
 
 
 def test_priority_window_targets_external_coverage_gaps():
-    """Round-6 rotation (evidence round): every slot of the driver
-    window (first 50) is spent on a query that has NEVER been
-    externally checked through round 5 — with two documented
-    exceptions: multimodal_features (the board's one stale-err: its r3
-    row was a driver-hasher crash, its r4 row rows-only) and any
-    ADVICE-r5-changed query (fresh code, fresh evidence). No slot is
-    wasted on a merely-stale refresh while never-checked names spill."""
+    """Round-7 rotation (evidence close-out): the remaining evidence
+    tail is exactly one window — 12 names NEVER externally checked
+    through round 6 plus the 38-name block whose last external check
+    was ROUND 1. Every slot of the first 50 must be spent on one of
+    those two classes (never-checked lead), so a clean round takes the
+    cumulative board to 290/290 with nothing older than round 5."""
     import json
     import pathlib
 
     root = pathlib.Path(__file__).resolve().parents[1]
-    ever_checked: set[str] = set()
-    for r in range(1, 6):
+    last_checked: dict[str, int] = {}
+    for r in range(1, 7):
         fname = f"CORRECTNESS_r{r:02d}.json"
-        ever_checked |= set(json.loads((root / fname).read_text()))
-    specs = load_all()
-    names = list(specs)[:50]
-    advice_changed = {
-        "cluster_medoids", "dq_sampler_chi2", "events_rolling_correlation",
-        "basket_association_rules", "knn_ivf_persisted", "scan_binary_files",
-        "stream_state_inspect",
-    }
-    # the changed queries lead the window
-    assert set(names[:7]) == advice_changed
-    assert names[7] == "multimodal_features"
+        for n in json.loads((root / fname).read_text()):
+            last_checked[n] = r
+    names = list(load_all())[:50]
+    never = [n for n in names if n not in last_checked]
+    assert names[: len(never)] == never, "never-checked names must lead"
+    assert len(never) == 12, f"expected 12 never-checked, got {len(never)}"
     wasted = [
-        n for n in names
-        if n in ever_checked and n not in advice_changed
-        and n != "multimodal_features"
+        n for n in names if last_checked.get(n, 0) > 1
     ]
-    assert not wasted, f"window wastes slots on already-checked {wasted}"
+    assert not wasted, f"window wastes slots on post-r1-checked {wasted}"
