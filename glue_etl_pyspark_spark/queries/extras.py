@@ -485,6 +485,17 @@ def events_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the corpus-sized work is the daily pre-aggregation;
     recursion depth = number of DAYS (bounded by the window, not the
     data volume), and each step joins on (event_type, rn) — types
-    advance in parallel."""
+    advance in parallel within one recursive step.
+
+    Measured constant (r6/r7 probes, local[32]): 11.6 s at sf0.1,
+    16.2 s at 10x — the gap is the per-iteration Spark scheduling
+    overhead of ~30 recursive steps (calendar days), NOT data volume:
+    10x the events moved the total by +40% because only the daily
+    pre-agg grew. At 100 TB this query costs the one pre-agg scan plus
+    the same ~0.4 s/day constant; a year-long window is ~365 steps —
+    if that constant ever matters, the endorsed rework is
+    driver-collect of the (types x days) daily frame (constant-size,
+    calendar-bounded) + exact integer recursion as literals, kept
+    bit-identical to this SQL by the power-of-two floor division."""
     register_views(spark, sf_dir, "events")
     return spark.sql(_EWMA_SQL)

@@ -249,33 +249,56 @@ SELECT doc_id, lang, plang AS predicted_lang, hits FROM (
 """
 
 
-@query("text_language_id", oracle=LANGID_ORACLE, category="llm-text")
-def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character-trigram language-ID: per-language trigram profiles
-    are trained from the corpus itself (top-20 trigrams by frequency),
-    then each doc is scored by profile overlap and argmax-labelled.
-    Two aggregation passes + one broadcastable profile join — the
-    standard heuristic langid shape, no model dependency."""
+_TRI_EXPR = (
+    "array_distinct(transform(sequence(1, greatest(length(text) - 2, 1)),"
+    " i -> substring(text, i, 3)))"
+)
+
+
+def _langid_doc_tri(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    grams = d.select(
-        "doc_id",
-        "lang",
-        F.array_distinct(
-            F.expr(
-                "transform(sequence(1, greatest(length(text) - 2, 1)),"
-                " i -> substring(text, i, 3))"
-            )
-        ).alias("tri"),
-    )
-    doc_tri = grams.select("doc_id", "lang", F.explode("tri").alias("g"))
+    grams = d.select("doc_id", "lang", F.expr(_TRI_EXPR).alias("tri"))
+    return grams.select("doc_id", "lang", F.explode("tri").alias("g"))
+
+
+def _langid_top_profiles(
+    spark: SparkSession, sf_dir: str, k: int = 20
+) -> dict[str, list[str]]:
+    """Train the per-language top-k trigram profiles and COLLECT them —
+    a constant-size intermediate (n_langs * k grams; 5*20 here), so the
+    endorsed driver-collect + literal re-ship pattern applies: training
+    is one map-side-combined (lang, gram) count + a profile-sized
+    window, both deterministic (freq desc, gram tie-break), so the
+    collected literals can never be re-derived differently by an
+    AQE/broadcast recompute (packing-bases precedent)."""
+    doc_tri = _langid_doc_tri(spark, sf_dir)
     profile = doc_tri.groupBy(F.col("lang").alias("plang"), "g").agg(
         F.count(F.lit(1)).alias("freq")
     )
     wp = Window.partitionBy("plang").orderBy(F.col("freq").desc(), F.col("g"))
-    top_profile = (
+    rows = (
         profile.withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") <= 20)
-        .select("plang", "g")
+        .filter(F.col("rn") <= k)
+        .select("plang", "g", "rn")
+        .collect()
+    )
+    profs: dict[str, list[str]] = {}
+    for r in sorted(rows, key=lambda r: (r["plang"], r["rn"])):
+        profs.setdefault(r["plang"], []).append(r["g"])
+    return profs
+
+
+def _langid_score_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-r7 scoring shape (explode every doc trigram, broadcast-join
+    the profile, per-(doc,lang) count) — kept as the equality-test twin
+    for the literal-intersect path below, which shuffles nothing in
+    the scoring stage where this shape pushes the whole corpus trigram
+    set through a join."""
+    doc_tri = _langid_doc_tri(spark, sf_dir)
+    profs = _langid_top_profiles(spark, sf_dir)
+    top_profile = spark.createDataFrame(
+        [(plang, g) for plang, gs in profs.items() for g in gs],
+        "plang string, g string",
     )
     overlap = (
         doc_tri.join(F.broadcast(top_profile), "g")
@@ -287,6 +310,61 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         overlap.withColumn("rn", F.row_number().over(wd))
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", F.col("plang").alias("predicted_lang"), "hits")
+    )
+
+
+@query("text_language_id", oracle=LANGID_ORACLE, category="llm-text")
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language-ID: per-language trigram profiles
+    are trained from the corpus itself (top-20 trigrams by document
+    frequency), each doc scored by profile overlap and argmax-labelled.
+
+    Training is the one corpus-sized pass (map-side-combined
+    (lang, gram) count); the profiles are CONSTANT-size (n_langs*20)
+    and re-shipped as literals. Scoring is then pure per-row
+    expression work — hits per language =
+    size(array_intersect(doc_trigrams, literal profile)); argmax via
+    array_max over (hits, lang-rank) structs, encoding the oracle's
+    exact (hits DESC, plang ASC) tie-break — no explode, no join, NO
+    SHUFFLE in the scoring stage. Value-identical to the join shape
+    (_langid_score_join, equality-pinned in tests/test_llm_ops.py):
+    the inner profile join counted exactly the distinct doc trigrams
+    inside a language's profile — the intersect size — and docs with
+    zero profile hits drop out on both paths. This replaces the r6
+    plan-audit constant (the full corpus trigram set through a
+    shuffle join — 53 s at the 10x probe) with ~n_langs hashed
+    20-element set probes per doc."""
+    d = load_table(spark, sf_dir, "documents")
+    profs = _langid_top_profiles(spark, sf_dir)
+    langs = sorted(profs)
+    n = len(langs)
+    structs = [
+        F.struct(
+            F.size(
+                F.array_intersect(
+                    F.col("__tri"), F.array(*[F.lit(g) for g in profs[lang]])
+                )
+            )
+            .cast("bigint")
+            .alias("h"),
+            # rank encodes the plang-ASC tie-break under array_max:
+            # equal hits -> larger rank wins -> smaller lang index
+            F.lit(n - 1 - i).alias("r"),
+        )
+        for i, lang in enumerate(langs)
+    ]
+    return (
+        d.withColumn("__tri", F.expr(_TRI_EXPR))
+        .withColumn("__best", F.array_max(F.array(*structs)))
+        .filter(F.col("__best.h") >= 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.element_at(F.lit(langs), F.lit(n) - F.col("__best.r")).alias(
+                "predicted_lang"
+            ),
+            F.col("__best.h").alias("hits"),
+        )
     )
 
 

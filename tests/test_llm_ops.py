@@ -380,6 +380,25 @@ def test_int8_quantized_knn_recall(spark, sf_dir):
     assert recall >= 0.95, f"int8 knn recall {recall:.2f} < 0.95 (measured 0.99)"
 
 
+def test_langid_literal_intersect_equals_join_scoring(spark, sf_dir):
+    """text_language_id's r7 scoring rework (constant-size profile
+    collected + re-shipped as literals, hits = array_intersect size,
+    argmax via struct array_max) must emit EXACTLY the rows of the
+    pre-r7 explode+broadcast-join shape — same docs kept (zero-hit
+    docs dropped), same predictions (hits DESC, plang ASC tie-break),
+    same hit counts."""
+    from glue_etl_pyspark_spark.queries.llm_text import (
+        _langid_score_join,
+        text_language_id,
+    )
+
+    new = {tuple(r) for r in text_language_id(spark, sf_dir).collect()}
+    old = {tuple(r) for r in _langid_score_join(spark, sf_dir).collect()}
+    assert new == old, (
+        f"only_new={list(new - old)[:3]} only_old={list(old - new)[:3]}"
+    )
+
+
 def test_knn_bruteforce_tree_matches_oracle_cosine_bitexact(spark, sf_dir):
     """knn_bruteforce's sim tree must be BIT-IDENTICAL (no rounding) to
     cosine_similarity — i.e. dot(raw)/(na*nb) with norms materialized
