@@ -499,3 +499,39 @@ def events_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical to this SQL by the power-of-two floor division."""
     register_views(spark, sf_dir, "events")
     return spark.sql(_EWMA_SQL)
+
+
+SALTED_AGG_ORACLE = """
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS event_cnt,
+  (CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6)
+    AS value_sum
+FROM events GROUP BY event_type
+"""
+
+
+@query("agg_salted_hotkey", oracle=SALTED_AGG_ORACLE, category="agg")
+def agg_salted_hotkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted TWO-PHASE aggregation over a pathologically hot group key
+    (event_type has ~5 values — at 100 TB a plain groupBy lands ~20 TB
+    on 5 reducers): phase 1 aggregates on (event_type, salt=pmod(
+    event_id, 32)) spreading each hot key over 32 reducers; phase 2
+    merges the 5x32 partials. Result is EXACTLY the plain GROUP BY
+    (the oracle): counts add, and money accumulates as floor-scaled
+    integer micro-units in DECIMAL(38,0) (the msum discipline) so the
+    two-phase split is associative with no float-order drift and no
+    int64 overflow at any scale. Same playbook as skew_salted_join,
+    applied to aggregation; AQE can split skewed shuffle READS but
+    cannot split a single hot GROUP key — the salt can."""
+    ev = load_table(spark, sf_dir, "events")
+    micro = F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("decimal(38,0)")
+    partials = ev.withColumn(
+        "__salt", F.pmod(F.col("event_id"), F.lit(32))
+    ).groupBy("event_type", "__salt").agg(
+        F.count(F.lit(1)).alias("pc"),
+        F.sum(micro).alias("pm"),
+    )
+    return partials.groupBy("event_type").agg(
+        F.sum("pc").cast("bigint").alias("event_cnt"),
+        (F.sum("pm").cast("double") / F.lit(1e6)).alias("value_sum"),
+    )

@@ -450,3 +450,91 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("click_value")).alias("click_value"),
         fresh.alias("fresh"),
     )
+
+
+INTERVAL_OVERLAP_ORACLE = """
+WITH spans AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+    CAST(floor(epoch(MIN(ts))) AS BIGINT) AS ss,
+    CAST(floor(epoch(MAX(ts))) AS BIGINT) AS se
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+), inc AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS incident_id,
+    DATE '2024-01-01' + CAST(n_nationkey % 28 AS INTEGER) AS day,
+    CAST(floor(epoch(CAST(DATE '2024-01-01'
+        + CAST(n_nationkey % 28 AS INTEGER) AS TIMESTAMP))) AS BIGINT)
+      + ((n_nationkey * 7) % 20) * 3600 AS si
+  FROM nation
+), j AS (
+  SELECT i.incident_id, i.day, s.user_id,
+    least(s.se, i.si + 14400) - greatest(s.ss, i.si) AS osec
+  FROM inc i JOIN spans s
+    ON s.day = i.day AND s.ss <= i.si + 14400 AND i.si <= s.se
+)
+SELECT incident_id, day, CAST(COUNT(*) AS BIGINT) AS n_users,
+  CAST(SUM(osec) AS BIGINT) AS overlap_sec
+FROM j GROUP BY incident_id, day
+"""
+
+
+@query("join_interval_overlap", oracle=INTERVAL_OVERLAP_ORACLE, category="join")
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-x-INTERVAL overlap join (the range_join generalization:
+    both sides are intervals, not point-in-window): per-user daily
+    activity spans [min ts, max ts] joined against 25 deterministic
+    4-hour incident windows (one per nation key, spread over the event
+    month), reporting per incident how many users were active during
+    it and the total overlap seconds — the blast-radius query every
+    incident review starts with.
+
+    Shape: the small interval side carries an equi-join day key, so
+    the plan is a broadcast hash join on day with the overlap
+    predicate as a residual filter — candidates are bounded by
+    per-day span count, never |L|x|R|. All time math is integer epoch
+    seconds (to_unix_timestamp on ntz == DuckDB floor(epoch()) under
+    the UTC session — the events_rolling_hourly precedent); closed
+    intervals, so the overlap length least(e)-greatest(s) is >= 0
+    exactly when the join predicate holds. At 100 TB the span
+    pre-aggregation is the corpus-sized pass (map-side combined);
+    incident windows spanning midnight would explode to one row per
+    covered day — same bounded fan-out as range_join's bucket
+    prefilter."""
+    ev = load_table(spark, sf_dir, "events")
+    spans = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.expr("to_unix_timestamp(MIN(ts))").alias("ss"),
+        F.expr("to_unix_timestamp(MAX(ts))").alias("se"),
+    )
+    inc = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("incident_id"),
+        F.expr("date_add(DATE '2024-01-01', CAST(n_nationkey % 28 AS INT))").alias(
+            "day"
+        ),
+        (
+            F.expr(
+                "to_unix_timestamp(CAST(date_add(DATE '2024-01-01',"
+                " CAST(n_nationkey % 28 AS INT)) AS TIMESTAMP_NTZ))"
+            )
+            + ((F.col("n_nationkey") * 7) % 20) * 3600
+        ).alias("si"),
+    )
+    j = spans.join(
+        broadcast(inc),
+        on=[
+            spans["day"] == inc["day"],
+            spans["ss"] <= inc["si"] + 14400,
+            inc["si"] <= spans["se"],
+        ],
+    ).select(
+        "incident_id",
+        inc["day"].alias("day"),
+        (
+            F.least(F.col("se"), F.col("si") + 14400)
+            - F.greatest(F.col("ss"), F.col("si"))
+        ).alias("osec"),
+    )
+    return j.groupBy("incident_id", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("osec").cast("bigint").alias("overlap_sec"),
+    )

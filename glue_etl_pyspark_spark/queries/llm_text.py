@@ -558,3 +558,41 @@ def text_autocomplete_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("prefix", "token", "freq", "rn")
     )
+
+
+NORMALIZE_ORACLE = """
+WITH n AS (
+  SELECT doc_id,
+    trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT doc_id, md5(norm) AS norm_md5,
+  CAST(length(norm) AS BIGINT) AS n_chars_norm
+FROM n
+"""
+
+
+@query("text_normalize_clean", oracle=NORMALIZE_ORACLE, category="llm-text")
+def text_normalize_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization — the first pass of every web-corpus
+    pipeline before dedup/fingerprinting (lowercase, collapse runs of
+    whitespace to one space, trim): canonical text is what exact and
+    near dedup should key on, or trivially different copies survive.
+    Emits the md5 + length of the normalized text (the dedup key
+    shape) rather than the text itself, keeping the output atomic and
+    hash-oracled end-to-end.
+
+    The whitespace class is the EXPLICIT [ \\t\\n\\r] on both engines —
+    Java's \\s and RE2's \\s disagree on \\x0B, the kind of silent
+    cross-engine drift the explicit class removes. Pure per-row
+    expression work: no shuffle, streams at scan speed at any corpus
+    size."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), "[ \\t\\n\\r]+", " ")
+    )
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("norm_md5"),
+        F.length(norm).cast("bigint").alias("n_chars_norm"),
+    )
