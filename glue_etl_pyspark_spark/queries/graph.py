@@ -282,3 +282,96 @@ def triangle_node_counts(pairs: DataFrame) -> DataFrame:
         .groupBy("node")
         .agg(F.count("*").alias("n_tri"))
     )
+
+
+_BFS_HOPS = 4
+# deterministic sparsifier: the full 25-node trade graph is near-
+# complete (every distance would be 1), so keep ~2/7 of the edges by a
+# hash-mod rule BOTH engines compute identically in integer math
+_BFS_EDGE_KEEP = "(src * 31 + dst) % 7 < 2"
+
+
+def _bfs_oracle() -> str:
+    ctes = [
+        f"edges AS (SELECT DISTINCT src, dst FROM ({_EDGES_SQL})"
+        f" WHERE {_BFS_EDGE_KEEP} AND src <> dst)",
+        "dist0 AS (SELECT 0 AS nationkey, 0 AS dist)",
+    ]
+    for k in range(1, _BFS_HOPS + 1):
+        ctes.append(
+            f"""dist{k} AS (
+  SELECT nationkey, MIN(dist) AS dist FROM (
+    SELECT nationkey, dist FROM dist{k - 1}
+    UNION ALL
+    SELECT e.dst AS nationkey, {k} AS dist
+    FROM edges e JOIN dist{k - 1} d ON e.src = d.nationkey
+  ) GROUP BY nationkey
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT CAST(nationkey AS BIGINT) AS nationkey,
+  CAST(dist AS BIGINT) AS dist
+FROM dist{_BFS_HOPS}"""
+    )
+
+
+BFS_ORACLE = _bfs_oracle()
+
+
+@query("graph_bfs_khop", oracle=BFS_ORACLE, category="graph")
+def graph_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth BFS shortest distance (k-hop reachability, the
+    GraphFrames shortestPaths shape) from nation 0 over a
+    deterministically sparsified trade graph: per reachable node, the
+    minimum hop count within 4 hops. Fixed depth unrolls into chained
+    CTEs for the oracle (the PageRank precedent); distances are pure
+    integers — no float drift possible.
+
+    Spark side is frontier-style iteration: each round unions the
+    current distance set with 1-hop expansions and keeps MIN(dist) per
+    node, localCheckpointing per round (the iterative-lineage rule —
+    round N must not re-execute rounds 1..N-1). Scale: each round is
+    one equi-join keyed on src + one groupBy — the standard
+    Pregel-in-SQL step; depth is bounded by the DOMAIN (hop budget),
+    never data volume. The distance frame stays node-sized, the join
+    is frontier x adjacency."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .select(
+            c["c_nationkey"].alias("src"), s["s_nationkey"].alias("dst")
+        )
+        .filter(F.expr(_BFS_EDGE_KEEP) & (F.col("src") != F.col("dst")))
+        .distinct()
+        # the adjacency is re-joined every round: truncate its lineage
+        # ONCE so no round re-executes the fact-table edge build (the
+        # frame is <= 25x25 rows after distinct — materialization is
+        # free, recompute of the lineitem join is not)
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        edges.sparkSession.range(1)
+        .select(F.lit(0).alias("nationkey"), F.lit(0).alias("dist"))
+    )
+    for k in range(1, _BFS_HOPS + 1):
+        expanded = (
+            edges.join(dist, edges["src"] == dist["nationkey"])
+            .select(F.col("dst").alias("nationkey"), F.lit(k).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(expanded)
+            .groupBy("nationkey")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select(
+        F.col("nationkey").cast("bigint").alias("nationkey"),
+        F.col("dist").cast("bigint").alias("dist"),
+    )

@@ -1,7 +1,7 @@
 """Deduplication queries (SURVEY.md §2.12) over a corpus with planted
 duplicates: the documents table unioned with exact copies (exact
 dedup) or slightly-perturbed copies (near-dedup; twin doc_id =
-doc_id + 10000, last word dropped).
+doc_id + _TWIN_OFF, last word dropped).
 
 Exact ops are DuckDB-oracled; MinHash-LSH is seed-stable-randomized →
 rows-only + recall tests in tests/test_llm_ops.py."""
@@ -23,6 +23,15 @@ from ..registry import query
 
 _DUCK_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
 
+# Twin-id offset for the perturbed-copy corpora. 1e7, NOT 1e4: the
+# offset must clear the largest corpus the queries will ever run on
+# (scale probes clone sf0.1 10-100x => up to ~5e5 doc ids) or twin ids
+# COLLIDE with real ids and every pair join silently corrupts — the
+# r7 10x probe caught exactly that as a Jaccard divide-by-zero.
+# Divisible by 1e4 so `doc_id % 10000` sampling picks a twin iff it
+# picks the original (dedup_jaccard_prefix relies on this).
+_TWIN_OFF = 10_000_000
+
 
 def _with_exact_copies(d: DataFrame) -> DataFrame:
     """documents ∪ byte-identical copies with shifted ids."""
@@ -33,11 +42,12 @@ def _with_exact_copies(d: DataFrame) -> DataFrame:
 
 
 def _with_perturbed_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents ∪ near-copies (last word dropped), twin id = id+10000."""
+    """documents ∪ near-copies (last word dropped), twin id =
+    id + _TWIN_OFF."""
     d = load_table(spark, sf_dir, "documents")
     ws = tokenize_ws("text")
     twins = d.select(
-        (F.col("doc_id") + 10000).alias("doc_id"),
+        (F.col("doc_id") + _TWIN_OFF).alias("doc_id"),
         # greatest(...,0): slice length -1 (empty/whitespace-only text)
         # is a runtime error, not an empty array
         F.array_join(
@@ -71,7 +81,7 @@ NGRAM_JACCARD_ORACLE = f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 10000,
+  SELECT doc_id + {_TWIN_OFF},
          array_to_string(({_DUCK_TOKS})[1:len({_DUCK_TOKS}) - 1], ' ')
   FROM documents
 ),
@@ -118,7 +128,7 @@ SIMHASH_TWINS_ORACLE = f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 10000,
+  SELECT doc_id + {_TWIN_OFF},
          array_to_string(({_DUCK_TOKS})[1:len({_DUCK_TOKS}) - 1], ' ')
   FROM documents
 ),
@@ -139,7 +149,7 @@ bits AS (
 )
 SELECT a.doc_id,
   CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS INTEGER) AS hamming_dist
-FROM bits a JOIN bits b ON b.doc_id = a.doc_id + 10000 AND a.i = b.i
+FROM bits a JOIN bits b ON b.doc_id = a.doc_id + {_TWIN_OFF} AND a.i = b.i
 GROUP BY a.doc_id
 """
 
@@ -152,8 +162,11 @@ def dedup_simhash_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrelated docs."""
     corpus = _with_perturbed_copies(spark, sf_dir)
     sh = corpus.select("doc_id", simhash64(tokenize_ws("text")).alias("bits"))
-    a = sh.filter(F.col("doc_id") < 10000)
-    b = sh.select((F.col("doc_id") - 10000).alias("doc_id"), F.col("bits").alias("bits_b"))
+    a = sh.filter(F.col("doc_id") < _TWIN_OFF)
+    b = sh.select(
+        (F.col("doc_id") - _TWIN_OFF).alias("doc_id"),
+        F.col("bits").alias("bits_b"),
+    )
     return (
         a.join(b, "doc_id")
         .select("doc_id", hamming("bits", "bits_b").alias("hamming_dist"))
@@ -164,7 +177,7 @@ SIMHASH_PAIRS_ORACLE = f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 10000,
+  SELECT doc_id + {_TWIN_OFF},
          array_to_string(({_DUCK_TOKS})[1:len({_DUCK_TOKS}) - 1], ' ')
   FROM documents
 ),
@@ -318,7 +331,7 @@ CANONICAL_ORACLE = f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 10000,
+  SELECT doc_id + {_TWIN_OFF},
          array_to_string(({_DUCK_TOKS})[1:len({_DUCK_TOKS}) - 1], ' ')
   FROM documents
 ),
@@ -494,7 +507,7 @@ CONTAINMENT_ORACLE = f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 10000,
+  SELECT doc_id + {_TWIN_OFF},
          array_to_string(({_DUCK_TOKS})[1:len({_DUCK_TOKS}) - 1], ' ')
   FROM documents
 ),
@@ -583,7 +596,7 @@ JACCARD_PREFIX_ORACLE = f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents WHERE doc_id < 200
   UNION ALL
-  SELECT doc_id + 10000,
+  SELECT doc_id + {_TWIN_OFF},
          array_to_string(({_DUCK_TOKS})[1:len({_DUCK_TOKS}) - 1], ' ')
   FROM documents WHERE doc_id < 200
 ),

@@ -154,10 +154,12 @@ _MH_FRAGS_SPARK = {
     for j in range(_MH_K)
 }
 
+from .llm_dedup import _TWIN_OFF  # collision-proof twin-id offset
+
 _MH_CORPUS_SQL = f"""
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 10000,
+  SELECT doc_id + {_TWIN_OFF},
          array_to_string(({_DUCK_TOKS})[1:len({_DUCK_TOKS}) - 1], ' ')
   FROM documents
 """
@@ -222,7 +224,7 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     ws = tokenize_ws("text")
     twins = d.select(
-        (F.col("doc_id") + 10000).alias("doc_id"),
+        (F.col("doc_id") + _TWIN_OFF).alias("doc_id"),
         F.array_join(
             F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))), " "
         ).alias("text"),

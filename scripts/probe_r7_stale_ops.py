@@ -30,17 +30,20 @@ PROBED = (
 )
 
 
-def main(factor: int = 10) -> None:
+def main(factor: int = 10, skip_synth: bool = False) -> None:
     from probe_r6_window_ops import OUT, synthesize
 
     from glue_etl_pyspark_spark.registry import load_all
     from glue_etl_pyspark_spark.session import get_spark
 
     spark = get_spark()
-    print(f"synthesizing {factor}x sf0.1 ...", flush=True)
-    t0 = time.time()
-    synthesize(spark, factor)
-    print(f"synth done in {time.time() - t0:.1f}s", flush=True)
+    if skip_synth and os.path.exists(f"{OUT}/embeddings.parquet"):
+        print(f"reusing existing {OUT} clone", flush=True)
+    else:
+        print(f"synthesizing {factor}x sf0.1 ...", flush=True)
+        t0 = time.time()
+        synthesize(spark, factor)
+        print(f"synth done in {time.time() - t0:.1f}s", flush=True)
 
     reg = load_all()
     for name in PROBED:
@@ -58,4 +61,7 @@ def main(factor: int = 10) -> None:
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 10)
+    main(
+        int(sys.argv[1]) if len(sys.argv) > 1 else 10,
+        skip_synth="--no-synth" in sys.argv,
+    )

@@ -6,6 +6,8 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from glue_etl_pyspark_spark.queries.llm_dedup import _TWIN_OFF
+
 from glue_etl_pyspark_spark.registry import load_all
 
 
@@ -27,7 +29,7 @@ def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
 
 def test_simhash_pairs_recover_planted_twins(spark, sf_dir):
     pairs = _run(spark, sf_dir, "dedup_simhash_pairs")
-    planted = pairs.filter(F.col("id_b") == F.col("id_a") + 10000)
+    planted = pairs.filter(F.col("id_b") == F.col("id_a") + _TWIN_OFF)
     n_docs = 500
     n_planted = planted.count()
     # banding guarantees candidates for hamming < bands; most twins
@@ -172,8 +174,8 @@ def test_dedup_clusters_contain_planted_twins(spark, sf_dir):
     pairs = _run(spark, sf_dir, "dedup_ngram_jaccard")
     for r in pairs.collect():
         assert lab[r.id_a] == lab[r.id_b], (r.id_a, r.id_b)
-    # planted twins (id+10000) clustered with originals when paired
-    twins = [r for r in pairs.collect() if r.id_b == r.id_a + 10000]
+    # planted twins (id+_TWIN_OFF) clustered with originals when paired
+    twins = [r for r in pairs.collect() if r.id_b == r.id_a + _TWIN_OFF]
     assert len(twins) >= 450  # nearly all 500 planted twins found
     # labels are the min id of each component
     assert all(lab[i] <= i for i in lab)
@@ -530,7 +532,7 @@ def test_minhash_portable_recall_vs_exact(spark, sf_dir):
         (r.id_a, r.id_b)
         for r in _run(spark, sf_dir, "dedup_minhash_portable").collect()
     }
-    twins = {(a, b) for a, b in exact if b == a + 10000}
+    twins = {(a, b) for a, b in exact if b == a + _TWIN_OFF}
     hit = len(twins & cand) / len(twins)
     assert hit >= 0.9, f"planted-twin recall {hit:.2f} < 0.9"
 
