@@ -50,23 +50,81 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 
 
 # The driver checks the FIRST 50 queries in ``queries()`` dict-insertion
-# order (confirmed rounds 1-6; r6 checked exactly the first 50 names).
+# order (confirmed rounds 1-7; r7 checked exactly the first 50 names).
 #
-# ROUND-7 WINDOW (evidence close-out — VERDICT r6 item 1): after r6
-# the cumulative board is 278/290 externally exercised, 0 red, and the
-# remaining evidence tail is EXACTLY one window: 10 never-checked
-# oracled names + 2 never-checked rows-only streaming names + the
-# 38-name block last externally green in ROUND 1 (five rounds of
-# shared-helper churn since — shingle-hash rewrite, msum retrofit,
-# _md5_mod_spark swap, and this round's knn_bruteforce cosine-tree
-# alignment, which knn_triplet_mining / join_asof_purchase_click /
-# dedup_* do NOT use but the r1-stale knn-adjacent names re-prove
-# under). 12 + 38 = 50; a clean window takes the board to 290/290
-# with nothing older than round 5. The r6-checked names follow so
-# overall ordering stays stable. Pinned by tests/test_registry.py.
+# ROUND-8 WINDOW (VERDICT r7 item 1): after the clean r7 window the
+# board is 290/294 externally exercised, 0 red. The remaining tail:
+# the 4 round-7 additions NEVER externally checked (locally
+# parity-green; they lead) + the 48-name block whose evidence is
+# oldest (last externally green in ROUND 2 — five rounds of
+# shared-helper churn since: msum retrofit, _md5_mod_spark swap,
+# langid literal-profile rework, knn cosine-tree alignment). 48 > 46
+# remaining slots, so the two zero-churn pure-literal scalar demos
+# (func_conditional, func_math — no repo helpers in their bodies,
+# untouched since r1) defer to round 9. A clean window takes the
+# board to 294/294 with the oldest evidence moving from r2 to r3.
+# Pinned by tests/test_registry.py.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- never-checked oracled spill from the r6 window (sim-green
-    # in r6's full-registry /tmp run; 10x-probed) ---
+    # --- never externally checked (added r7; oracled, parity-green
+    # locally and 10x-probed) ---
+    "agg_salted_hotkey",
+    "graph_bfs_khop",
+    "join_interval_overlap",
+    "text_normalize_clean",
+    # --- stalest evidence: last externally green in ROUND 2 ---
+    "join_multiway_revenue",
+    "knn_bruteforce_cosine",
+    "knn_bruteforce_numpy",
+    "knn_ivf",
+    "embedding_dedup_pairs",
+    "text_tfidf",
+    "text_language_id",
+    "text_token_stats",
+    "text_quality_score",
+    "text_term_freq",
+    "agg_collect_set",
+    "func_map_ops",
+    "func_string",
+    "func_date",
+    "func_array",
+    "func_map_json",
+    "filter_compound",
+    "sink_partitioned_pruned",
+    "unnest_struct",
+    "apply_mapping_orders",
+    "resolve_choice_cast",
+    "resolve_choice_make_cols",
+    "fill_missing_left_join",
+    "drop_null_fields_events",
+    "sort_limit_offset",
+    "window_tumbling_batch",
+    "stream_stateful_batch",
+    "window_ranking",
+    "window_analytic",
+    "window_frames",
+    "window_range_frame",
+    "topk_per_group",
+    "topk_global",
+    "udf_pandas_scalar",
+    "udf_row_scalar",
+    "udf_grouped_zscore",
+    "udf_mapinpandas",
+    "udf_table_function",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q12_priority_counts",
+    "tpch_q14_promo_effect",
+    "tpch_q17_small_qty",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_global_sales_opp",
+    # ================= 50-slot window cutoff =================
+    # --- r2-stale pair deferred to round 9 (zero-churn literal
+    # scalar demos) ---
+    "func_conditional",
+    "func_math",
+    # --- round-7 window names (all externally green/clean in r7),
+    # kept in priority so overall ordering stays stable ---
     "knn_triplet_mining",
     "langid_confusion_matrix",
     "text_autocomplete_index",
@@ -77,11 +135,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_jaccard_prefix",
     "join_asof_tolerance",
     "cohort_ltv_curve",
-    # --- never-checked rows-only streaming pair (stream≡batch
-    # equality-tested; DuckDB can't run a micro-batch engine) ---
     "stream_stream_join_outer",
     "stream_stateful_timeout_sessions",
-    # --- stalest evidence: last externally green in ROUND 1 ---
     "join_asof_purchase_click",
     "dedup_ngram_jaccard",
     "skew_salted_join",
@@ -120,59 +175,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "join_range_weekly",
     "dedup_exact",
     "dedup_simhash_twins",
-    # ================= 50-slot window cutoff =================
-    # --- round-6 window names (all externally green/clean in r6),
-    # kept in priority so overall ordering stays stable ---
-    "cluster_medoids",
-    "dq_sampler_chi2",
-    "events_rolling_correlation",
-    "basket_association_rules",
-    "knn_ivf_persisted",
-    "scan_binary_files",
-    "stream_state_inspect",
-    "multimodal_features",
-    "dedup_substring_spans",
-    "events_decayed_popularity",
-    "events_attribution_last_touch",
-    "quality_classifier_linear",
-    "linkage_fuzzy_match",
-    "events_dau_wau",
-    "text_bpe_apply",
-    "pyds_writer_roundtrip",
-    "embedding_pool_mean",
-    "events_drift_psi",
-    "text_inverted_index",
-    "events_bot_burst_detect",
-    "hybrid_search_rrf",
-    "events_rolling_median",
-    "events_path_trigrams",
-    "dq_reconcile_amounts",
-    "embedding_feature_stats",
-    "events_cusum_shift",
-    "sql_udf_declarative",
-    "sql_scripting_loop",
-    "ingest_dedup_replay",
-    "revenue_share_of_region",
-    "embedding_pca_power",
-    "gdpr_erasure_cascade",
-    "dq_k_anonymity",
-    "epoch_shuffle_shards",
-    "skyline_parts_frontier",
-    "join_point_in_time",
-    "feature_target_encode",
-    "events_attribution_linear",
-    "quality_gate_roc_sweep",
-    "udf_mapinarrow",
-    "sketch_join_cardinality",
-    "hist_range_selectivity",
-    "embedding_robust_scale",
-    "dedup_containment",
-    "knn_hard_negatives",
-    "corpus_datasheet",
-    "curriculum_phase_assign",
-    "knn_mutual_nn",
-    "dq_join_skew_report",
-    "events_time_to_conversion",
 )
 
 
