@@ -69,8 +69,14 @@ def knn_bruteforce(
         .select(
             "query_id",
             "neighbor_id",
+            # guard on the norm PRODUCT, the oracle's exact predicate
+            # (NULLIF(na*nb, 0)): two subnormal norms can underflow
+            # the product to 0.0 with both factors nonzero, and the
+            # per-factor guard would then diverge (Spark Inf/NaN vs
+            # oracle NULL). Unreachable with real embeddings; matched
+            # so both engines null out the identical pair set.
             F.when(
-                (F.col("__qn") == 0) | (F.col("__cn") == 0),
+                F.col("__qn") * F.col("__cn") == 0,
                 F.lit(None).cast("double"),
             )
             .otherwise(dot("__qv", "__cv") / (F.col("__qn") * F.col("__cn")))
@@ -124,8 +130,9 @@ def _nearest_cents(
     sims = left.crossJoin(cent).select(
         F.col(id_out),
         "cent_id",
+        # product guard == the oracle family's NULLIF(na*nb, 0)
         F.when(
-            (F.col("__n") == 0) | (F.col("__cn") == 0),
+            F.col("__n") * F.col("__cn") == 0,
             F.lit(None).cast("double"),
         )
         .otherwise(dot(vec_col, "__cent") / (F.col("__n") * F.col("__cn")))

@@ -1152,8 +1152,9 @@ def knn_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("q_label") != F.col("n_label"))
         .select(
             "query_id", "q_label", "neg_id", "n_label",
+            # product guard == the oracle's NULLIF(na*nb, 0) predicate
             F.when(
-                (F.col("__qn") == 0) | (F.col("__cn") == 0),
+                F.col("__qn") * F.col("__cn") == 0,
                 F.lit(None).cast("double"),
             )
             .otherwise(dot("__qv", "__cv") / (F.col("__qn") * F.col("__cn")))
@@ -1235,8 +1236,9 @@ def knn_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     sims = b.crossJoin(F.broadcast(a)).select(
         "a_id",
         "b_id",
+        # product guard == the oracle's NULLIF(na*nb, 0) predicate
         F.when(
-            (F.col("__an") == 0) | (F.col("__bn") == 0),
+            F.col("__an") * F.col("__bn") == 0,
             F.lit(None).cast("double"),
         )
         .otherwise(dot("__av", "__bv") / (F.col("__an") * F.col("__bn")))
@@ -1326,8 +1328,9 @@ def knn_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "a_label",
             "cand_id",
             (F.col("c_label") == F.col("a_label")).alias("is_same"),
+            # product guard == the oracle's NULLIF(na*nb, 0) predicate
             F.when(
-                (F.col("__qn") == 0) | (F.col("__cn") == 0),
+                F.col("__qn") * F.col("__cn") == 0,
                 F.lit(None).cast("double"),
             )
             .otherwise(dot("__qv", "__cv") / (F.col("__qn") * F.col("__cn")))
@@ -1492,11 +1495,13 @@ def cluster_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "cent_id",
             "id_a",
-            # zero-norm guard (mirrors the oracle's NULLIF): a 0-norm
-            # member would make 0/0=NaN and CAST(floor(NaN)) ERRORS
-            # under ANSI; NULL drops out of the SUM on both engines.
+            # zero-norm guard (mirrors the oracle's NULLIF(na*nb,0)
+            # — guard the PRODUCT, not each factor, so a subnormal
+            # underflow nulls the same pair set on both engines): a
+            # 0-norm member would make 0/0=NaN and CAST(floor(NaN))
+            # ERRORS under ANSI; NULL drops out of the SUM on both.
             F.when(
-                (F.col("__na") == 0) | (F.col("__nb") == 0),
+                F.col("__na") * F.col("__nb") == 0,
                 F.lit(None).cast("bigint"),
             )
             .otherwise(

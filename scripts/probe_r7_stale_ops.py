@@ -61,7 +61,10 @@ def main(factor: int = 10, skip_synth: bool = False) -> None:
 
 
 if __name__ == "__main__":
+    # flags must not reach the int() factor parse (--no-synth alone
+    # crashed the documented usage)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     main(
-        int(sys.argv[1]) if len(sys.argv) > 1 else 10,
+        int(args[0]) if args else 10,
         skip_synth="--no-synth" in sys.argv,
     )

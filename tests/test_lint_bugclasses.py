@@ -33,6 +33,20 @@ _INT64_PRODUCT = re.compile(
 # a match on a line that already promotes to a wide type is the fix, not the bug
 _WIDE = re.compile(r"HUGEINT|DECIMAL\(38|decimal\(38", re.IGNORECASE)
 
+# Known-safe multi-line sites: the DECIMAL(38,0)/HUGEINT promotion sits
+# on a DIFFERENT line than the multiply, so the same-line _WIDE check
+# can't see it. Pin by (path suffix, distinctive line fragment) — a
+# line move doesn't break the pin, a NEW occurrence still fails.
+# Empty today; the escape hatch the docstring promises.
+_INT64_ALLOWLIST: tuple[tuple[str, str], ...] = ()
+
+
+def _allowlisted(path: str, line: str) -> bool:
+    return any(
+        path.endswith(suffix) and marker in line
+        for suffix, marker in _INT64_ALLOWLIST
+    )
+
 
 def _scan(pattern: re.Pattern, subdirs: tuple[str, ...]) -> list[tuple[str, int, str]]:
     hits = []
@@ -47,7 +61,7 @@ def _scan(pattern: re.Pattern, subdirs: tuple[str, ...]) -> list[tuple[str, int,
 def test_no_new_unpromoted_int64_data_products():
     hits = [
         h for h in _scan(_INT64_PRODUCT, ("queries", "operators", "functions"))
-        if not _WIDE.search(h[2])
+        if not _WIDE.search(h[2]) and not _allowlisted(h[0], h[2])
     ]
     assert not hits, (
         "data-scaled int64 product without DECIMAL(38,0)/HUGEINT promotion "
