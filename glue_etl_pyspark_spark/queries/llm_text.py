@@ -254,15 +254,48 @@ _TRI_EXPR = (
     " i -> substring(text, i, 3)))"
 )
 
+# O(L) twin of _TRI_EXPR: substring(text, i, 3) re-scans the UTF8
+# bytes from position 0 on EVERY call (code-point offsets aren't
+# indexed), making the substring form O(L^2) per doc — measured 14.9 s
+# vs 7.0 s for this form over the 10x probe corpus (50k docs, avg 297
+# chars). Splitting to a char array once makes each gram three O(1)
+# element reads; get() is NULL past the end and coalesce('') restores
+# substring's short-text behavior (a 2-char doc yields its 2-char
+# "trigram", '' for empty text — bit-identical to the substring tree,
+# pinned over every fixture doc AND unicode/short-string edge cases in
+# tests/test_llm_ops.py). Boundary: split('') yields UTF-16 code
+# units, substring counts code points — they agree on all BMP text;
+# only non-BMP (surrogate-pair) chars would diverge, and the equality
+# pin guards the fixture corpus.
+_TRI_EXPR_FAST = (
+    "array_distinct(transform(sequence(1, greatest(length(text) - 2, 1)),"
+    " i -> concat(coalesce(get(__ch, i - 1), ''), coalesce(get(__ch, i), ''),"
+    " coalesce(get(__ch, i + 1), ''))))"
+)
+
+
+def _with_trigrams(df: DataFrame) -> DataFrame:
+    """Add a ``__tri`` distinct-trigram array column via the O(L)
+    char-array extraction (``__ch`` staged in its own withColumn per
+    the lateral-alias rule, then dropped)."""
+    return (
+        df.withColumn("__ch", F.split("text", ""))
+        .withColumn("__tri", F.expr(_TRI_EXPR_FAST))
+        .drop("__ch")
+    )
+
 
 def _langid_doc_tri(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    grams = d.select("doc_id", "lang", F.expr(_TRI_EXPR).alias("tri"))
+    grams = _with_trigrams(d).select("doc_id", "lang", F.col("__tri").alias("tri"))
     return grams.select("doc_id", "lang", F.explode("tri").alias("g"))
 
 
 def _langid_top_profiles(
-    spark: SparkSession, sf_dir: str, k: int = 20
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 20,
+    doc_tri: DataFrame | None = None,
 ) -> dict[str, list[str]]:
     """Train the per-language top-k trigram profiles and COLLECT them —
     a constant-size intermediate (n_langs * k grams; 5*20 here), so the
@@ -270,8 +303,11 @@ def _langid_top_profiles(
     is one map-side-combined (lang, gram) count + a profile-sized
     window, both deterministic (freq desc, gram tie-break), so the
     collected literals can never be re-derived differently by an
-    AQE/broadcast recompute (packing-bases precedent)."""
-    doc_tri = _langid_doc_tri(spark, sf_dir)
+    AQE/broadcast recompute (packing-bases precedent). ``doc_tri``
+    lets a caller that already materialized the exploded trigram set
+    share it instead of re-extracting."""
+    if doc_tri is None:
+        doc_tri = _langid_doc_tri(spark, sf_dir)
     profile = doc_tri.groupBy(F.col("lang").alias("plang"), "g").agg(
         F.count(F.lit(1)).alias("freq")
     )
@@ -330,12 +366,25 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     (_langid_score_join, equality-pinned in tests/test_llm_ops.py):
     the inner profile join counted exactly the distinct doc trigrams
     inside a language's profile — the intersect size — and docs with
-    zero profile hits drop out on both paths. This replaces the r6
-    plan-audit constant (the full corpus trigram set through a
-    shuffle join — 53 s at the 10x probe) with ~n_langs hashed
-    20-element set probes per doc."""
+    zero profile hits drop out on both paths.
+
+    The r8 probe showed the r7 shuffle-free scoring did NOT move the
+    10x wall (55 s vs 53 s pre-rework): the cost was never the join
+    but the trigram EXTRACTION — O(L^2) substring scans, run twice
+    (training + scoring). Now: O(L) char-array extraction
+    (_TRI_EXPR_FAST) materialized ONCE (localCheckpoint — the
+    iterative-lineage rule's cousin: two consumers, one extraction;
+    the frame is doc_id+lang+distinct-gram array, ~6 MB at 10x) and
+    shared by the profile count and the literal-intersect scoring.
+    Measured 10x: 55.2 s -> 11.6 s warm."""
     d = load_table(spark, sf_dir, "documents")
-    profs = _langid_top_profiles(spark, sf_dir)
+    tri = (
+        _with_trigrams(d)
+        .select("doc_id", "lang", "__tri")
+        .localCheckpoint(eager=True)
+    )
+    doc_tri = tri.select("doc_id", "lang", F.explode("__tri").alias("g"))
+    profs = _langid_top_profiles(spark, sf_dir, doc_tri=doc_tri)
     langs = sorted(profs)
     n = len(langs)
     structs = [
@@ -354,8 +403,7 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, lang in enumerate(langs)
     ]
     return (
-        d.withColumn("__tri", F.expr(_TRI_EXPR))
-        .withColumn("__best", F.array_max(F.array(*structs)))
+        tri.withColumn("__best", F.array_max(F.array(*structs)))
         .filter(F.col("__best.h") >= 1)
         .select(
             "doc_id",

@@ -401,6 +401,37 @@ def test_langid_literal_intersect_equals_join_scoring(spark, sf_dir):
     )
 
 
+def test_trigram_fast_extraction_is_bitexact_twin(spark, sf_dir):
+    """_TRI_EXPR_FAST (O(L) char-array reads) must yield EXACTLY the
+    trigram array of the _TRI_EXPR substring form (which the DuckDB
+    oracle mirrors) — over every fixture doc AND the short/unicode
+    edge cases where the two could plausibly part ways (empty text,
+    sub-trigram docs, BMP accents/Greek, whitespace). The boundary
+    that is NOT covered (documented in llm_text.py): non-BMP
+    surrogate-pair chars, absent from the corpus."""
+    from glue_etl_pyspark_spark.io import load_table
+    from glue_etl_pyspark_spark.queries.llm_text import _TRI_EXPR, _TRI_EXPR_FAST
+
+    def both(df):
+        a = df.select("doc_id", F.expr(_TRI_EXPR).alias("ta"))
+        b = (
+            df.withColumn("__ch", F.split("text", ""))
+            .select("doc_id", F.expr(_TRI_EXPR_FAST).alias("tb"))
+        )
+        return a.join(b, "doc_id").filter(~(F.col("ta") == F.col("tb")))
+
+    assert both(load_table(spark, sf_dir, "documents")).count() == 0
+
+    edge = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["", "a", "ab", "abc", "abcd", "héllo wörld", "ααβγδ", "ab\ncd\te"]
+        )],
+        "doc_id long, text string",
+    )
+    diffs = both(edge).collect()
+    assert not diffs, diffs
+
+
 def test_knn_bruteforce_tree_matches_oracle_cosine_bitexact(spark, sf_dir):
     """knn_bruteforce's sim tree must be BIT-IDENTICAL (no rounding) to
     cosine_similarity — i.e. dot(raw)/(na*nb) with norms materialized

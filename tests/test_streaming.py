@@ -437,3 +437,71 @@ def test_rocksdb_state_store_provider(spark, smoke_dir):
     assert got == want
     state = spark.read.format("statestore").load(ckpt)
     assert state.count() == len(want)
+
+
+def test_foreachbatch_retry_is_exactly_once(spark, smoke_dir, tmp_path):
+    """Exactly-once for the batch_id-partitioned foreachBatch file
+    sink (the recipe foreach_batch_to_parquet documents): a sink
+    attempt that dies AFTER a partial write must leave no duplicates
+    and no missing rows once the stream restarts from the SAME
+    checkpoint — Spark replays the failed micro-batch with the same
+    batch_id, and the per-batch ``mode("overwrite")`` directory write
+    replaces the partial output instead of appending to it. This is
+    the property that makes the sink safe under task/driver retry at
+    scale; an append-mode sink double-writes here and this test fails.
+    """
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from glue_etl_pyspark_spark.streaming.ops import events_stream
+
+    sink_dir = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    attempts = {"n": 0}
+
+    def sink(batch_df, batch_id):
+        # foreachBatch callables run on the driver: the closure dict is
+        # a reliable attempt counter
+        part = f"{sink_dir}/batch_id={batch_id}"
+        if attempts["n"] == 0:
+            attempts["n"] += 1
+            # crash mid-commit: half the rows land, then the batch dies
+            batch_df.filter(F.col("event_id") % 2 == 0).write.mode(
+                "overwrite"
+            ).parquet(part)
+            raise RuntimeError("injected sink failure after partial write")
+        batch_df.write.mode("overwrite").parquet(part)
+
+    src = events_stream(spark, smoke_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+    def start():
+        return (
+            src.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q1 = start()
+    with pytest.raises(StreamingQueryException, match="injected sink failure"):
+        q1.awaitTermination(120)
+    # partial state really is on disk (the failure mode being tested)
+    partial = spark.read.parquet(sink_dir)
+    full = load_table(spark, smoke_dir, "events")
+    assert partial.count() < full.count()
+
+    q2 = start()
+    assert q2.awaitTermination(120)
+    assert attempts["n"] == 1, "restart must NOT re-enter the failing branch"
+
+    back = spark.read.parquet(sink_dir).drop("batch_id")
+    assert back.count() == full.count()
+    dupes = back.groupBy("event_id").count().filter(F.col("count") > 1)
+    assert dupes.count() == 0
+    assert _rows(back, ["event_id", "user_id", "event_type", "value"]) == _rows(
+        full.select("event_id", "user_id", "event_type", "value"),
+        ["event_id", "user_id", "event_type", "value"],
+    )
