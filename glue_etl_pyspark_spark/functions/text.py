@@ -73,12 +73,20 @@ def doc_fingerprint(text: Column | str, n: int = 3) -> Column:
     )
 
 
-def _word_bits(w: Column) -> Column:
-    """64 ±1 contributions from the first 64 bits of md5(word)."""
-    h = F.md5(w)
+def _hash_pm1(h: Column) -> Column:
+    """64 ±1 contributions from the first 64 bits of an md5 hex string
+    ``h`` that is already a BOUND value (an array element / lambda
+    variable — reading it is free, unlike a captured md5 expression).
+    Bit i comes from hex nibble floor(i/4) (1-indexed substring),
+    LSB-first within the nibble — the exact extraction order and
+    arithmetic of the original per-bit form, so simhash values are
+    unchanged; each bit now costs a 1-char substring+conv instead of
+    a full md5."""
 
     def bit(i: Column) -> Column:
-        nib = F.conv(F.substring(h, (i / F.lit(4)).cast("int") + 1, 1), 16, 10).cast("int")
+        nib = F.conv(
+            F.substring(h, (i / F.lit(4)).cast("int") + 1, 1), 16, 10
+        ).cast("int")
         # (nib >> (i % 4)) & 1, written arithmetically (shiftleft needs
         # a literal shift amount)
         power = F.pow(F.lit(2.0), F.pmod(i, F.lit(4)).cast("double"))
@@ -95,12 +103,20 @@ def simhash64(tokens: Column | str) -> Column:
     64 bits (0/1). Bit i is 1 when the summed ±1 md5-bit contributions
     of all tokens are positive. Kept as a bit array (not bigint) so
     hamming distance stays a cheap zip_with and bit 63 needs no
-    sign gymnastics."""
+    sign gymnastics.
+
+    The token hashes are materialized as an array FIRST
+    (``transform(tokens, md5)`` stores each md5 result as an element)
+    before the fold reads them: an md5 captured inside the per-bit
+    lambda re-evaluates per element (the CLAUDE.md lambda rule) —
+    the original form computed 64 md5s per token and was ~90% of
+    simhash_pairs' wall time (SCALING.md round 8)."""
     t = _c(tokens)
+    hashes = F.transform(t, F.md5)
     sums = F.aggregate(
-        t,
+        hashes,
         F.array_repeat(F.lit(0), 64),
-        lambda acc, w: F.zip_with(acc, _word_bits(w), lambda a, b: a + b),
+        lambda acc, h: F.zip_with(acc, _hash_pm1(h), lambda a, b: a + b),
     )
     return F.transform(sums, lambda s: F.when(s > 0, F.lit(1)).otherwise(F.lit(0)))
 

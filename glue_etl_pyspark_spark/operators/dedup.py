@@ -194,9 +194,14 @@ def simhash_pairs(
     never compares all pairs.
     """
     width = 64 // bands
+    # the banded frame feeds BOTH sides of the self-join below, and the
+    # per-doc simhash (a 64-wide +/-1 fold over every token) is the
+    # dominant per-row cost — materialize it once (id + 64 ints per
+    # doc; ~5 MB per million docs) so neither join side re-runs the
+    # tokenize+hash fold. Measured at sf0.1: 23.8 s -> see SCALING.md.
     sh = df.select(
         F.col(id_col).alias("id"), simhash64(tokenize_ws(text_col)).alias("bits")
-    )
+    ).localCheckpoint(eager=True)
     banded = sh.select(
         "id",
         "bits",
