@@ -641,3 +641,58 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace(F.base64("content"), "\r\n", ""), 256
         ).alias("content_sha256_b64"),
     )
+
+
+CORRUPT_RECORDS_ORACLE = """
+SELECT event_id,
+  CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS parsed_type,
+  CASE WHEN event_id % 7 = 0 THEN NULL
+       ELSE CAST(floor(value * 1000000) AS BIGINT) END AS parsed_value_micro,
+  (event_id % 7 = 0) AS is_corrupt
+FROM events
+"""
+
+
+@query("scan_corrupt_records", oracle=CORRUPT_RECORDS_ORACLE, category="source-sink")
+def scan_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE semi-structured ingestion with corrupt-record
+    capture — the Glue/ETL landing-zone shape for dirty JSON feeds:
+    every malformed record must survive the scan (raw payload in the
+    `columnNameOfCorruptRecord` column, typed fields NULL) instead of
+    failing the job (FAILFAST) or vanishing (DROPMALFORMED).
+
+    Each engine round-trips its OWN JSON rendering (to_json ->
+    corrupt a deterministic subset by event_id -> from_json), so no
+    cross-engine JSON string formatting is ever compared; the oracle
+    states the recovery semantics directly. The corruption replaces
+    the leading '{' — probed to fail BEFORE any token parses, because
+    PERMISSIVE keeps partial results (a truncated tail can leave
+    earlier fields non-NULL, which would be parser-version-dependent).
+    Money floor-scaled to integer micros (CLAUDE.md .5-boundary rule).
+    Scale: per-row expression work, shuffle-free; is_corrupt is the
+    quarantine predicate a real pipeline would split on."""
+    ev = load_table(spark, sf_dir, "events")
+    raw = ev.select(
+        "event_id", F.to_json(F.struct("event_type", "value")).alias("js")
+    )
+    bad = raw.withColumn(
+        "js",
+        F.when(
+            F.col("event_id") % 7 == 0,
+            F.concat(F.lit("?"), F.expr("substring(js, 2)")),
+        ).otherwise(F.col("js")),
+    )
+    parsed = bad.withColumn(
+        "p",
+        F.from_json(
+            "js",
+            "event_type string, value double, _corrupt_record string",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.event_type").alias("parsed_type"),
+        F.floor(F.col("p.value") * 1e6).cast("bigint").alias("parsed_value_micro"),
+        F.col("p._corrupt_record").isNotNull().alias("is_corrupt"),
+    )

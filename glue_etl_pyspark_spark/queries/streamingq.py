@@ -722,3 +722,87 @@ def stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key.event_type").alias("event_type"),
         F.col(f"value.{value_field}").cast("bigint").alias("n"),
     )
+
+
+CHAINED_BATCH_ORACLE = """
+WITH sub AS (
+  SELECT date_trunc('hour', ts)
+           + to_minutes(CAST(15 * (minute(ts) // 15) AS BIGINT)) AS sub_start,
+         event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT date_trunc('hour', sub_start) AS hour_start, event_type,
+  CAST(SUM(n) AS BIGINT) AS n_events,
+  CAST(COUNT(*) AS BIGINT) AS n_subwindows
+FROM sub GROUP BY 1, 2
+"""
+
+
+@query("window_chained_batch", oracle=CHAINED_BATCH_ORACLE, category="streaming")
+def window_chained_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the chained-window stream: 15-minute tumbling
+    counts re-aggregated to hourly (window-over-window via
+    window_time, the same operator pair the stream runs)."""
+    ev = load_table(spark, sf_dir, "events")
+    sub = ev.groupBy(F.window("ts", "15 minutes"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        sub.groupBy(
+            F.window(F.window_time("window"), "1 hour"), "event_type"
+        )
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.count(F.lit(1)).alias("n_subwindows"),
+        )
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "n_subwindows",
+        )
+    )
+
+
+@query("stream_chained_windows", oracle=None, category="streaming")
+def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIPLE STATEFUL OPERATORS in one streaming query (Spark 3.5+/
+    4): a 15-minute tumbling count re-aggregated into hourly rollups
+    by a second windowed aggregation over window_time() — two state
+    stores chained in one plan, append mode (the only mode chained
+    stateful ops support). Level-1 windows emit when the watermark
+    passes their end and flow INTO level 2 in the same micro-batch;
+    the far-future sentinel rows (real event types, equal timestamps)
+    push the final watermark past every real hour so both levels
+    fully evict before the drain stops — their own windows are held
+    in state forever and never pollute the output. Drained with
+    continuous micro-batches (the availableNow final-batch trap,
+    CLAUDE.md). Must equal window_chained_batch exactly (asserted in
+    tests/test_streaming.py). At 100 TB the two stores shard
+    independently on their grouping keys; level 2's input is already
+    window-grain, ~1/900th of the event stream."""
+    from ..streaming.ops import drain_micro_batches, stage_events_with_sentinel
+
+    d = stage_events_with_sentinel(sf_dir)
+    s = events_stream(spark, sf_dir, staged_dir=d)
+    lvl1 = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "15 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    lvl2 = (
+        lvl1.groupBy(
+            F.window(F.window_time("window"), "1 hour"), "event_type"
+        )
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.count(F.lit(1)).alias("n_subwindows"),
+        )
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "n_subwindows",
+        )
+    )
+    return drain_micro_batches(lvl2, mode="append")

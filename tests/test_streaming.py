@@ -505,3 +505,13 @@ def test_foreachbatch_retry_is_exactly_once(spark, smoke_dir, tmp_path):
         full.select("event_id", "user_id", "event_type", "value"),
         ["event_id", "user_id", "event_type", "value"],
     )
+
+
+def test_stream_chained_windows_matches_batch(spark, smoke_dir):
+    """Two chained stateful window aggregations (15-min -> hourly)
+    must equal the batch window-over-window twin exactly; the
+    sentinel rows' far-future windows must never emit."""
+    stream = _run(spark, smoke_dir, "stream_chained_windows")
+    batch = _run(spark, smoke_dir, "window_chained_batch")
+    cols = ["hour_start", "event_type", "n_events", "n_subwindows"]
+    assert _rows(stream, cols) == _rows(batch, cols)
