@@ -176,6 +176,66 @@ def ngram_jaccard_pairs(
     return verified.select("id_a", "id_b", "jaccard")
 
 
+def simhash_bits_kernel(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """numpy mapInPandas twin of ``simhash64(tokenize_ws(text))`` —
+    emits (id, bits array<int>), bit-identical to the expression path
+    (equality-pinned over every fixture doc + whitespace/unicode edge
+    cases in tests/test_llm_ops.py; the endorsed exact-kernel pattern,
+    PCA precedent).
+
+    Why it's exact: md5 is md5; tokenization replicates the JVM's
+    exactly (lower, split on Java's ASCII ``\\s`` class
+    ``[ \\t\\n\\x0b\\f\\r]+`` — NOT Python's unicode-aware ``\\s`` —
+    drop empties); bit extraction is the same nibble/LSB order; the
+    ±1 sums are small exact integers, order-independent.
+
+    Why it's faster (~6x on the fold): each UNIQUE token's 64-wide ±1
+    row is computed once per partition and cached (corpus vocab is
+    tiny vs token count), and per-doc sums become one vectorized
+    numpy gather-sum instead of ~15 interpreted-HOF expression-node
+    evaluations per bit per token (SCALING.md round 8: shrinking the
+    per-element tree bought 0%; removing the evaluations is the
+    lever)."""
+    spark_schema = f"{id_col} long, bits array<int>"
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        import hashlib
+        import re
+
+        ws = re.compile("[ \t\n\x0b\f\r]+")
+        cache: dict[str, object] = {}
+
+        def pm1_row(tok: str):
+            row = cache.get(tok)
+            if row is None:
+                d = hashlib.md5(tok.encode("utf-8")).hexdigest()[:16]
+                nibs = np.array([int(c, 16) for c in d], dtype=np.int64)
+                row = (
+                    ((nibs[:, None] >> np.arange(4)) & 1) * 2 - 1
+                ).reshape(64)
+                cache[tok] = row
+            return row
+
+        for pdf in batches:
+            bits_out = []
+            for text in pdf[text_col]:
+                toks = [t for t in ws.split(text.lower()) if t]
+                if toks:
+                    sums = np.sum([pm1_row(t) for t in toks], axis=0)
+                    bits = (sums > 0).astype(np.int32)
+                else:
+                    bits = np.zeros(64, dtype=np.int32)
+                bits_out.append(bits)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, "bits": bits_out}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(gen, spark_schema)
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,
@@ -195,13 +255,17 @@ def simhash_pairs(
     """
     width = 64 // bands
     # the banded frame feeds BOTH sides of the self-join below, and the
-    # per-doc simhash (a 64-wide +/-1 fold over every token) is the
-    # dominant per-row cost — materialize it once (id + 64 ints per
-    # doc; ~5 MB per million docs) so neither join side re-runs the
-    # tokenize+hash fold. Measured at sf0.1: 23.8 s -> see SCALING.md.
-    sh = df.select(
-        F.col(id_col).alias("id"), simhash64(tokenize_ws(text_col)).alias("bits")
-    ).localCheckpoint(eager=True)
+    # per-doc simhash fold is the dominant per-row cost — compute it
+    # with the vectorized kernel (bit-identical twin of
+    # simhash64(tokenize_ws(.)), pinned) and materialize once (id + 64
+    # ints per doc; ~5 MB per million docs) so neither join side
+    # re-runs it. Measured at sf0.1: 23.8 s (expression, computed
+    # twice) -> 10.4 s (expression, once) -> see SCALING.md for the
+    # kernel number.
+    sh = (
+        simhash_bits_kernel(df.select(F.col(id_col).alias("id"), text_col), "id", text_col)
+        .localCheckpoint(eager=True)
+    )
     banded = sh.select(
         "id",
         "bits",

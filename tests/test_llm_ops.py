@@ -709,3 +709,35 @@ def test_systematic_resample_sums_to_n(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
     assert totals == [1000, 1000]
+
+
+def test_simhash_kernel_is_bitexact_twin(spark, sf_dir):
+    """simhash_bits_kernel (numpy mapInPandas) must emit EXACTLY the
+    bit arrays of simhash64(tokenize_ws(text)) — over every fixture
+    doc AND the tokenization edge cases where Python could part ways
+    with the JVM (unicode whitespace that Java's ASCII \\s does NOT
+    split on, empty/whitespace-only text, repeated tokens, case)."""
+    from glue_etl_pyspark_spark.functions.text import simhash64, tokenize_ws
+    from glue_etl_pyspark_spark.io import load_table
+    from glue_etl_pyspark_spark.operators.dedup import simhash_bits_kernel
+
+    def diff_count(df, id_col):
+        a = df.select(
+            F.col(id_col).alias("id"),
+            simhash64(tokenize_ws("text")).alias("ea"),
+        )
+        b = simhash_bits_kernel(
+            df.select(F.col(id_col).alias("id"), "text"), "id", "text"
+        ).withColumnRenamed("bits", "eb")
+        return a.join(b, "id").filter(~(F.col("ea") == F.col("eb"))).count()
+
+    assert diff_count(load_table(spark, sf_dir, "documents"), "doc_id") == 0
+
+    edge = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([
+            "", "   ", "a", "A a a\tA", "x y",  # NBSP: Java \s keeps it glued
+            "tab\tnewline\nret\rvt\x0bff\x0c", "Héllo HÉLLO", "ααβ ΑΑΒ",
+        ])],
+        "doc_id long, text string",
+    )
+    assert diff_count(edge, "doc_id") == 0
