@@ -58,11 +58,15 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 # parity-green; they lead) + the 48-name block whose evidence is
 # oldest (last externally green in ROUND 2 — five rounds of
 # shared-helper churn since: msum retrofit, _md5_mod_spark swap,
-# langid literal-profile rework, knn cosine-tree alignment). 48 > 46
-# remaining slots, so the two zero-churn pure-literal scalar demos
-# (func_conditional, func_math — no repo helpers in their bodies,
-# untouched since r1) defer to round 9. A clean window takes the
-# board to 294/294 with the oldest evidence moving from r2 to r3.
+# langid literal-profile rework, knn cosine-tree alignment). The 3
+# queries added mid-round-8 (scan_corrupt_records,
+# window_chained_batch, stream_chained_windows) join the
+# never-checked lead block, so 43 slots remain for the r2-stale
+# class; the 5 deferred to round 9 are the two zero-churn
+# pure-literal scalar demos (func_conditional, func_math — no repo
+# helpers in their bodies, untouched since r1) plus the last 3
+# r2-stale names displaced by the r8 additions. A clean window takes
+# the board to 297/297 externally exercised.
 # Pinned by tests/test_registry.py.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- never externally checked (added r7; oracled, parity-green
@@ -71,6 +75,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "graph_bfs_khop",
     "join_interval_overlap",
     "text_normalize_clean",
+    # --- never externally checked (added r8 mid-round; oracled /
+    # rows-only-streaming, parity-green locally) — inserting them here
+    # drops the last 3 r2-stale slots to round 9, the right trade:
+    # never-checked evidence outranks refreshing r2-green names ---
+    "scan_corrupt_records",
+    "window_chained_batch",
+    "stream_chained_windows",
     # --- stalest evidence: last externally green in ROUND 2 ---
     "join_multiway_revenue",
     "knn_bruteforce_cosine",
