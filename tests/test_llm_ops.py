@@ -741,3 +741,47 @@ def test_simhash_kernel_is_bitexact_twin(spark, sf_dir):
         "doc_id long, text string",
     )
     assert diff_count(edge, "doc_id") == 0
+
+
+def test_shingle_kernel_is_bitexact_twin(spark, sf_dir):
+    """hashed_shingles_kernel (numpy mapInPandas, pure-Python
+    xxHash64(seed=42) replication) must emit EXACTLY the arrays of
+    array_distinct(hashed_shingles(token_hashes(tokenize_ws(text))))
+    — values AND order — over every fixture doc plus the xxhash64
+    stripe/tail boundaries (0/3/4/7/8/9/31/32/33-byte tokens, utf-8
+    multibyte) and the Java-vs-Python whitespace edges."""
+    from glue_etl_pyspark_spark.functions.text import (
+        hashed_shingles,
+        token_hashes,
+        tokenize_ws,
+    )
+    from glue_etl_pyspark_spark.io import load_table
+    from glue_etl_pyspark_spark.operators.dedup import hashed_shingles_kernel
+
+    def diff_count(df, id_col, n):
+        a = df.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(
+                hashed_shingles(token_hashes(tokenize_ws("text")), n)
+            ).alias("ea"),
+        )
+        b = hashed_shingles_kernel(
+            df.select(F.col(id_col).alias("id"), "text"), "id", "text", n
+        ).withColumnRenamed("sh", "eb")
+        return a.join(b, "id").filter(~(F.col("ea") == F.col("eb"))).count()
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert diff_count(docs, "doc_id", 4) == 0
+    assert diff_count(docs, "doc_id", 2) == 0
+
+    edge = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([
+            "", "   ", "a b c", "a a a a a a",  # repeats → distinct collapses
+            "x y",  # NBSP inside a token: Java \s keeps it glued
+            " ".join(["q" * L for L in (1, 3, 4, 7, 8, 9, 31, 32, 33)]),
+            "Héllo wörld ααβ ΑΑΒ mixed case TOKENS here",
+            "tab\tnewline\nret\rvt\x0bff\x0c end",
+        ])],
+        "doc_id long, text string",
+    )
+    assert diff_count(edge, "doc_id", 3) == 0
