@@ -72,6 +72,33 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drain_to_memory(agg, mode="complete")
 
 
+@query("stream_tumbling_rocksdb", oracle=None, category="streaming")
+def stream_tumbling_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_tumbling's exact plan drained under the RocksDB
+    state-store provider (bundled rocksdbjni) instead of the default
+    HDFS-backed in-heap maps — the scale path for keyed state bigger
+    than executor memory (state spills to per-partition RocksDB
+    instances on local disk). Provider choice relocates state, never
+    values: asserted identical to stream_tumbling AND
+    window_tumbling_batch in tests/test_streaming.py."""
+    from ..streaming.ops import rocksdb_state_conf
+
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    with rocksdb_state_conf(spark):
+        return drain_to_memory(agg, mode="complete")
+
+
 # --------------------------------------------------------------------------
 # sliding window
 

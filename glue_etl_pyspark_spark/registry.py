@@ -82,6 +82,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "scan_corrupt_records",
     "window_chained_batch",
     "stream_chained_windows",
+    "stream_tumbling_rocksdb",
     # --- stalest evidence: last externally green in ROUND 2 ---
     "join_multiway_revenue",
     "knn_bruteforce_cosine",

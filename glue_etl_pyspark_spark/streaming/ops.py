@@ -97,6 +97,45 @@ class _state_partitions_conf:
             self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+class rocksdb_state_conf:
+    """Temporarily select the RocksDB state-store provider around a
+    stream start. The provider is captured at the query's FIRST
+    micro-batch (and recorded in the checkpoint), like the partition
+    count — so it must be pinned for the whole drain, then restored.
+
+    This is the 100 TB keyed-state answer: the default HDFS-backed
+    provider keeps each partition's full state map on the executor
+    heap, while RocksDB spills to local disk with an off-heap block
+    cache, so watermark-bounded state (stream-stream joins, long
+    session windows) can exceed memory. Provider choice changes WHERE
+    state lives, never values — pinned by the
+    stream≡stream≡batch equality test."""
+
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", None
+        )
+        self.spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+        )
+
+    def __exit__(self, *exc):
+        if self.prev is None:
+            self.spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            self.spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", self.prev
+            )
+
+
 def drain_to_memory(
     df: DataFrame,
     mode: str = "append",

@@ -25,6 +25,24 @@ def test_stream_tumbling_matches_batch(spark, smoke_dir):
     assert _rows(stream, cols) == _rows(batch, cols)
 
 
+def test_stream_tumbling_rocksdb_matches_default_and_batch(spark, smoke_dir):
+    """State-store provider choice (RocksDB vs HDFS-backed heap maps)
+    must relocate state without changing one output value — the gate
+    for the 100 TB larger-than-heap state path."""
+    rocks = _run(spark, smoke_dir, "stream_tumbling_rocksdb")
+    stream = _run(spark, smoke_dir, "stream_tumbling")
+    batch = _run(spark, smoke_dir, "window_tumbling_batch")
+    cols = ["window_start", "event_type", "n", "sum_value"]
+    assert _rows(rocks, cols) == _rows(stream, cols)
+    bcols = ["window_start", "event_type", "n"]
+    assert _rows(rocks, bcols) == _rows(batch, bcols)
+    # provider conf restored after the drain
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass", "unset")
+        != "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+
+
 def test_stream_sliding_matches_batch(spark, smoke_dir):
     stream = _run(spark, smoke_dir, "stream_sliding")
     batch = _run(spark, smoke_dir, "window_sliding_batch")
