@@ -665,3 +665,53 @@ def sql_scripting_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 SQL pipe syntax (FROM ... |> op |> op)
+# ---------------------------------------------------------------------------
+
+_PIPE_MSUM = "(CAST(SUM(CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6)"
+
+SQL_PIPE_ORACLE = f"""
+SELECT c_mktsegment,
+  year(o_orderdate) AS o_year,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  {_PIPE_MSUM} AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+GROUP BY c_mktsegment, year(o_orderdate)
+HAVING COUNT(*) > 10
+ORDER BY c_mktsegment, o_year
+LIMIT 12
+"""
+
+
+@query("sql_pipe_syntax", oracle=SQL_PIPE_ORACLE, category="relational")
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL pipe syntax: the linear |> operator chain (FROM →
+    WHERE → JOIN → EXTEND → AGGREGATE..GROUP BY → post-agg WHERE
+    (=HAVING) → SELECT → ORDER BY → LIMIT). Pipes are pure parser
+    sugar — each operator lowers to the same logical plan Catalyst
+    optimizes for the ANSI form, so pushdown/broadcast/partial-agg
+    behavior is unchanged at 100 TB; the oracle IS that ANSI form.
+    Money accumulates via the shared MSUM fragment on both engines;
+    LIMIT rides a total order on the unique group key pair."""
+    from ..io import register_views
+
+    register_views(spark, sf_dir, "orders", "customer")
+    return spark.sql(
+        f"""
+        FROM orders
+        |> WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |> JOIN customer ON o_custkey = c_custkey
+        |> EXTEND year(o_orderdate) AS o_year
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_orders,
+             {_PIPE_MSUM} AS revenue
+           GROUP BY c_mktsegment, o_year
+        |> WHERE n_orders > 10
+        |> SELECT c_mktsegment, o_year, n_orders, revenue
+        |> ORDER BY c_mktsegment, o_year
+        |> LIMIT 12
+        """
+    )

@@ -83,6 +83,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "window_chained_batch",
     "stream_chained_windows",
     "stream_tumbling_rocksdb",
+    "sql_pipe_syntax",
     # --- stalest evidence: last externally green in ROUND 2 ---
     "join_multiway_revenue",
     "knn_bruteforce_cosine",
