@@ -715,3 +715,33 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> LIMIT 12
         """
     )
+
+
+PARAM_SQL_ORACLE = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+  (CAST(SUM(CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6) AS revenue
+FROM orders WHERE o_totalprice > 300000.0
+GROUP BY o_orderpriority
+"""
+
+
+@query("sql_parameterized", oracle=PARAM_SQL_ORACLE, category="relational")
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL binding (``spark.sql(..., args={...})``)
+    with the ``IDENTIFIER()`` clause resolving the table name from a
+    parameter — the injection-safe templating surface (parameters are
+    literals in the plan, identifiers are catalog-validated; string
+    interpolation is neither). Plan-identical to the inlined form, so
+    pushdown and partial aggregation are untouched."""
+    from ..io import register_views
+
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+          (CAST(SUM(CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6) AS revenue
+        FROM IDENTIFIER(:tbl) WHERE o_totalprice > :cutoff
+        GROUP BY o_orderpriority
+        """,
+        args={"tbl": "orders", "cutoff": 300000.0},
+    )

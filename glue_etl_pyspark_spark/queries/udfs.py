@@ -307,3 +307,32 @@ def udf_mapinarrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.mapInArrow(
         cents, schema="l_orderkey bigint, linenumber bigint, revenue_cents bigint"
     )
+
+
+ARROW_UDF_ORACLE = """
+SELECT o_orderkey,
+  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) % 97 AS cents_bucket
+FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 400000
+"""
+
+
+@query("udf_arrow_scalar", oracle=ARROW_UDF_ORACLE, category="udf")
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python scalar UDF (``useArrow=True``, Spark
+    3.5+/4): the same per-row signature as udf_row_scalar but the
+    executor⇄Python transfer is Arrow record batches instead of
+    pickled rows — the drop-in upgrade for legacy row UDFs that can't
+    be vectorized (pandas_udf remains the hot-path tool; this closes
+    the serialization gap for the rest). Python ``int()`` truncation
+    equals SQL floor for the positive product; the +0.5 pre-add makes
+    both sides round-half-up in the same double arithmetic."""
+
+    def cents_bucket(total: float) -> int:
+        return int(total * 100 + 0.5) % 97
+
+    fn = F.udf(cents_bucket, "bigint", useArrow=True)
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 400000))
+        .select("o_orderkey", fn("o_totalprice").alias("cents_bucket"))
+    )

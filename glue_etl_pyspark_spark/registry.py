@@ -84,6 +84,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_chained_windows",
     "stream_tumbling_rocksdb",
     "sql_pipe_syntax",
+    "udf_arrow_scalar",
+    "sql_parameterized",
     # --- stalest evidence: last externally green in ROUND 2 ---
     "join_multiway_revenue",
     "knn_bruteforce_cosine",
