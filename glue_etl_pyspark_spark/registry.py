@@ -58,15 +58,16 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 # parity-green; they lead) + the 48-name block whose evidence is
 # oldest (last externally green in ROUND 2 — five rounds of
 # shared-helper churn since: msum retrofit, _md5_mod_spark swap,
-# langid literal-profile rework, knn cosine-tree alignment). The 3
+# langid literal-profile rework, knn cosine-tree alignment). The 7
 # queries added mid-round-8 (scan_corrupt_records,
-# window_chained_batch, stream_chained_windows) join the
-# never-checked lead block, so 43 slots remain for the r2-stale
-# class; the 5 deferred to round 9 are the two zero-churn
-# pure-literal scalar demos (func_conditional, func_math — no repo
-# helpers in their bodies, untouched since r1) plus the last 3
-# r2-stale names displaced by the r8 additions. A clean window takes
-# the board to 297/297 externally exercised.
+# window_chained_batch, stream_chained_windows,
+# stream_tumbling_rocksdb, sql_pipe_syntax, udf_arrow_scalar,
+# sql_parameterized) join the never-checked lead block, so 39 slots
+# remain for the r2-stale class; the deferred-to-round-9 set is the
+# two zero-churn pure-literal scalar demos (func_conditional,
+# func_math — no repo helpers in their bodies, untouched since r1)
+# plus the r2-stale names displaced by the r8 additions. A clean
+# window takes the board to 301/301 externally exercised.
 # Pinned by tests/test_registry.py.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- never externally checked (added r7; oracled, parity-green
