@@ -273,6 +273,12 @@ def hashed_shingles_kernel(
         for pdf in batches:
             out = []
             for text in pdf[text_col]:
+                if text is None:
+                    # expression path yields NULL through the whole
+                    # tree on NULL text; size(NULL) drops it the same
+                    # way size([]) < 1 drops the empty array
+                    out.append(None)
+                    continue
                 toks = [t for t in ws.split(text.lower()) if t]
                 m = len(toks) - n + 1
                 if m <= 0:
@@ -338,6 +344,10 @@ def simhash_bits_kernel(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         for pdf in batches:
             bits_out = []
             for text in pdf[text_col]:
+                if text is None:
+                    # expression path: NULL text → NULL bits
+                    bits_out.append(None)
+                    continue
                 toks = [t for t in ws.split(text.lower()) if t]
                 if toks:
                     sums = np.sum([pm1_row(t) for t in toks], axis=0)

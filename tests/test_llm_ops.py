@@ -741,6 +741,11 @@ def test_simhash_kernel_is_bitexact_twin(spark, sf_dir):
         "doc_id long, text string",
     )
     assert diff_count(edge, "doc_id") == 0
+    # NULL text → NULL bits on BOTH paths (the equality filter can't
+    # see NULL-vs-value, so assert the kernel side directly)
+    null_df = spark.createDataFrame([(99, None)], "doc_id long, text string")
+    rows = simhash_bits_kernel(null_df, "doc_id", "text").collect()
+    assert len(rows) == 1 and rows[0]["bits"] is None
 
 
 def test_shingle_kernel_is_bitexact_twin(spark, sf_dir):
@@ -785,3 +790,6 @@ def test_shingle_kernel_is_bitexact_twin(spark, sf_dir):
         "doc_id long, text string",
     )
     assert diff_count(edge, "doc_id", 3) == 0
+    null_df = spark.createDataFrame([(99, None)], "doc_id long, text string")
+    rows = hashed_shingles_kernel(null_df, "doc_id", "text", 3).collect()
+    assert len(rows) == 1 and rows[0]["sh"] is None
