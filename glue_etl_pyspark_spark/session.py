@@ -33,6 +33,16 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
+    # Let AQE re-plan (coalesce/skew-split) the stages that produce
+    # AND consume persisted frames. The default (false) pins every
+    # cached subplan to the static shuffle width — on a vanilla
+    # 200-partition session each persist-using query (basket rules,
+    # dedup clusters, ngram pairs) runs chains of 200 near-empty
+    # tasks: basket_association_rules measured 44.5 s -> 7.5 s cold /
+    # 1.7 s warm at sf0.01 with this on. Values are unaffected
+    # (partitioning only); the repeated-run shuffle-width stress
+    # suite pins that.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
 }
 
 

@@ -129,8 +129,10 @@ def test_ngram_dedup_count_verify_no_array_rejoin(spark, sf_dir):
     ops = operator_counts(_df(spark, sf_dir, "dedup_ngram_jaccard"))
     n_hash_agg = sum(v for k, v in ops.items() if "HashAggregate" in k)
     assert n_hash_agg >= 2, f"expected partial+final pair-count aggregate: {ops}"
-    # shuffle keys are xxhash64 longs, not shingle strings
-    assert "xxhash64" in plan.lower()
+    # shuffle keys are 8-byte shingle hashes from the vectorized
+    # kernel (MapInPandas; xxHash64 replicated in Python — the r8
+    # kernel rework), never shingle strings
+    assert "mapinpandas" in plan.lower()
 
 
 def test_aqe_splits_skewed_join(spark):
