@@ -116,24 +116,32 @@ class rocksdb_state_conf:
     state lives, never values — pinned by the
     stream≡stream≡batch equality test."""
 
+    _CONFS = {
+        "spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER,
+        # changelog checkpointing: commit the per-batch delta instead
+        # of snapshotting the full RocksDB instance — the production
+        # mode for large state (snapshot upload cost stops scaling
+        # with state size; recovery replays changelog onto the last
+        # snapshot)
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+    }
+
     def __init__(self, spark):
         self.spark = spark
 
     def __enter__(self):
-        self.prev = self.spark.conf.get(
-            "spark.sql.streaming.stateStore.providerClass", None
-        )
-        self.spark.conf.set(
-            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
-        )
+        self.prev = {
+            k: self.spark.conf.get(k, None) for k in self._CONFS
+        }
+        for k, v in self._CONFS.items():
+            self.spark.conf.set(k, v)
 
     def __exit__(self, *exc):
-        if self.prev is None:
-            self.spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
-            self.spark.conf.set(
-                "spark.sql.streaming.stateStore.providerClass", self.prev
-            )
+        for k, old in self.prev.items():
+            if old is None:
+                self.spark.conf.unset(k)
+            else:
+                self.spark.conf.set(k, old)
 
 
 def drain_to_memory(
