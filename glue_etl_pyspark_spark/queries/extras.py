@@ -487,18 +487,57 @@ def events_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     data volume), and each step joins on (event_type, rn) — types
     advance in parallel within one recursive step.
 
-    Measured constant (r6/r7 probes, local[32]): 11.6 s at sf0.1,
-    16.2 s at 10x — the gap is the per-iteration Spark scheduling
-    overhead of ~30 recursive steps (calendar days), NOT data volume:
-    10x the events moved the total by +40% because only the daily
-    pre-agg grew. At 100 TB this query costs the one pre-agg scan plus
-    the same ~0.4 s/day constant; a year-long window is ~365 steps —
-    if that constant ever matters, the endorsed rework is
-    driver-collect of the (types x days) daily frame (constant-size,
-    calendar-bounded) + exact integer recursion as literals, kept
-    bit-identical to this SQL by the power-of-two floor division."""
+    The recursion itself runs ON THE DRIVER (the endorsed
+    driver-collect + literal re-ship rework, r8): Spark does the one
+    corpus-sized daily pre-aggregation, the (types x days) frame —
+    CONSTANT-size, calendar-bounded, never data-scaled — collects,
+    and Python replays the IDENTICAL update (floor((3*prev +
+    x*1e6)/4.0): exact power-of-two double division below 2^53 micro
+    — the same envelope the SQL has) before re-shipping the result as
+    literal rows. Replaces ~30 recursive Spark jobs (~0.4 s/step
+    scheduling constant: 13.4 s at sf0.01 under the driver sim, 16.2 s
+    at 10x) with one job + O(days) driver arithmetic; the WITH
+    RECURSIVE program remains the oracle AND the Spark-side twin
+    (`_EWMA_SQL`), equality- and shuffle-width-stress-pinned in
+    tests/test_operators.py."""
+    import math
+    from collections import defaultdict
+
     register_views(spark, sf_dir, "events")
-    return spark.sql(_EWMA_SQL)
+    daily = spark.sql(
+        "SELECT event_type, CAST(ts AS DATE) AS day, "
+        "CAST(COUNT(*) AS BIGINT) AS x "
+        "FROM events GROUP BY event_type, CAST(ts AS DATE)"
+    ).collect()
+    by_type: dict[str, list] = defaultdict(list)
+    for r in daily:
+        by_type[r["event_type"]].append((r["day"], r["x"]))
+    out = []
+    for et, lst in by_type.items():
+        lst.sort()
+        prev = None
+        for day, x in lst:
+            if prev is None:
+                ew = x * 1_000_000
+                out.append((et, day, x, ew, False, False))
+            else:
+                ew = math.floor((3 * prev + x * 1_000_000) / 4.0)
+                out.append(
+                    (
+                        et,
+                        day,
+                        x,
+                        ew,
+                        2 * x * 1_000_000 > 3 * prev,
+                        2 * x * 1_000_000 < prev,
+                    )
+                )
+            prev = ew
+    return spark.createDataFrame(
+        out,
+        "event_type string, day date, x bigint, ewma_micro bigint, "
+        "spike boolean, drop_alert boolean",
+    )
 
 
 SALTED_AGG_ORACLE = """

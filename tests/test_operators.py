@@ -367,3 +367,26 @@ def test_jdbc_roundtrip_partitioned_scan(spark, sf_dir):
     assert back.rdd.getNumPartitions() == 4
     expect = orders.filter("o_custkey >= 100").count()
     assert back.count() == expect
+
+
+def test_ewma_literal_recursion_matches_recursive_sql(spark, sf_dir):
+    """events_ewma_control now runs the recursion on the driver over
+    the collected (types x days) daily frame (the endorsed literal
+    re-ship pattern) — it must stay BIT-IDENTICAL to the WITH
+    RECURSIVE program (`_EWMA_SQL`, still the oracle), including
+    across shuffle widths (literal data can't vary with the plan)."""
+    from glue_etl_pyspark_spark.io import register_views
+    from glue_etl_pyspark_spark.queries.extras import _EWMA_SQL
+    from glue_etl_pyspark_spark.registry import load_all
+
+    register_views(spark, sf_dir, "events")
+    want = sorted(map(tuple, spark.sql(_EWMA_SQL).collect()))
+    fn = load_all()["events_ewma_control"].fn
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for parts in ("2", "32", "200"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            got = sorted(map(tuple, fn(spark, sf_dir).collect()))
+            assert got == want, f"diverged at width {parts}"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
