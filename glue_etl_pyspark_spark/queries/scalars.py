@@ -745,3 +745,43 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "orders", "cutoff": 300000.0},
     )
+
+
+PANDAS_API_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(COUNT(*) AS BIGINT) AS n_items,
+  CAST(MAX(l_quantity) AS DOUBLE) AS max_qty
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("pandas_api_groupby", oracle=PANDAS_API_ORACLE, category="relational")
+def pandas_api_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas API on Spark (``df.pandas_api()`` — the pyspark.pandas
+    migration path for pandas codebases): a groupby/agg written in
+    pandas idiom that lowers to the SAME Catalyst aggregate plan as
+    the DataFrame form, then ``to_spark()`` back. Distributed
+    end-to-end — no driver materialization; the pandas surface is
+    API sugar, not pandas execution. Quantities are integral doubles,
+    so the sum is exact in both engines; it re-casts to BIGINT at the
+    boundary for dtype-kind parity."""
+    from ..io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ps_df = li.pandas_api()
+    out = (
+        ps_df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+        .agg({"l_quantity": ["sum", "max"], "l_orderkey": "count"})
+    )
+    sdf = out.to_spark()
+    # flattened multi-index columns come back as "(l_quantity, sum)"
+    cols = sdf.columns
+    return sdf.select(
+        F.col(cols[0]).alias("l_returnflag"),
+        F.col(cols[1]).alias("l_linestatus"),
+        F.col(cols[2]).cast("bigint").alias("sum_qty"),
+        F.col(cols[4]).cast("bigint").alias("n_items"),
+        F.col(cols[3]).cast("double").alias("max_qty"),
+    )

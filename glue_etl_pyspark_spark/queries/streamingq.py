@@ -218,6 +218,95 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # streaming dedup / stream-static join / foreachBatch / stateful
 
+SESSION_DYNAMIC_ORACLE = """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+    ts + CASE WHEN event_type = 'view'
+      THEN INTERVAL 10 MINUTE ELSE INTERVAL 30 MINUTE END AS w_end
+  FROM events
+),
+o AS (
+  SELECT user_id, ts, event_id, w_end,
+    -- dynamic gaps need the RUNNING MAX window end, not lag(ts): an
+    -- earlier long-gap event can hold the session open past a later
+    -- short-gap event's own window
+    MAX(w_end) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      AS prev_max_end
+  FROM e
+),
+f AS (
+  SELECT user_id, ts, event_id, w_end,
+    -- >=: the merged end is exclusive, like the static twin
+    CASE WHEN prev_max_end IS NULL OR ts >= prev_max_end
+      THEN 1 ELSE 0 END AS new_s
+  FROM o
+),
+g AS (
+  SELECT user_id, ts, w_end,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS sid
+  FROM f
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(w_end) AS session_end,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM g GROUP BY user_id, sid
+"""
+
+
+def _dynamic_gap():
+    return F.when(
+        F.col("event_type") == "view", F.lit("10 minutes")
+    ).otherwise(F.lit("30 minutes"))
+
+
+@query(
+    "window_session_dynamic_batch",
+    oracle=SESSION_DYNAMIC_ORACLE,
+    category="streaming",
+)
+def window_session_dynamic_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap sessionization: the gap duration is a PER-EVENT
+    expression (views time out in 10 min, everything else 30) —
+    `session_window(ts, gap_column)`, the Spark 3.2+ surface the
+    fixed-gap twin can't express. Oracle is the running-max-end
+    gaps-and-islands form (see SQL comment: lag(ts) is WRONG under
+    mixed gaps)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", _dynamic_gap()))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_window.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query("stream_session_dynamic", oracle=None, category="streaming")
+def stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap session windows on the stream (stateful interval
+    merge per key, per-event gap expression; complete-mode drain).
+    Must agree with window_session_dynamic_batch (asserted in
+    tests/test_streaming.py)."""
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", _dynamic_gap()))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_window.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+    )
+    return drain_to_memory(agg, mode="complete")
+
+
 @query("stream_dedup", oracle=None, category="streaming")
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicatesWithinWatermark over a deliberately-duplicated

@@ -87,6 +87,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sql_pipe_syntax",
     "udf_arrow_scalar",
     "sql_parameterized",
+    "pandas_api_groupby",
+    "window_session_dynamic_batch",
+    "stream_session_dynamic",
     # --- stalest evidence: last externally green in ROUND 2 ---
     "join_multiway_revenue",
     "knn_bruteforce_cosine",

@@ -57,6 +57,15 @@ def test_stream_session_matches_batch(spark, smoke_dir):
     assert _rows(stream, cols) == _rows(batch, cols)
 
 
+def test_stream_session_dynamic_matches_batch(spark, smoke_dir):
+    """Dynamic-gap session windows (per-event gap expression) must
+    merge identically in the stateful stream and the batch twin."""
+    stream = _run(spark, smoke_dir, "stream_session_dynamic")
+    batch = _run(spark, smoke_dir, "window_session_dynamic_batch")
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    assert _rows(stream, cols) == _rows(batch, cols)
+
+
 def test_stream_dedup_halves_duplicates(spark, smoke_dir):
     out = _run(spark, smoke_dir, "stream_dedup")
     n_events = load_table(spark, smoke_dir, "events").count()
