@@ -62,12 +62,14 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 # queries added mid-round-8 (scan_corrupt_records,
 # window_chained_batch, stream_chained_windows,
 # stream_tumbling_rocksdb, sql_pipe_syntax, udf_arrow_scalar,
-# sql_parameterized) join the never-checked lead block, so 39 slots
-# remain for the r2-stale class; the deferred-to-round-9 set is the
-# two zero-churn pure-literal scalar demos (func_conditional,
-# func_math — no repo helpers in their bodies, untouched since r1)
-# plus the r2-stale names displaced by the r8 additions. A clean
-# window takes the board to 301/301 externally exercised.
+# sql_parameterized, pandas_api_groupby,
+# window_session_dynamic_batch, stream_session_dynamic) join the
+# never-checked lead block, so 36 slots remain for the r2-stale
+# class; the deferred-to-round-9 set is the two zero-churn
+# pure-literal scalar demos (func_conditional, func_math — no repo
+# helpers in their bodies, untouched since r1) plus the r2-stale
+# names displaced by the r8 additions. A clean window takes the
+# board to 304/304 externally exercised.
 # Pinned by tests/test_registry.py.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- never externally checked (added r7; oracled, parity-green
