@@ -367,3 +367,47 @@ def ingest_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.join(raw, "event_type").select(
         "event_type", "n_deduped", "n_dropped_zero", "n_raw_feed"
     )
+
+
+# --- bitmap exact-distinct (mergeable partials) -----------------------
+
+BITMAP_DISTINCT_ORACLE = """
+SELECT event_type,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+@query(
+    "agg_bitmap_distinct", oracle=BITMAP_DISTINCT_ORACLE, category="etl-pattern"
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap aggregates (Spark 3.5+
+    bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg
+    / bitmap_or_agg / bitmap_count): daily per-(type, bucket) bitmap
+    PARTIALS are OR-merged across days, then popcounted and summed
+    over buckets. Unlike COUNT(DISTINCT), the partials are mergeable
+    state — the materialized-view / incremental-rollup layout that
+    never re-scans history (agg_incremental_merge keeps the raw
+    presence grain; HLL is the approximate cousin) — and unlike HLL
+    they stay EXACT: the oracle is plain COUNT(DISTINCT). Each bucket
+    covers 32768 ids, so state is |id range|/8 bytes per group worst
+    case, shuffled as fixed-width binary."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.bitmap_bucket_number("user_id").alias("bucket"),
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"),
+        F.count(F.lit(1)).alias("pc"),
+    )
+    merged = daily.groupBy("event_type", "bucket").agg(
+        F.bitmap_or_agg("bm").alias("bm"),
+        F.sum("pc").alias("pc"),
+    )
+    return merged.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).cast("bigint").alias("n_users"),
+        F.sum("pc").cast("bigint").alias("n_events"),
+    )

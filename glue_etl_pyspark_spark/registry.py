@@ -92,6 +92,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "pandas_api_groupby",
     "window_session_dynamic_batch",
     "stream_session_dynamic",
+    "agg_bitmap_distinct",
     # --- stalest evidence: last externally green in ROUND 2 ---
     "join_multiway_revenue",
     "knn_bruteforce_cosine",
