@@ -29,15 +29,29 @@ STAGE_ROOT = "/tmp/glue_etl_pyspark_spark_stream_stage"
 
 
 def stage_stream_dir(sf_dir: str, table: str = "events") -> str:
-    """Create (once) a directory containing only a symlink to
-    ``{sf_dir}/{table}.parquet`` — the file-stream source dir."""
+    """Create (once) a directory of symlinks to ``{sf_dir}/{table}
+    .parquet`` — the file-stream source dir.
+
+    The source may be a single parquet FILE (the driver fixtures) or
+    a Spark-written DIRECTORY of part files (probe clones, real
+    tables): the file-stream source does not follow a symlinked
+    subdirectory, so a directory source is staged as one symlink per
+    part file. A directory staged as a file-symlink drains ZERO rows
+    silently — the r8 10x streaming probe found exactly that."""
     key = sf_dir.strip("/").replace("/", "_")
     d = os.path.join(STAGE_ROOT, key, table)
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, f"{table}.parquet")
     src = os.path.join(sf_dir, f"{table}.parquet")
-    if not os.path.islink(link):
-        os.symlink(src, link)
+    if os.path.isdir(src):
+        for name in sorted(os.listdir(src)):
+            if name.endswith(".parquet"):
+                link = os.path.join(d, name)
+                if not os.path.islink(link):
+                    os.symlink(os.path.join(src, name), link)
+    else:
+        link = os.path.join(d, f"{table}.parquet")
+        if not os.path.islink(link):
+            os.symlink(src, link)
     return d
 
 
