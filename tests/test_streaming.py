@@ -542,3 +542,30 @@ def test_stream_chained_windows_matches_batch(spark, smoke_dir):
     batch = _run(spark, smoke_dir, "window_chained_batch")
     cols = ["hour_start", "event_type", "n_events", "n_subwindows"]
     assert _rows(stream, cols) == _rows(batch, cols)
+
+
+def test_stage_stream_dir_handles_directory_tables(spark, smoke_dir, tmp_path):
+    """A Spark-WRITTEN table is a directory of part files; staging it
+    as a single file-symlink makes every stream drain a silent no-op
+    (the r8 10x-probe landmine). The staging helper must symlink the
+    part files so the file-stream source sees them."""
+    import os
+
+    from glue_etl_pyspark_spark.io import load_table
+    from glue_etl_pyspark_spark.streaming.ops import drain_to_memory, stage_stream_dir
+
+    src_root = str(tmp_path / "dirtable")
+    ev = load_table(spark, smoke_dir, "events").limit(500)
+    ev.write.parquet(os.path.join(src_root, "events.parquet"))
+
+    staged = stage_stream_dir(src_root)
+    links = [f for f in os.listdir(staged) if f.endswith(".parquet")]
+    assert links and all(os.path.islink(os.path.join(staged, f)) for f in links)
+
+    s = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "8")
+        .parquet(staged)
+    )
+    out = drain_to_memory(s.select("event_id"), mode="append")
+    assert out.count() == 500
