@@ -776,12 +776,16 @@ def pandas_api_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg({"l_quantity": ["sum", "max"], "l_orderkey": "count"})
     )
     sdf = out.to_spark()
-    # flattened multi-index columns come back as "(l_quantity, sum)"
-    cols = sdf.columns
+    # flattened multi-index columns come back as "(l_quantity, sum)";
+    # resolve by NAME, not position — agg-dict iteration order is an
+    # implementation detail
+    def c(name: str):
+        return F.col(f"`{name}`")
+
     return sdf.select(
-        F.col(cols[0]).alias("l_returnflag"),
-        F.col(cols[1]).alias("l_linestatus"),
-        F.col(cols[2]).cast("bigint").alias("sum_qty"),
-        F.col(cols[4]).cast("bigint").alias("n_items"),
-        F.col(cols[3]).cast("double").alias("max_qty"),
+        c("(l_returnflag, )").alias("l_returnflag"),
+        c("(l_linestatus, )").alias("l_linestatus"),
+        c("(l_quantity, sum)").cast("bigint").alias("sum_qty"),
+        c("(l_orderkey, count)").cast("bigint").alias("n_items"),
+        c("(l_quantity, max)").cast("double").alias("max_qty"),
     )
