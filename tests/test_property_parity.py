@@ -297,3 +297,42 @@ def test_pack_greedy_matches_sequential_reference(spark, items):
         state[shard] = (seq, fill)
         expected[i] = (shard * STRIDE + seq, fill)
     assert got == expected
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(tokens=st.lists(
+    st.text(
+        # any codepoint except surrogates (invalid in UTF-8)
+        alphabet=st.characters(blacklist_categories=("Cs",)),
+        min_size=0,
+        max_size=80,  # crosses the 32-byte stripe + every tail length
+    ),
+    min_size=1,
+    max_size=12,
+))
+def test_python_xxhash64_matches_spark(spark, tokens):
+    """The pure-Python xxHash64(seed=42) inside
+    operators/dedup.hashed_shingles_kernel must agree with
+    F.xxhash64 on ARBITRARY unicode — hypothesis drives string
+    lengths across the 32-byte stripe loop and all 8/4/1-byte tail
+    branches, and multi-byte UTF-8 on every boundary."""
+    from pyspark.sql import functions as F
+
+    from glue_etl_pyspark_spark.operators.dedup import hashed_shingles_kernel
+
+    # n=1 hashed shingles ARE the raw token hashes (no fold passes),
+    # so the kernel output pins the hash function itself
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(tokens)], "id long, text string"
+    )
+    # tokenization may split/drop text; compare via the same expression
+    # tree the kernel mirrors
+    from glue_etl_pyspark_spark.functions.text import token_hashes, tokenize_ws
+
+    a = df.select(
+        "id", F.array_distinct(token_hashes(tokenize_ws("text"))).alias("ea")
+    )
+    b = hashed_shingles_kernel(df, "id", "text", 1).withColumnRenamed("sh", "eb")
+    diff = a.join(b, "id").filter(~(F.col("ea") == F.col("eb"))).count()
+    assert diff == 0
