@@ -671,7 +671,12 @@ def sql_scripting_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Spark 4 SQL pipe syntax (FROM ... |> op |> op)
 # ---------------------------------------------------------------------------
 
+# oracle (DuckDB) side: SUM(BIGINT) widens to HUGEINT — overflow-safe
 _PIPE_MSUM = "(CAST(SUM(CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6)"
+# Spark side: SUM(BIGINT) stays BIGINT and would overflow at 100 TB
+# money volumes (~2e20 micro-units) — accumulate in DECIMAL(38,0),
+# identical values at any scale that fits (the msum discipline)
+_PIPE_MSUM_SPARK = "(CAST(SUM(CAST(floor(o_totalprice * 1e6 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1e6)"
 
 SQL_PIPE_ORACLE = f"""
 SELECT c_mktsegment,
@@ -707,7 +712,7 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> JOIN customer ON o_custkey = c_custkey
         |> EXTEND year(o_orderdate) AS o_year
         |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_orders,
-             {_PIPE_MSUM} AS revenue
+             {_PIPE_MSUM_SPARK} AS revenue
            GROUP BY c_mktsegment, o_year
         |> WHERE n_orders > 10
         |> SELECT c_mktsegment, o_year, n_orders, revenue
@@ -739,7 +744,7 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
-          (CAST(SUM(CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6) AS revenue
+          (CAST(SUM(CAST(floor(o_totalprice * 1e6 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1e6) AS revenue
         FROM IDENTIFIER(:tbl) WHERE o_totalprice > :cutoff
         GROUP BY o_orderpriority
         """,
