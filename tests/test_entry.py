@@ -25,3 +25,25 @@ def test_contract_shapes(spark):
     assert set(oracles) <= set(qs)
     for name, fn in qs.items():
         assert callable(fn), name
+
+
+def test_runtime_confs_applied_to_external_session(spark):
+    """The driver builds its OWN vanilla session; every conf the
+    engine depends on at runtime must be in RUNTIME_CONFS and applied
+    by ensure_session_configs (which load_table calls). Pins the
+    r8 cached-plan AQE conf — without it every persist-using query
+    runs its shuffles at the static 200-partition width under the
+    driver (44.5 s basket-rules pathology, SCALING.md round 8)."""
+    from glue_etl_pyspark_spark.session import RUNTIME_CONFS, ensure_session_configs
+
+    must_have = {
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
+    }
+    for k, v in must_have.items():
+        assert RUNTIME_CONFS.get(k) == v, k
+    ensure_session_configs(spark)
+    for k, v in must_have.items():
+        assert spark.conf.get(k) == v, k
