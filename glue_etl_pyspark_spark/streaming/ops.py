@@ -41,7 +41,14 @@ def stage_stream_dir(sf_dir: str, table: str = "events") -> str:
     key = sf_dir.strip("/").replace("/", "_")
     d = os.path.join(STAGE_ROOT, key, table)
     os.makedirs(d, exist_ok=True)
-    src = os.path.join(sf_dir, f"{table}.parquet")
+    _link_parquet(os.path.join(sf_dir, f"{table}.parquet"), d, table)
+    return d
+
+
+def _link_parquet(src: str, d: str, table: str) -> None:
+    """Symlink a parquet source into stage dir ``d`` — one link for a
+    single file, one link PER PART FILE for a Spark-written directory
+    (the file-stream source does not follow a symlinked subdir)."""
     if os.path.isdir(src):
         for name in sorted(os.listdir(src)):
             if name.endswith(".parquet"):
@@ -52,7 +59,6 @@ def stage_stream_dir(sf_dir: str, table: str = "events") -> str:
         link = os.path.join(d, f"{table}.parquet")
         if not os.path.islink(link):
             os.symlink(src, link)
-    return d
 
 
 def events_stream(
@@ -356,10 +362,11 @@ def stage_events_with_sentinel(sf_dir: str, gap_days: int = 10) -> str:
     key = sf_dir.strip("/").replace("/", "_")
     d = os.path.join(STAGE_ROOT, key, "events_wm")
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
     src_path = os.path.join(sf_dir, "events.parquet")
-    if not os.path.islink(link):
-        os.symlink(src_path, link)
+    # directory-shaped tables stage per part file (same landmine as
+    # stage_stream_dir: a dir staged as one file-symlink drains ZERO
+    # real rows and the sentinel alone produces empty windows)
+    _link_parquet(src_path, d, "events")
     sentinel = os.path.join(d, "sentinel.parquet")
     if not os.path.exists(sentinel):
         src = pq.read_table(src_path)
