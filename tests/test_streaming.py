@@ -569,3 +569,26 @@ def test_stage_stream_dir_handles_directory_tables(spark, smoke_dir, tmp_path):
     )
     out = drain_to_memory(s.select("event_id"), mode="append")
     assert out.count() == 500
+
+
+def test_sentinel_staging_handles_directory_tables(spark, smoke_dir, tmp_path):
+    """stage_events_with_sentinel must stage directory-shaped events
+    per part file too — staged as one file-symlink, a drain would see
+    ONLY the sentinel file and emit empty windows (the r8 10x
+    follow-up finding)."""
+    import os
+
+    from glue_etl_pyspark_spark.io import load_table
+    from glue_etl_pyspark_spark.streaming.ops import stage_events_with_sentinel
+
+    src_root = str(tmp_path / "evroot")
+    ev = load_table(spark, smoke_dir, "events").limit(400)
+    ev.write.parquet(os.path.join(src_root, "events.parquet"))
+
+    staged = stage_events_with_sentinel(src_root)
+    links = [f for f in os.listdir(staged) if f.startswith("part-")]
+    assert links, "expected per-part-file symlinks for a directory table"
+    assert os.path.exists(os.path.join(staged, "sentinel.parquet"))
+    # the staged dir must read back as real rows + the 2 sentinels
+    n = spark.read.parquet(staged).count()
+    assert n == 400 + 2
