@@ -204,7 +204,11 @@ def hashed_shingles_kernel(
     (fold passes scale with n-1; the cache amortizes token hashing
     across the corpus' Zipf head) — measured sf0.1 n=4 shingle stage:
     1.15 s -> 0.92 s."""
-    spark_schema = f"{id_col} long, sh array<bigint>"
+    # derive the id type from the input: callers pass string/int ids
+    # through ngram_jaccard_pairs, and a hardcoded `long` makes Arrow
+    # conversion fail for them (ADVICE r8)
+    id_type = df.schema[id_col].dataType.simpleString()
+    spark_schema = f"{id_col} {id_type}, sh array<bigint>"
 
     def gen(batches):
         import re
@@ -318,7 +322,9 @@ def simhash_bits_kernel(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     evaluations per bit per token (SCALING.md round 8: shrinking the
     per-element tree bought 0%; removing the evaluations is the
     lever)."""
-    spark_schema = f"{id_col} long, bits array<int>"
+    # id type derived from the input (see hashed_shingles_kernel)
+    id_type = df.schema[id_col].dataType.simpleString()
+    spark_schema = f"{id_col} {id_type}, bits array<int>"
 
     def gen(batches):
         import numpy as np

@@ -162,7 +162,7 @@ def _nearest_cents_gemm(
     tie-break and same zero-norm-loses semantics as the expression
     path. numpy's summation order differs from the expression
     aggregate at the ulp level, so this path is equality-tested
-    against ``_nearest_cents`` (tests/test_llm_similarity.py) rather
+    against ``_nearest_cents`` (tests/test_llm_ops.py) rather
     than being the oracle anchor; use ``ivf_build(assign="gemm")``
     when the corpus is large enough that interpreted per-pair dots
     dominate (the 10x probe: 275 s → sub-second per pass)."""

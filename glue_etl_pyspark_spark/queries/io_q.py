@@ -623,6 +623,14 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .collect()
     )
+    # one row per distinct lang by construction; assert the bound so a
+    # future edit dropping the doc_id filter (or grouping by a
+    # high-cardinality key) can't silently turn this staging step into
+    # an unbounded driver collect (VERDICT r8)
+    assert len(payloads) <= 64, (
+        f"binary-scan staging collected {len(payloads)} groups; "
+        "expected at most one per language — staging must stay bounded"
+    )
     stage = staging_dir("sgraft_binscan_")
     for r in payloads:
         with open(os.path.join(stage, f"{r['lang']}.bin"), "wb") as f:

@@ -50,88 +50,28 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 
 
 # The driver checks the FIRST 50 queries in ``queries()`` dict-insertion
-# order (confirmed rounds 1-7; r7 checked exactly the first 50 names).
+# order (confirmed rounds 1-8; every round checked exactly 50 names).
 #
-# ROUND-8 WINDOW (VERDICT r7 item 1): after the clean r7 window the
-# board is 290/294 externally exercised, 0 red. The remaining tail:
-# the 4 round-7 additions NEVER externally checked (locally
-# parity-green; they lead) + the 48-name block whose evidence is
-# oldest (last externally green in ROUND 2 — five rounds of
-# shared-helper churn since: msum retrofit, _md5_mod_spark swap,
-# langid literal-profile rework, knn cosine-tree alignment). The 7
-# queries added mid-round-8 (scan_corrupt_records,
-# window_chained_batch, stream_chained_windows,
-# stream_tumbling_rocksdb, sql_pipe_syntax, udf_arrow_scalar,
-# sql_parameterized, pandas_api_groupby,
-# window_session_dynamic_batch, stream_session_dynamic) join the
-# never-checked lead block, so 36 slots remain for the r2-stale
-# class; the deferred-to-round-9 set is the two zero-churn
-# pure-literal scalar demos (func_conditional, func_math — no repo
-# helpers in their bodies, untouched since r1) plus the r2-stale
-# names displaced by the r8 additions. A clean window takes the
-# board to 304/304 externally exercised.
-# Pinned by tests/test_registry.py.
-DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- never externally checked (added r7; oracled, parity-green
-    # locally and 10x-probed) ---
-    "agg_salted_hotkey",
-    "graph_bfs_khop",
-    "join_interval_overlap",
-    "text_normalize_clean",
-    # --- never externally checked (added r8 mid-round; oracled /
-    # rows-only-streaming, parity-green locally) — inserting them here
-    # drops the last 3 r2-stale slots to round 9, the right trade:
-    # never-checked evidence outranks refreshing r2-green names ---
-    "scan_corrupt_records",
-    "window_chained_batch",
-    "stream_chained_windows",
-    "stream_tumbling_rocksdb",
-    "sql_pipe_syntax",
-    "udf_arrow_scalar",
-    "sql_parameterized",
-    "pandas_api_groupby",
-    "window_session_dynamic_batch",
-    "stream_session_dynamic",
-    "agg_bitmap_distinct",
-    # --- stalest evidence: last externally green in ROUND 2 ---
-    "join_multiway_revenue",
-    "knn_bruteforce_cosine",
-    "knn_bruteforce_numpy",
-    "knn_ivf",
-    "embedding_dedup_pairs",
-    "text_tfidf",
-    "text_language_id",
-    "text_token_stats",
-    "text_quality_score",
-    "text_term_freq",
-    "agg_collect_set",
-    "func_map_ops",
-    "func_string",
-    "func_date",
-    "func_array",
-    "func_map_json",
-    "filter_compound",
-    "sink_partitioned_pruned",
-    "unnest_struct",
-    "apply_mapping_orders",
-    "resolve_choice_cast",
-    "resolve_choice_make_cols",
-    "fill_missing_left_join",
-    "drop_null_fields_events",
-    "sort_limit_offset",
-    "window_tumbling_batch",
-    "stream_stateful_batch",
-    "window_ranking",
-    "window_analytic",
-    "window_frames",
-    "window_range_frame",
-    "topk_per_group",
-    "topk_global",
-    "udf_pandas_scalar",
-    "udf_row_scalar",
-    "udf_grouped_zscore",
-    "udf_mapinpandas",
-    "udf_table_function",
+# ROUND-9 WINDOW (VERDICT r8 item 1): the surface is saturated (all 305
+# names have at least one external row, 0 red), so the window rotates to
+# the STALEST evidence: the 13 names last externally green in ROUND 2
+# (8 tpch_q*, func_math, func_conditional, udf_grouped_zscore,
+# udf_mapinpandas, udf_table_function), then the 33 ORACLED names last
+# green in ROUND 3, then 4 of the 16 rows-only r3 names — chosen for
+# crash risk under driver conditions, where a rows-only check still has
+# teeth: pyds_stream_sequence (Python DataSource pickle-by-reference
+# class), stream_tumbling (headline state machinery),
+# dedup_minhash_lsh / knn_lsh (ml.feature randomized paths). The 12
+# remaining rows-only r3 names are pre-staged in DRIVER_DEFERRED as the
+# round-10 lead block. A clean window moves the oldest evidence from
+# round 2 to round 3 (the 12 deferred rows-only names).
+#
+# tests/test_registry.py asserts len(DRIVER_WINDOW) == 50 so the cutoff
+# can never drift from the driver's actual check width again (the r8
+# marker sat after 61 names), and that no name outside the window is
+# staler than any name inside it.
+DRIVER_WINDOW: tuple[str, ...] = (
+    # --- stalest: last externally green in ROUND 2 (13) ---
     "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
@@ -140,64 +80,73 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q17_small_qty",
     "tpch_q21_waiting_supplier",
     "tpch_q22_global_sales_opp",
-    # ================= 50-slot window cutoff =================
-    # --- r2-stale pair deferred to round 9 (zero-churn literal
-    # scalar demos) ---
-    "func_conditional",
     "func_math",
-    # --- round-7 window names (all externally green/clean in r7),
-    # kept in priority so overall ordering stays stable ---
-    "knn_triplet_mining",
-    "langid_confusion_matrix",
-    "text_autocomplete_index",
-    "events_ewma_control",
-    "sample_weighted_systematic",
-    "cdc_extract_changes",
-    "scd3_previous_value",
-    "dedup_jaccard_prefix",
-    "join_asof_tolerance",
-    "cohort_ltv_curve",
-    "stream_stream_join_outer",
-    "stream_stateful_timeout_sessions",
-    "join_asof_purchase_click",
-    "dedup_ngram_jaccard",
-    "skew_salted_join",
-    "bucketed_join",
-    "dpp_partitioned_join",
-    "cdc_upsert_merge",
-    "agg_decimal_exact",
-    "agg_distinct",
-    "agg_sum_distinct",
-    "agg_stats",
-    "agg_cube",
-    "agg_pivot",
-    "agg_quantiles",
-    "agg_having",
-    "agg_grouping_sets",
-    "unpivot_stack",
-    "window_analytic_extra",
-    "setops_intersect_all",
-    "func_date_arith",
-    "text_sentiment_lexicon",
-    "text_stopword_topterms",
-    "glue_map_filter",
-    "filter_string_pattern",
-    "filter_null_safe_eq",
-    "sink_csv_roundtrip",
-    "sink_json_roundtrip",
-    "sink_orc_roundtrip",
-    "catalog_table_scan",
-    "select_drop_rename",
-    "join_inner_equi",
-    "join_left_semi",
-    "join_left_anti",
-    "join_full_outer",
-    "join_cross",
-    "join_non_equi_pairs",
-    "join_range_weekly",
-    "dedup_exact",
-    "dedup_simhash_twins",
+    "func_conditional",
+    "udf_grouped_zscore",
+    "udf_mapinpandas",
+    "udf_table_function",
+    # --- oracled, last externally green in ROUND 3 (33) ---
+    "dedup_simhash_pairs",
+    "dedup_clusters_minlabel",
+    "tpch_q7_nation_volume",
+    "tpch_q11_important_parts",
+    "tpch_q13_order_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_counts",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive",
+    "lateral_top_orders",
+    "knn_ivf_clustered",
+    "multimodal_fingerprint",
+    "text_fingerprint",
+    "llm_corpus_curation",
+    "func_hash",
+    "func_variant",
+    "func_collation",
+    "func_array_extra",
+    "pyds_arrowdocs_scan",
+    "pyds_pushdown_scan",
+    "sink_xml_roundtrip",
+    "incremental_bookmark",
+    "explode_words",
+    "relationalize_words",
+    "unbox_props",
+    "setops_union_all",
+    "setops_union_by_name",
+    "setops_intersect_except",
+    "window_session_batch",
+    "window_sliding_batch",
+    "stream_static_join_batch",
+    "stream_stream_join_batch",
+    "stream_foreachbatch_parquet",
+    # --- rows-only r3, highest crash risk under driver conditions (4) ---
+    "pyds_stream_sequence",
+    "stream_tumbling",
+    "dedup_minhash_lsh",
+    "knn_lsh",
 )
+
+# Pre-staged round-10 lead block: the 12 rows-only r3 names displaced
+# by the 50-slot width (lowest marginal value — a rows-only external
+# row only proves the query still runs, and each carries a pytest
+# gate), then nothing else: every other name is round 4+ and the
+# round-10 rotation should recompute from the CORRECTNESS glob anyway.
+DRIVER_DEFERRED: tuple[str, ...] = (
+    "agg_approx_distinct",
+    "func_spark_only",
+    "sample_spigot",
+    "stream_sliding",
+    "stream_session",
+    "stream_dedup",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_stateful_counts",
+    "stream_foreachbatch",
+    "embedding_dedup_pairs_lsh",
+    "sample_stratified",
+)
+
+DRIVER_PRIORITY: tuple[str, ...] = DRIVER_WINDOW + DRIVER_DEFERRED
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -48,13 +48,34 @@ def stage_stream_dir(sf_dir: str, table: str = "events") -> str:
 def _link_parquet(src: str, d: str, table: str) -> None:
     """Symlink a parquet source into stage dir ``d`` — one link for a
     single file, one link PER PART FILE for a Spark-written directory
-    (the file-stream source does not follow a symlinked subdir)."""
+    (the file-stream source does not follow a symlinked subdir).
+
+    Directory sources are walked recursively with the relative layout
+    mirrored as REAL directories (leaf files stay symlinks): a
+    hive-partitioned source (nested key=value subdirs) must keep its
+    path components so partition-column discovery still works, and the
+    top-level-only scan staged ZERO links for it — the silent-empty-
+    drain class this helper exists to prevent (ADVICE r8). Raises if a
+    directory source yields no parquet files."""
     if os.path.isdir(src):
-        for name in sorted(os.listdir(src)):
-            if name.endswith(".parquet"):
-                link = os.path.join(d, name)
+        linked = 0
+        for root, _dirs, files in os.walk(src):
+            rel = os.path.relpath(root, src)
+            sub = d if rel == "." else os.path.join(d, rel)
+            for name in sorted(files):
+                if not name.endswith(".parquet"):
+                    continue
+                os.makedirs(sub, exist_ok=True)
+                link = os.path.join(sub, name)
                 if not os.path.islink(link):
-                    os.symlink(os.path.join(src, name), link)
+                    os.symlink(os.path.join(root, name), link)
+                linked += 1
+        if linked == 0:
+            raise FileNotFoundError(
+                f"directory source {src!r} contains no .parquet files — "
+                "a stream reading this stage dir would drain zero rows "
+                "silently"
+            )
     else:
         link = os.path.join(d, f"{table}.parquet")
         if not os.path.islink(link):

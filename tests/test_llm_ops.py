@@ -793,3 +793,39 @@ def test_shingle_kernel_is_bitexact_twin(spark, sf_dir):
     null_df = spark.createDataFrame([(99, None)], "doc_id long, text string")
     rows = hashed_shingles_kernel(null_df, "doc_id", "text", 3).collect()
     assert len(rows) == 1 and rows[0]["sh"] is None
+
+
+def test_kernels_accept_non_long_ids(spark):
+    """The kernels hardcoded `{id_col} long` in their output schema,
+    breaking the public ngram_jaccard_pairs/simhash_pairs operators for
+    string or int ids (Arrow conversion error) — the expression path
+    they replaced accepted any id type (ADVICE r8). The schema must
+    derive the id field from the input."""
+    from glue_etl_pyspark_spark.operators.dedup import (
+        hashed_shingles_kernel,
+        ngram_jaccard_pairs,
+        simhash_bits_kernel,
+        simhash_pairs,
+    )
+
+    sdf = spark.createDataFrame(
+        [("a", "the quick brown fox jumps over the lazy dog"),
+         ("b", "the quick brown fox jumps over the lazy dog"),
+         ("c", "completely different text with no overlap at all")],
+        "doc_id string, text string",
+    )
+    idf = sdf.withColumn(
+        "doc_id", F.abs(F.hash("doc_id")).cast("int")
+    )
+    for df, id_type in ((sdf, "string"), (idf, "int")):
+        sh = hashed_shingles_kernel(df, "doc_id", "text", 3)
+        assert sh.schema["doc_id"].dataType.simpleString() == id_type
+        bits = simhash_bits_kernel(df, "doc_id", "text")
+        assert bits.schema["doc_id"].dataType.simpleString() == id_type
+        # end-to-end through the public operators: the duplicate pair
+        # (a,b) must surface, the unrelated doc must not pair
+        jacc = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.3)
+        pairs = {(r["id_a"], r["id_b"]) for r in jacc.collect()}
+        assert len(pairs) == 1
+        sim = simhash_pairs(df, "doc_id", "text", max_hamming=4)
+        assert sim.count() == 1

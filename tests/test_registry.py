@@ -64,16 +64,30 @@ def test_registry_order_is_priority_prefix():
             assert not seen_rows_only, f"oracled {n} after rows-only query"
 
 
+def test_driver_window_is_exactly_driver_width():
+    """The driver checks the first 50 names (confirmed r1-r8). The r8
+    cutoff marker drifted to position 61, silently pushing 11 names
+    outside the checked window — pin the width structurally so a
+    comment can never lie about it again (ADVICE r8)."""
+    from glue_etl_pyspark_spark.registry import DRIVER_WINDOW
+
+    assert len(DRIVER_WINDOW) == 50
+    assert len(set(DRIVER_WINDOW)) == 50, "duplicate window names"
+
+
 def test_priority_window_targets_external_coverage_gaps():
-    """Round-8 rotation: the evidence tail is the 4 round-7 additions
-    never externally checked (they lead) plus the 48-name block whose
-    last external check was ROUND 2; 46 of those fill the window and
-    the two zero-churn literal scalar demos defer to round 9. Globs
-    CORRECTNESS_r*.json so the computation tracks whatever rounds
-    exist (a hardcoded range went stale the moment r7 landed)."""
+    """Round-9 rotation: every name has external evidence, so the
+    window holds the globally stalest names — never-checked names (if
+    any appear mid-round) must lead, and no name OUTSIDE the window may
+    be staler than a name inside it, except the documented
+    DRIVER_DEFERRED rows-only block (same round as the window's tail;
+    displaced by the 50-slot width). Globs CORRECTNESS_r*.json so the
+    computation tracks whatever rounds exist."""
     import json
     import pathlib
     import re
+
+    from glue_etl_pyspark_spark.registry import DRIVER_DEFERRED
 
     root = pathlib.Path(__file__).resolve().parents[1]
     last_checked: dict[str, int] = {}
@@ -82,18 +96,34 @@ def test_priority_window_targets_external_coverage_gaps():
         for n in json.loads(path.read_text()):
             last_checked[n] = max(last_checked.get(n, 0), r)
     latest_round = max(last_checked.values())
-    stale_floor = min(
-        last_checked[n] for n in load_all() if n in last_checked
-    )
-    names = list(load_all())[:50]
-    never = [n for n in names if n not in last_checked]
-    assert names[: len(never)] == never, "never-checked names must lead"
-    # every filled slot goes to the stalest evidence class; once the
-    # driver records this window the assertion keeps holding because
-    # the checked names' age becomes the NEW latest round
+    all_names = list(load_all())
+    window = all_names[:50]
+    never = [n for n in window if n not in last_checked]
+    assert window[: len(never)] == never, "never-checked names must lead"
+    # staleness outside the window, ignoring the documented deferral
+    outside = [
+        n
+        for n in all_names[50:]
+        if n in last_checked and n not in DRIVER_DEFERRED
+    ]
+    floor_outside = min(last_checked[n] for n in outside)
+    deferred_rounds = {
+        last_checked[n] for n in DRIVER_DEFERRED if n in last_checked
+    }
+    # once the driver records this window the checked names' age becomes
+    # the NEW latest round, so freshly-checked slots are exempt
     wasted = [
         n
-        for n in names
-        if stale_floor < last_checked.get(n, 0) < latest_round
+        for n in window
+        if floor_outside <= last_checked.get(n, 0) < latest_round
     ]
     assert not wasted, f"window wastes slots on fresher-evidence {wasted}"
+    # the deferral must never hide anything staler than the window tail
+    window_max = max(
+        (last_checked[n] for n in window if n in last_checked),
+        default=0,
+    )
+    assert all(
+        r >= window_max or window_max == latest_round
+        for r in deferred_rounds
+    ), "DRIVER_DEFERRED hides names staler than the window tail"

@@ -571,6 +571,60 @@ def test_stage_stream_dir_handles_directory_tables(spark, smoke_dir, tmp_path):
     assert out.count() == 500
 
 
+def test_stage_stream_dir_handles_hive_partitioned_tables(
+    spark, smoke_dir, tmp_path
+):
+    """A hive-partitioned source (nested key=value subdirs) staged
+    with a top-level-only scan links ZERO files and drains empty
+    silently (ADVICE r8). The helper must walk the tree, mirror the
+    key=value path components, and raise loudly when a directory
+    source yields no parquet at all."""
+    import os
+
+    import pytest as _pytest
+
+    from glue_etl_pyspark_spark.io import load_table
+    from glue_etl_pyspark_spark.streaming.ops import (
+        _link_parquet,
+        drain_to_memory,
+        stage_stream_dir,
+    )
+
+    src_root = str(tmp_path / "hiveroot")
+    ev = load_table(spark, smoke_dir, "events").limit(300)
+    ev.write.partitionBy("event_type").parquet(
+        os.path.join(src_root, "events.parquet")
+    )
+
+    staged = stage_stream_dir(src_root)
+    linked = [
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(staged)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert linked, "hive-partitioned source staged zero links"
+    assert any("event_type=" in p for p in linked), (
+        "partition path components must be preserved"
+    )
+    # the partition column must survive the drain (schema includes it;
+    # values come from the mirrored key=value dirs)
+    s = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "8")
+        .parquet(staged)
+    )
+    out = drain_to_memory(s.select("event_id", "event_type"), mode="append")
+    pdf = out.toPandas()
+    assert len(pdf) == 300 and pdf["event_type"].notna().all()
+
+    # empty directory source → loud error, never a silent empty drain
+    empty = tmp_path / "emptysrc"
+    empty.mkdir()
+    with _pytest.raises(FileNotFoundError, match="no .parquet files"):
+        _link_parquet(str(empty), str(tmp_path / "stage_out"), "events")
+
+
 def test_sentinel_staging_handles_directory_tables(spark, smoke_dir, tmp_path):
     """stage_events_with_sentinel must stage directory-shaped events
     per part file too — staged as one file-symlink, a drain would see
