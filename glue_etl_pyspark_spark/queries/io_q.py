@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.money import msum
 from ..io import load_table, register_views
 from ..operators import drop_fields, rename_field, select_fields, spigot
 from ..registry import query
@@ -703,4 +704,51 @@ def scan_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.event_type").alias("parsed_type"),
         F.floor(F.col("p.value") * 1e6).cast("bigint").alias("parsed_value_micro"),
         F.col("p._corrupt_record").isNotNull().alias("is_corrupt"),
+    )
+
+
+MANIFEST_PRUNED_ORACLE = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+  (CAST(SUM(CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6)
+    AS sum_total
+FROM orders
+WHERE o_orderdate BETWEEN DATE '1994-01-01' AND DATE '1994-12-31'
+GROUP BY o_orderpriority
+"""
+
+
+@query(
+    "scan_manifest_pruned", oracle=MANIFEST_PRUNED_ORACLE, category="source-sink"
+)
+def scan_manifest_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-listed layout with min/max file skipping — the
+    Iceberg/Delta planning pattern on plain parquet (sources/
+    manifest.py): orders lands as 16 files range-clustered on
+    o_orderdate with a per-file (rows, min, max) manifest; the scan
+    reads the manifest (file-count-sized driver work), keeps only
+    files whose date range overlaps 1994, and re-applies the row
+    filter inside them. Pruning must be invisible to results — this
+    oracle is the full-table filter. tests/test_operators.py pins that
+    the pruned reader's inputFiles() is a strict subset (~1/7th) of
+    the layout. At 100 TB this generalizes partition pruning to any
+    clustered column without hive directory fan-out, with manifest
+    size bounded by file count, not rows."""
+    import datetime
+
+    from ..sources.manifest import manifest_pruned_read, write_manifest_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = scratch_dir("orders_manifest")
+    write_manifest_table(
+        orders.select("o_orderdate", "o_orderpriority", "o_totalprice"),
+        path,
+        "o_orderdate",
+        16,
+    )
+    pruned = manifest_pruned_read(
+        spark, path, datetime.date(1994, 1, 1), datetime.date(1994, 12, 31)
+    )
+    return pruned.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        msum(F.col("o_totalprice")).alias("sum_total"),
     )

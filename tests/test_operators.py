@@ -390,3 +390,48 @@ def test_ewma_literal_recursion_matches_recursive_sql(spark, sf_dir):
             assert got == want, f"diverged at width {parts}"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+
+def test_manifest_pruned_read_skips_files_and_matches_full_scan(spark, sf_dir):
+    """The manifest layout's min/max file skipping must (a) actually
+    prune — the pruned reader's inputFiles() is a strict subset of the
+    16-file layout — and (b) be invisible to results: pruned scan ==
+    full scan + filter, row for row. Also pins the empty-overlap path
+    (a window outside every file's range reads zero files, keeps
+    schema)."""
+    import datetime
+
+    from glue_etl_pyspark_spark.io import load_table
+    from glue_etl_pyspark_spark.sources.formats import scratch_dir
+    from glue_etl_pyspark_spark.sources.manifest import (
+        manifest_pruned_read,
+        read_manifest,
+        write_manifest_table,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    path = scratch_dir("orders_manifest_test")
+    m = write_manifest_table(orders, path, "o_orderdate", 16)
+    assert len(m["files"]) >= 8
+    assert read_manifest(path)["stat_col"] == "o_orderdate"
+
+    lo, hi = datetime.date(1994, 1, 1), datetime.date(1994, 12, 31)
+    pruned = manifest_pruned_read(spark, path, lo, hi)
+    n_read = len(pruned.inputFiles())
+    assert 0 < n_read < len(m["files"]), (
+        f"expected a strict file subset, read {n_read} of {len(m['files'])} "
+        "— range clustering or stat pruning is broken"
+    )
+
+    full = orders.filter(F.col("o_orderdate").between(lo, hi))
+    assert sorted(map(tuple, pruned.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+    empty = manifest_pruned_read(
+        spark, path, datetime.date(2190, 1, 1), datetime.date(2190, 12, 31)
+    )
+    assert empty.count() == 0
+    assert set(empty.columns) == set(orders.columns)
