@@ -192,6 +192,16 @@ def check_query(
             name, False, len(srows), len(orows),
             f"row count mismatch: {len(srows)} vs {len(orows)}",
         )
+    if not srows:
+        # VERDICT r9: an empty-vs-empty hash match proves nothing — the
+        # broken manifest window passed vacuously this way. Every oracled
+        # query must exercise real rows at sf0.01.
+        return ParityResult(
+            name, False, 0, 0,
+            "vacuous: query and oracle both returned 0 rows — an "
+            "empty-vs-empty match verifies nothing; fix the query's "
+            "predicate/window to hit fixture data",
+        )
     sn = _normalize(srows, scols)
     on = _normalize(orows, ocols)
     if sn != on:

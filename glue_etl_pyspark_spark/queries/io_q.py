@@ -712,7 +712,7 @@ SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
   (CAST(SUM(CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6)
     AS sum_total
 FROM orders
-WHERE o_orderdate BETWEEN DATE '1994-01-01' AND DATE '1994-12-31'
+WHERE o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
 GROUP BY o_orderpriority
 """
 
@@ -726,7 +726,8 @@ def scan_manifest_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest.py): orders lands as 16 files range-clustered on
     o_orderdate with a per-file (rows, min, max) manifest; the scan
     reads the manifest (file-count-sized driver work), keeps only
-    files whose date range overlaps 1994, and re-applies the row
+    files whose date range overlaps 1996 (mid-range of the fixture's
+    1995..2001 o_orderdate span), and re-applies the row
     filter inside them. Pruning must be invisible to results — this
     oracle is the full-table filter. tests/test_operators.py pins that
     the pruned reader's inputFiles() is a strict subset (~1/7th) of
@@ -746,7 +747,7 @@ def scan_manifest_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
     )
     pruned = manifest_pruned_read(
-        spark, path, datetime.date(1994, 1, 1), datetime.date(1994, 12, 31)
+        spark, path, datetime.date(1996, 1, 1), datetime.date(1996, 12, 31)
     )
     return pruned.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),

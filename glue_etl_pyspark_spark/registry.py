@@ -52,86 +52,25 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 # The driver checks the FIRST 50 queries in ``queries()`` dict-insertion
 # order (confirmed rounds 1-8; every round checked exactly 50 names).
 #
-# ROUND-9 WINDOW (VERDICT r8 item 1): the surface is saturated (all 305
-# names have at least one external row, 0 red), so the window rotates to
-# the STALEST evidence: the 13 names last externally green in ROUND 2
-# (8 tpch_q*, func_math, func_conditional, udf_grouped_zscore,
-# udf_mapinpandas, udf_table_function), then the 33 ORACLED names last
-# green in ROUND 3, then 4 of the 16 rows-only r3 names — chosen for
-# crash risk under driver conditions, where a rows-only check still has
-# teeth: pyds_stream_sequence (Python DataSource pickle-by-reference
-# class), stream_tumbling (headline state machinery),
-# dedup_minhash_lsh / knn_lsh (ml.feature randomized paths). The 12
-# remaining rows-only r3 names are pre-staged in DRIVER_DEFERRED as the
-# round-10 lead block. A clean window moves the oldest evidence from
-# round 2 to round 3 (the 12 deferred rows-only names).
+# ROUND-10 WINDOW (VERDICT r9 item 4): recomputed from the CORRECTNESS
+# glob — 1 never-checked name leads (scan_manifest_pruned, the round-9
+# addition, now fixed: 1996 window + unwidened lo bound), then the 12
+# rows-only names last green in ROUND 3 (the r9 deferred block), then
+# 37 of the 43 ORACLED names last green in ROUND 4. The 6 displaced r4
+# names — the func_regexp/bitwise/url/interval/try_safe/datename scalar
+# block, lowest marginal value: pure function queries with unit pins,
+# two of them the documented canonicalizer-green date/NaT dtype class —
+# are pre-staged in DRIVER_DEFERRED as the round-11 lead. A clean
+# window moves the oldest evidence from round 3 to round 4.
 #
 # tests/test_registry.py asserts len(DRIVER_WINDOW) == 50 so the cutoff
 # can never drift from the driver's actual check width again (the r8
 # marker sat after 61 names), and that no name outside the window is
 # staler than any name inside it.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- stalest: last externally green in ROUND 2 (13) ---
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q12_priority_counts",
-    "tpch_q14_promo_effect",
-    "tpch_q17_small_qty",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_global_sales_opp",
-    "func_math",
-    "func_conditional",
-    "udf_grouped_zscore",
-    "udf_mapinpandas",
-    "udf_table_function",
-    # --- oracled, last externally green in ROUND 3 (33) ---
-    "dedup_simhash_pairs",
-    "dedup_clusters_minlabel",
-    "tpch_q7_nation_volume",
-    "tpch_q11_important_parts",
-    "tpch_q13_order_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_counts",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive",
-    "lateral_top_orders",
-    "knn_ivf_clustered",
-    "multimodal_fingerprint",
-    "text_fingerprint",
-    "llm_corpus_curation",
-    "func_hash",
-    "func_variant",
-    "func_collation",
-    "func_array_extra",
-    "pyds_arrowdocs_scan",
-    "pyds_pushdown_scan",
-    "sink_xml_roundtrip",
-    "incremental_bookmark",
-    "explode_words",
-    "relationalize_words",
-    "unbox_props",
-    "setops_union_all",
-    "setops_union_by_name",
-    "setops_intersect_except",
-    "window_session_batch",
-    "window_sliding_batch",
-    "stream_static_join_batch",
-    "stream_stream_join_batch",
-    "stream_foreachbatch_parquet",
-    # --- rows-only r3, highest crash risk under driver conditions (4) ---
-    "pyds_stream_sequence",
-    "stream_tumbling",
-    "dedup_minhash_lsh",
-    "knn_lsh",
-)
-
-# Pre-staged round-10 lead block: the 12 rows-only r3 names displaced
-# by the 50-slot width (lowest marginal value — a rows-only external
-# row only proves the query still runs, and each carries a pytest
-# gate), then nothing else: every other name is round 4+ and the
-# round-10 rotation should recompute from the CORRECTNESS glob anyway.
-DRIVER_DEFERRED: tuple[str, ...] = (
+    # --- never externally checked (1) ---
+    "scan_manifest_pruned",
+    # --- rows-only, last externally green in ROUND 3 (12) ---
     "agg_approx_distinct",
     "func_spark_only",
     "sample_spigot",
@@ -144,6 +83,59 @@ DRIVER_DEFERRED: tuple[str, ...] = (
     "stream_foreachbatch",
     "embedding_dedup_pairs_lsh",
     "sample_stratified",
+    # --- oracled, last externally green in ROUND 4 (37) ---
+    "events_funnel",
+    "retention_cohort",
+    "cooccurrence_part_pairs",
+    "text_vocab_build",
+    "agg_count_min_topk",
+    "bloom_prune_join",
+    "table_checksum",
+    "zorder_layout",
+    "observe_metrics",
+    "join_salted_skew",
+    "sql_recursive_cte",
+    "agg_listagg",
+    "dq_expectations",
+    "scd2_dimension_history",
+    "scan_text_lines",
+    "scan_merge_schema",
+    "sink_compaction",
+    "knn_label_purity",
+    "multimodal_resize_meta",
+    "doc_pack_greedy",
+    "embedding_quantize_int8",
+    "sample_docs_deterministic",
+    "knn_int8_rerank",
+    "doc_chunk_overlap",
+    "text_pii_redaction",
+    "text_repetition_filter",
+    "contamination_ngram_overlap",
+    "line_dedup_corpus",
+    "span_corruption_layout",
+    "stream_cdc_apply",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q20_promotion_stock",
+    "udaf_grouped_agg",
+)
+
+# Pre-staged round-11 lead block: the 6 oracled r4 scalar-function
+# names displaced by the 50-slot width (lowest marginal value — pure
+# expression families with unit pins; func_interval/func_try_safe are
+# the documented canonicalizer-green dtype-diff class). Every other
+# name is round 5+; the round-11 rotation should recompute from the
+# CORRECTNESS glob anyway.
+DRIVER_DEFERRED: tuple[str, ...] = (
+    "func_regexp",
+    "func_bitwise",
+    "func_url",
+    "func_interval",
+    "func_try_safe",
+    "func_datename",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = DRIVER_WINDOW + DRIVER_DEFERRED

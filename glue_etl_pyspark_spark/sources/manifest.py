@@ -101,15 +101,26 @@ def _json_safe(v):
 
 def _bound_key(v, widen: str):
     """Render a pruning bound in the manifest's ISO format. A DATE
-    bound against TIMESTAMP file stats must cover the WHOLE day —
-    comparing '1996-12-31' against a min of '1996-12-31T00:00:00'
+    hi-bound against TIMESTAMP file stats must cover the WHOLE day —
+    comparing hi '1996-12-31' against a min of '1996-12-31T00:00:00'
     string-wise would prune a file whose midnight rows the row filter
-    keeps — so date bounds widen to day start/end before rendering."""
+    keeps — so the hi date bound widens to day-end before rendering.
+
+    The lo bound must NOT widen: the 10-char ISO date is a strict
+    string prefix of its own day-start datetime, so it compares LESS
+    — against DATE-typed stats a widened lo ('1996-01-01T00:00:00')
+    makes ``max < lo_k`` true for a file whose max equals the lo date
+    and wrongly prunes rows the filter keeps. Unwidened lo is already
+    exact for timestamp stats too: '...T00:00:00' > '1996-01-01'
+    keeps the boundary file."""
     import datetime
 
-    if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
-        t = datetime.time.min if widen == "lo" else datetime.time.max
-        return datetime.datetime.combine(v, t).isoformat()
+    if (
+        widen == "hi"
+        and isinstance(v, datetime.date)
+        and not isinstance(v, datetime.datetime)
+    ):
+        return datetime.datetime.combine(v, datetime.time.max).isoformat()
     return _json_safe(v)
 
 

@@ -4,8 +4,10 @@
    ngram_jaccard_pairs at 100x documents (500k docs). Its df-ranking
    window (rank each doc's shingles by corpus document frequency) is
    the one stage whose cost model was asserted from the 10x probe
-   only. Clone texts are made UNIQUE per clone (a clone-specific salt
-   token interleaved between every pair of words) so candidate/output
+   only. Clone texts are made UNIQUE per clone (every token suffixed
+   with the clone id — see the inline note: the interleaved-salt
+   variant kept shingles shared across clones and blew up the
+   candidate set) so candidate/output
    pair mass stays linear in the clone factor — isolating candidate
    generation + df window cost from the clone-quadratic output
    artifact the r4 100x probe measured (27.3M pairs).

@@ -417,7 +417,7 @@ def test_manifest_pruned_read_skips_files_and_matches_full_scan(spark, sf_dir):
     assert len(m["files"]) >= 8
     assert read_manifest(path)["stat_col"] == "o_orderdate"
 
-    lo, hi = datetime.date(1994, 1, 1), datetime.date(1994, 12, 31)
+    lo, hi = datetime.date(1996, 1, 1), datetime.date(1996, 12, 31)
     pruned = manifest_pruned_read(spark, path, lo, hi)
     n_read = len(pruned.inputFiles())
     assert 0 < n_read < len(m["files"]), (
@@ -435,3 +435,81 @@ def test_manifest_pruned_read_skips_files_and_matches_full_scan(spark, sf_dir):
     )
     assert empty.count() == 0
     assert set(empty.columns) == set(orders.columns)
+
+    # Boundary pin on this layout: lo exactly on a file's max.
+    boundary = datetime.datetime.fromisoformat(
+        m["files"][len(m["files"]) // 2]["max"]
+    ).date()
+    b_pruned = manifest_pruned_read(spark, path, boundary, boundary)
+    b_full = orders.filter(F.col("o_orderdate") == F.lit(boundary))
+    got_b = sorted(map(tuple, b_pruned.collect()))
+    assert got_b == sorted(map(tuple, b_full.collect()))
+    assert got_b, "a file's max date must have rows — boundary file was pruned"
+
+
+def test_manifest_date_stats_lo_boundary_not_pruned(spark, sf_dir):
+    """ADVICE r9 (high): with DATE-typed stats the manifest min/max
+    render as 10-char ISO dates; a lo bound widened to a day-start
+    datetime string-compares GREATER than its own date (the date is a
+    strict prefix), so `max < lo_k` wrongly pruned the file whose max
+    equals lo and silently dropped its rows. Lo must stay unwidened
+    — this test builds a layout whose stats ARE dates and puts lo
+    exactly on a file's max."""
+    import datetime
+
+    from glue_etl_pyspark_spark.io import load_table
+    from glue_etl_pyspark_spark.sources.formats import scratch_dir
+    from glue_etl_pyspark_spark.sources.manifest import (
+        manifest_pruned_read,
+        write_manifest_table,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("o_orderdate")
+    )
+    path = scratch_dir("orders_manifest_datestats")
+    m = write_manifest_table(orders, path, "o_orderdate", 8)
+    assert all(
+        len(e["max"]) == 10 for e in m["files"]
+    ), "stats must be 10-char ISO dates for this pin"
+
+    lo = datetime.date.fromisoformat(m["files"][3]["max"])
+    hi = lo + datetime.timedelta(days=30)
+    pruned = manifest_pruned_read(spark, path, lo, hi)
+    full = orders.filter(F.col("o_orderdate").between(lo, hi))
+    got = sorted(map(tuple, pruned.collect()))
+    assert got == sorted(map(tuple, full.collect()))
+    assert any(r[1] == lo for r in got), (
+        "rows at lo (a file's exact max) are missing — the boundary "
+        "file was wrongly pruned"
+    )
+
+
+def test_manifest_pruning_int_stat_col(spark, sf_dir):
+    """Mixed-type behavior pin (VERDICT r9 item 7): an INT tracked
+    column stores native JSON ints in the manifest and the pruner
+    compares them numerically (same-typed compares only — ISO
+    strings for dates, ints for ints), so integer clustering prunes
+    exactly like date clustering."""
+    from glue_etl_pyspark_spark.io import load_table
+    from glue_etl_pyspark_spark.sources.formats import scratch_dir
+    from glue_etl_pyspark_spark.sources.manifest import (
+        manifest_pruned_read,
+        write_manifest_table,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    path = scratch_dir("orders_manifest_int")
+    m = write_manifest_table(orders, path, "o_orderkey", 8)
+    assert all(isinstance(e["min"], int) for e in m["files"])
+
+    keys = sorted(e["max"] for e in m["files"])
+    lo, hi = m["files"][0]["min"], keys[2]  # spans ~3 of 8 files
+    pruned = manifest_pruned_read(spark, path, lo, hi)
+    assert 0 < len(pruned.inputFiles()) < len(m["files"])
+    full = orders.filter(F.col("o_orderkey").between(lo, hi))
+    assert sorted(map(tuple, pruned.collect())) == sorted(
+        map(tuple, full.collect())
+    )

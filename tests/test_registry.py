@@ -106,7 +106,9 @@ def test_priority_window_targets_external_coverage_gaps():
         for n in all_names[50:]
         if n in last_checked and n not in DRIVER_DEFERRED
     ]
-    floor_outside = min(last_checked[n] for n in outside)
+    floor_outside = min(
+        (last_checked[n] for n in outside), default=latest_round
+    )
     deferred_rounds = {
         last_checked[n] for n in DRIVER_DEFERRED if n in last_checked
     }
