@@ -50,92 +50,95 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 
 
 # The driver checks the FIRST 50 queries in ``queries()`` dict-insertion
-# order (confirmed rounds 1-8; every round checked exactly 50 names).
+# order (confirmed rounds 1-10; every round checked exactly 50 names).
 #
-# ROUND-10 WINDOW (VERDICT r9 item 4): recomputed from the CORRECTNESS
-# glob — 1 never-checked name leads (scan_manifest_pruned, the round-9
-# addition, now fixed: 1996 window + unwidened lo bound), then the 12
-# rows-only names last green in ROUND 3 (the r9 deferred block), then
-# 37 of the 43 ORACLED names last green in ROUND 4. The 6 displaced r4
-# names — the func_regexp/bitwise/url/interval/try_safe/datename scalar
-# block, lowest marginal value: pure function queries with unit pins,
-# two of them the documented canonicalizer-green date/NaT dtype class —
-# are pre-staged in DRIVER_DEFERRED as the round-11 lead. A clean
-# window moves the oldest evidence from round 3 to round 4.
+# ROUND-11 WINDOW (VERDICT r10 item 1): recomputed from the CORRECTNESS
+# glob — no never-checked names remain (all 306 carry an external row),
+# so the window is the globally stalest evidence: the 6 oracled scalar
+# names last green in ROUND 4 (the r10 deferred block), then 44 of the
+# exactly-50 names last green in ROUND 5. The 6 displaced r5 names are
+# the lowest-marginal-value member of each redundant pair (the sibling
+# stays in the window and exercises the same machinery):
+# agg_histogram_equidepth (sibling agg_histogram), agg_hll_grouped
+# (sibling agg_hll_portable), knn_pq_rerank (sibling knn_pq_adc; rerank
+# path also re-passed r10 via knn_int8_rerank), contamination_minhash
+# (md5-poly family re-passed r10 via contamination_ngram_overlap +
+# dedup_minhash_portable stays in-window), sample_stratified_exact
+# (sampling family re-passed r10 via sample_docs_deterministic),
+# text_bigram_pmi (sibling text_bigram_lm_score). A clean window moves
+# the oldest external evidence from round 4 to round 5.
 #
 # tests/test_registry.py asserts len(DRIVER_WINDOW) == 50 so the cutoff
 # can never drift from the driver's actual check width again (the r8
 # marker sat after 61 names), and that no name outside the window is
 # staler than any name inside it.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- never externally checked (1) ---
-    "scan_manifest_pruned",
-    # --- rows-only, last externally green in ROUND 3 (12) ---
-    "agg_approx_distinct",
-    "func_spark_only",
-    "sample_spigot",
-    "stream_sliding",
-    "stream_session",
-    "stream_dedup",
-    "stream_static_join",
-    "stream_stream_join",
-    "stream_stateful_counts",
-    "stream_foreachbatch",
-    "embedding_dedup_pairs_lsh",
-    "sample_stratified",
-    # --- oracled, last externally green in ROUND 4 (37) ---
-    "events_funnel",
-    "retention_cohort",
-    "cooccurrence_part_pairs",
-    "text_vocab_build",
-    "agg_count_min_topk",
-    "bloom_prune_join",
-    "table_checksum",
-    "zorder_layout",
-    "observe_metrics",
-    "join_salted_skew",
-    "sql_recursive_cte",
-    "agg_listagg",
-    "dq_expectations",
-    "scd2_dimension_history",
-    "scan_text_lines",
-    "scan_merge_schema",
-    "sink_compaction",
-    "knn_label_purity",
-    "multimodal_resize_meta",
-    "doc_pack_greedy",
-    "embedding_quantize_int8",
-    "sample_docs_deterministic",
-    "knn_int8_rerank",
-    "doc_chunk_overlap",
-    "text_pii_redaction",
-    "text_repetition_filter",
-    "contamination_ngram_overlap",
-    "line_dedup_corpus",
-    "span_corruption_layout",
-    "stream_cdc_apply",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q20_promotion_stock",
-    "udaf_grouped_agg",
-)
-
-# Pre-staged round-11 lead block: the 6 oracled r4 scalar-function
-# names displaced by the 50-slot width (lowest marginal value — pure
-# expression families with unit pins; func_interval/func_try_safe are
-# the documented canonicalizer-green dtype-diff class). Every other
-# name is round 5+; the round-11 rotation should recompute from the
-# CORRECTNESS glob anyway.
-DRIVER_DEFERRED: tuple[str, ...] = (
+    # --- oracled, last externally green in ROUND 4 (6) ---
     "func_regexp",
     "func_bitwise",
     "func_url",
     "func_interval",
     "func_try_safe",
     "func_datename",
+    # --- last externally green in ROUND 5 (44 of 50) ---
+    "agg_histogram",
+    "agg_hll_portable",
+    "agg_incremental_merge",
+    "agg_quantiles_sampled",
+    "agg_rollup",
+    "corpus_mix_resample",
+    "corpus_split_assign",
+    "curation_quality_gate",
+    "curation_source_cap",
+    "curation_token_budget",
+    "dedup_cluster_canonical",
+    "dedup_incremental_batch",
+    "dedup_minhash_portable",
+    "dedup_semantic_clusters",
+    "doc_pack_sequences",
+    "dq_fk_orphans",
+    "dq_outliers_mad",
+    "embedding_lsh_portable",
+    "events_gap_fill_hourly",
+    "events_markov_transitions",
+    "events_rolling_hourly",
+    "events_seasonal_baseline",
+    "events_winsorize_bounds",
+    "graph_pagerank_topk",
+    "graph_triangles_topk",
+    "knn_pq_adc",
+    "length_bucket_packing",
+    "llm_training_manifest",
+    "profile_table_stats",
+    "q1_pricing_summary",
+    "sample_weighted_noreplace",
+    "scan_zonemap_prune",
+    "sink_avro_roundtrip",
+    "sink_jdbc_roundtrip",
+    "snapshot_diff",
+    "text_bigram_lm_score",
+    "text_bm25_topk",
+    "text_boilerplate_strip",
+    "text_entropy_gate",
+    "text_idf_quality",
+    "text_oov_rate",
+    "text_tokenize_to_ids",
+    "udtf_analyze_dynamic",
+    "vocab_bpe_merges",
+)
+
+# Pre-staged round-12 lead block: the 6 oracled r5 names displaced by
+# the 50-slot width (each the lower-value member of a redundant pair
+# whose sibling IS in the round-11 window — see the window comment).
+# Every other name is round 6+; the round-12 rotation should recompute
+# from the CORRECTNESS glob anyway.
+DRIVER_DEFERRED: tuple[str, ...] = (
+    "agg_histogram_equidepth",
+    "agg_hll_grouped",
+    "knn_pq_rerank",
+    "contamination_minhash",
+    "sample_stratified_exact",
+    "text_bigram_pmi",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = DRIVER_WINDOW + DRIVER_DEFERRED
