@@ -488,7 +488,7 @@ WITH val AS (
   FROM lineitem GROUP BY l_partkey
 )
 SELECT l_partkey, part_value FROM val
-WHERE part_value > (SELECT SUM(part_value) * 0.0007 FROM val)
+WHERE part_value > (SELECT CAST(SUM(CAST(part_value AS DECIMAL(28,6))) AS DOUBLE) * 1.5 / COUNT(*) FROM val)
 """
 
 
@@ -500,12 +500,25 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate subtree instead lets runtime exchange reuse kick in —
     the per-part shuffle is computed once and the 1-row threshold
     attaches as a broadcast (ReusedExchange pinned in
-    tests/test_plans.py)."""
+    tests/test_plans.py).
+
+    Threshold is DATA-ADAPTIVE (1.5x the mean part value), not the
+    spec's fixed fraction: TPC-H scales Q11's fraction by 1/SF, and a
+    frozen 0.0007 selected 0 rows at sf0.1 — caught by the r10
+    vacuous-pass guard in the r11 sf0.1 sweep. The mean-based form is
+    non-empty at every fixture SF (2/29/252 rows at sf0.001/0.01/0.1)
+    and stays selective as data grows. The global sum feeding the
+    threshold goes through dsum on BOTH engines so the cutoff is
+    bit-identical regardless of partitioning (a plain double SUM of
+    20k part values drifts ~1e-10 with tree shape — enough to flip a
+    boundary part)."""
     li = load_table(spark, sf_dir, "lineitem")
     val = li.groupBy("l_partkey").agg(
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("part_value")
     )
-    thr = val.agg((F.sum("part_value") * 0.0007).alias("__thr"))
+    thr = val.agg(
+        (dsum(F.col("part_value")) * F.lit(1.5) / F.count(F.lit(1))).alias("__thr")
+    )
     return (
         val.join(broadcast(thr))
         .filter(F.col("part_value") > F.col("__thr"))
