@@ -4,13 +4,14 @@ the "bring your own source" surface; PySpark 4's
 
 Two sources:
 
-- ``arrowdocs`` — batch connector reading a parquet file through
-  pyarrow in Python workers, emitting Arrow RecordBatches (zero
-  row-by-row Python). Partition planning happens driver-side in
-  ``partitions()``: one partition per parquet row group when the file
-  has several (each task reads only its row group — the real scale
-  unit), falling back to row-range slices so a single-row-group demo
-  file still scans in parallel.
+- ``arrowdocs`` — batch connector reading a parquet file OR a
+  directory of part files through pyarrow in Python workers, emitting
+  Arrow RecordBatches (zero row-by-row Python). Partition planning
+  happens driver-side in ``partitions()``: one partition per
+  (part-file, row-group) for directories (the Iceberg/Delta planning
+  unit — at scale a table is never one file), one per row group for a
+  multi-row-group single file, falling back to row-range slices so a
+  single-row-group demo file still scans in parallel.
 - ``seqstream`` — deterministic micro-batch streaming connector
   (SimpleDataSourceStreamReader): a bounded integer sequence with
   replayable offsets, standing in for a queue/broker source (none
@@ -45,6 +46,18 @@ _DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
 
 class _RowGroupPartition(InputPartition):
     def __init__(self, row_group: int):
+        self.row_group = row_group
+
+
+class _FileRowGroupPartition(InputPartition):
+    """One (part-file, row-group) slice of a directory-shaped table —
+    the same planning unit Iceberg/Delta scans use. At 100 TB a table
+    is never a single file; a connector that only opens one file dies
+    on the first real layout (caught by the r11 10x probe, where the
+    cloned fixtures are Spark-written directories)."""
+
+    def __init__(self, path: str, row_group: int):
+        self.path = path
         self.row_group = row_group
 
 
@@ -99,8 +112,25 @@ class ArrowDocsReader(DataSourceReader):
         return expr
 
     def partitions(self):
+        import glob
+        import os
+
         import pyarrow.parquet as pq
 
+        if os.path.isdir(self.path):
+            # directory-shaped table (every real layout at scale):
+            # one partition per (part-file, row-group). Planning reads
+            # only footers — file count x O(1), never data pages.
+            files = sorted(glob.glob(os.path.join(self.path, "*.parquet")))
+            if not files:
+                raise ValueError(
+                    f"arrowdocs: no .parquet part files under {self.path!r}"
+                )
+            return [
+                _FileRowGroupPartition(fp, i)
+                for fp in files
+                for i in range(pq.ParquetFile(fp).num_row_groups)
+            ]
         meta = pq.ParquetFile(self.path)
         if meta.num_row_groups > 1:
             return [_RowGroupPartition(i) for i in range(meta.num_row_groups)]
@@ -113,6 +143,15 @@ class ArrowDocsReader(DataSourceReader):
     def read(self, partition):
         import pyarrow.parquet as pq
 
+        if isinstance(partition, _FileRowGroupPartition):
+            t = pq.ParquetFile(partition.path).read_row_group(
+                partition.row_group, columns=_DOC_COLS
+            )
+            expr = self._arrow_filter()
+            if expr is not None:
+                t = t.filter(expr)
+            yield from t.to_batches()
+            return
         f = pq.ParquetFile(self.path)
         if isinstance(partition, _RowGroupPartition):
             t = f.read_row_group(partition.row_group, columns=_DOC_COLS)

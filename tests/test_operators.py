@@ -299,6 +299,48 @@ def test_arrowdocs_row_group_partitioning(spark, tmp_path):
     assert df.rdd.getNumPartitions() == 5
 
 
+def test_arrowdocs_directory_table(spark, tmp_path):
+    """Directory-shaped tables (what every Spark/Iceberg writer
+    produces — the only layout that exists at scale) must plan one
+    partition per (part-file, row-group) and reassemble the full
+    table; pushed filters still prune. Caught by the r11 10x probe:
+    the single-file connector raised AnalysisException on its first
+    directory input."""
+    import pyarrow.parquet as pq
+
+    from glue_etl_pyspark_spark.io import load_table
+    from glue_etl_pyspark_spark.sources.pyds import (
+        ArrowDocsReader,
+        _FileRowGroupPartition,
+        register_python_sources,
+    )
+
+    path = str(tmp_path / "docs_dir.parquet")
+    src = load_table(spark, "/root/testdata/sf0.001", "documents")
+    src.repartition(4).write.parquet(path)
+
+    r = ArrowDocsReader({"path": path})
+    parts = r.partitions()
+    assert len(parts) >= 4
+    assert all(isinstance(p, _FileRowGroupPartition) for p in parts)
+
+    register_python_sources(spark)
+    df = spark.read.format("arrowdocs").option("path", path).load()
+    assert df.count() == src.count()
+    assert df.rdd.getNumPartitions() == len(parts)
+    # pushdown reaches every part file
+    want = src.filter("lang = 'en'").count()
+    got = df.filter(F.col("lang") == "en").count()
+    assert got == want and want > 0
+    # empty directory is a loud error, not a silent empty scan
+    import pytest as _pytest
+
+    empty = tmp_path / "empty_dir"
+    empty.mkdir()
+    with _pytest.raises(ValueError, match="no .parquet part files"):
+        ArrowDocsReader({"path": str(empty)}).partitions()
+
+
 def test_jsonldir_writer_two_phase_commit(spark, tmp_path):
     """The custom sink's commit protocol: a successful write leaves
     only manifest-listed final files (no _tmp_ leftovers); a failing
