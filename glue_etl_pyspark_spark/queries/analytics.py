@@ -638,29 +638,77 @@ SELECT clean_key, dirty_key, dist FROM pairs WHERE dist <= 1
 def linkage_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record linkage in the Glue FindMatches shape: a deterministic
     'dirty' feed (every 7th customer, one character dropped from the
-    name) is matched back to the clean master by BLOCKING on
-    (nation, market segment) and scoring candidate pairs with exact
-    Levenshtein edit distance — both engines implement levenshtein
-    identically over identical strings, so the whole linkage is
-    VALUE-oracled (integer distances, no ML drift). Blocking bounds
-    the comparison space to block_size^2 instead of n^2 — at 100 TB
-    you add a second blocking pass (phonetic key / sorted
-    neighborhood) and union candidates, which changes block keys, not
-    the plan shape; the scoring join stays an equi-join on block key
-    with a residual distance filter."""
+    name) is matched back to the clean master and candidate pairs are
+    scored with exact Levenshtein edit distance — both engines
+    implement levenshtein identically over identical strings, so the
+    whole linkage is VALUE-oracled (integer distances, no ML drift).
+
+    Candidate generation is SYMMETRIC-DELETE (SymSpell) blocking, not
+    a coarse-block self-join: each name emits itself plus every
+    delete-one-character variant (L+1 short keys per record), and
+    candidates are records sharing a variant within the same
+    (nation, segment) block. For levenshtein <= 1 this is provably
+    COMPLETE — equal strings share the full key, a substitution pair
+    shares the variant deleting the differing position, an
+    insert/delete pair shares the shorter string itself — so the
+    result set is bit-identical to the quadratic block join the
+    DuckDB oracle runs (the oracle keeps the n^2/blocks form: it
+    mirrors semantics, not plan). Cost is n*(L+1) keys and
+    near-singleton variant buckets instead of block_size^2 pairs: the
+    r11 10x probe measured the coarse-block form at 77 s (70x for 10x
+    data, pairs ~ n^2/125 with only 25 nations x 5 segments of
+    blocking); variant keys scale linearly with rows. Names are
+    bounded-length (L~18), so the per-position substring loop is
+    O(L^2) on a constant L — not the unbounded-document n-gram trap.
+    Candidates are DISTINCT'd on the pair key before the single
+    levenshtein verify per pair."""
     c = load_table(spark, sf_dir, "customer")
+    clean = c.select(
+        F.col("c_custkey").alias("clean_key"),
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("c_name").alias("c_name"),
+    )
     dirty = c.filter("c_custkey % 7 = 0").select(
         F.col("c_custkey").alias("d_key"),
         "c_nationkey",
         "c_mktsegment",
         F.expr("substr(c_name, 1, 3) || substr(c_name, 5)").alias("d_name"),
     )
-    pairs = c.join(dirty, ["c_nationkey", "c_mktsegment"]).select(
-        F.col("c_custkey").alias("clean_key"),
+
+    def with_variants(df: DataFrame, name_col: str) -> DataFrame:
+        # i = 0 keeps the string; i >= 1 deletes character i.
+        # sequence(0, length) is never descending (length >= 0), and
+        # the generator sits alone in its select item (no nesting).
+        return df.select(
+            "*",
+            F.explode(
+                F.sequence(F.lit(0), F.length(F.col(name_col)))
+            ).alias("__i"),
+        ).withColumn(
+            "__variant",
+            F.when(F.col("__i") == 0, F.col(name_col)).otherwise(
+                F.concat(
+                    F.expr(f"substr({name_col}, 1, __i - 1)"),
+                    F.expr(f"substr({name_col}, __i + 1)"),
+                )
+            ),
+        )
+
+    cand = (
+        with_variants(clean, "c_name")
+        .join(
+            with_variants(dirty, "d_name"),
+            ["c_nationkey", "c_mktsegment", "__variant"],
+        )
+        .select("clean_key", "d_key", "c_name", "d_name")
+        .distinct()
+    )
+    return cand.select(
+        "clean_key",
         F.col("d_key").alias("dirty_key"),
         F.levenshtein("c_name", "d_name").cast("bigint").alias("dist"),
-    )
-    return pairs.filter(F.col("dist") <= 1)
+    ).filter(F.col("dist") <= 1)
 
 
 # ---------------------------------------------------------------------------
