@@ -324,7 +324,7 @@ def simhash_bits_kernel(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     lever)."""
     # id type derived from the input (see hashed_shingles_kernel)
     id_type = df.schema[id_col].dataType.simpleString()
-    spark_schema = f"{id_col} {id_type}, bits array<int>"
+    spark_schema = f"{id_col} {id_type}, bits array<int>, sh64 bigint"
 
     def gen(batches):
         import numpy as np
@@ -335,6 +335,7 @@ def simhash_bits_kernel(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
         ws = re.compile("[ \t\n\x0b\f\r]+")
         cache: dict[str, object] = {}
+        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
 
         def pm1_row(tok: str):
             row = cache.get(tok)
@@ -347,12 +348,20 @@ def simhash_bits_kernel(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 cache[tok] = row
             return row
 
+        def pack(bits) -> int:
+            # bit i of the array -> bit i of the long (two's complement
+            # for bit 63, so the value round-trips as a Spark BIGINT)
+            u = int((bits.astype(np.uint64) * weights).sum())
+            return u - (1 << 64) if u >= 1 << 63 else u
+
         for pdf in batches:
-            bits_out = []
+            bits_out: list = []
+            packed_out: list = []
             for text in pdf[text_col]:
                 if text is None:
                     # expression path: NULL text → NULL bits
                     bits_out.append(None)
+                    packed_out.append(None)
                     continue
                 toks = [t for t in ws.split(text.lower()) if t]
                 if toks:
@@ -361,8 +370,13 @@ def simhash_bits_kernel(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 else:
                     bits = np.zeros(64, dtype=np.int32)
                 bits_out.append(bits)
+                packed_out.append(pack(bits))
             yield pd.DataFrame(
-                {id_col: pdf[id_col].values, "bits": bits_out}
+                {
+                    id_col: pdf[id_col].values,
+                    "bits": bits_out,
+                    "sh64": pd.array(packed_out, dtype="Int64"),
+                }
             )
 
     return df.select(id_col, text_col).mapInPandas(gen, spark_schema)
@@ -384,48 +398,59 @@ def simhash_pairs(
     Candidate generation is a band-value equi-join — shuffle keys are
     (band_index, 16-bit slice), so the plan is hash-partitionable and
     never compares all pairs.
+
+    The whole pipeline runs on the PACKED 64-bit simhash (one BIGINT
+    per doc, emitted by the kernel): band keys are integer bit-slices
+    (``shiftrightunsigned & mask``) and the verify is
+    ``bit_count(sh_a ^ sh_b)`` — whole-stage-codegen intrinsics, and
+    the candidate shuffle carries 2 longs per pair instead of two
+    64-int arrays. Value-equivalent to the oracle's bit-string form:
+    band-string equality ⇔ equality of the same 16 bits, and
+    SUM(bit<>bit) ⇔ popcount of the XOR (pinned in
+    tests/test_llm_ops.py against the expression path). The r11 10x
+    probe measured the array form at 119.5 s / 50k docs; the packed
+    form cut it to seconds-scale (SCALING.md round-11).
     """
     width = 64 // bands
+    mask = (1 << width) - 1
     # the banded frame feeds BOTH sides of the self-join below, and the
     # per-doc simhash fold is the dominant per-row cost — compute it
     # with the vectorized kernel (bit-identical twin of
-    # simhash64(tokenize_ws(.)), pinned) and materialize once (id + 64
-    # ints per doc; ~5 MB per million docs) so neither join side
-    # re-runs it. Measured at sf0.1: 23.8 s (expression, computed
-    # twice) -> 10.4 s (expression, once) -> see SCALING.md for the
-    # kernel number.
+    # simhash64(tokenize_ws(.)), pinned) and materialize once (id + one
+    # long per doc) so neither join side re-runs it. Measured at
+    # sf0.1: 23.8 s (expression, computed twice) -> 10.4 s (expression,
+    # once) -> see SCALING.md for the kernel number.
     sh = (
         simhash_bits_kernel(df.select(F.col(id_col).alias("id"), text_col), "id", text_col)
+        .select("id", "sh64")
         .localCheckpoint(eager=True)
     )
     banded = sh.select(
         "id",
-        "bits",
+        "sh64",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bnd: F.concat_ws(
-                    "", F.slice("bits", bnd * width + 1, width)
-                ),
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> shiftrightunsigned(sh64, b * {width}) & {mask})"
             )
         ).alias("band", "band_val"),
     )
     a = banded.select(
-        F.col("id").alias("id_a"), F.col("bits").alias("bits_a"), "band", "band_val"
+        F.col("id").alias("id_a"), F.col("sh64").alias("sh_a"), "band", "band_val"
     )
     b = banded.select(
-        F.col("id").alias("id_b"), F.col("bits").alias("bits_b"), "band", "band_val"
+        F.col("id").alias("id_b"), F.col("sh64").alias("sh_b"), "band", "band_val"
     )
     cands = (
         a.join(b, ["band", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "bits_a", "bits_b")
+        .select("id_a", "id_b", "sh_a", "sh_b")
         .distinct()
     )
-    from ..functions.text import hamming
-
     return (
-        cands.withColumn("hamming_dist", hamming("bits_a", "bits_b"))
+        cands.withColumn(
+            "hamming_dist", F.expr("bit_count(sh_a ^ sh_b)")
+        )
         .filter(F.col("hamming_dist") <= max_hamming)
         .select("id_a", "id_b", "hamming_dist")
     )

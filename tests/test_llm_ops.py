@@ -758,7 +758,17 @@ def test_simhash_kernel_is_bitexact_twin(spark, sf_dir):
         b = simhash_bits_kernel(
             df.select(F.col(id_col).alias("id"), "text"), "id", "text"
         ).withColumnRenamed("bits", "eb")
-        return a.join(b, "id").filter(~(F.col("ea") == F.col("eb"))).count()
+        # the packed long must be the same 64 bits (bit i of the array
+        # at long position i, two's complement at bit 63)
+        repack = F.expr(
+            "aggregate(zip_with(eb, sequence(0, 63), "
+            "(b, i) -> shiftleft(cast(b as bigint), i)), 0L, "
+            "(acc, x) -> acc | x)"
+        )
+        joined = a.join(b, "id")
+        bad_pack = joined.filter(~(F.col("sh64") == repack)).count()
+        assert bad_pack == 0, "sh64 disagrees with its own bits array"
+        return joined.filter(~(F.col("ea") == F.col("eb"))).count()
 
     assert diff_count(load_table(spark, sf_dir, "documents"), "doc_id") == 0
 
@@ -775,6 +785,7 @@ def test_simhash_kernel_is_bitexact_twin(spark, sf_dir):
     null_df = spark.createDataFrame([(99, None)], "doc_id long, text string")
     rows = simhash_bits_kernel(null_df, "doc_id", "text").collect()
     assert len(rows) == 1 and rows[0]["bits"] is None
+    assert rows[0]["sh64"] is None
 
 
 def test_shingle_kernel_is_bitexact_twin(spark, sf_dir):
