@@ -29,7 +29,15 @@ def main() -> int:
     sys.path.insert(0, REPO)
     from pyspark.sql import SparkSession
 
-    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    b = SparkSession.builder.master("local[8]")
+    # optional argv width: a deliberately ODD shuffle width (e.g. 7)
+    # flushes partition-order-sensitive nondeterminism the default-200
+    # sim and the 32-wide pytest session can't see (r11 addition; the
+    # driver itself stays vanilla — never pass a width when simulating
+    # the driver's exact conditions)
+    if len(sys.argv) > 1:
+        b = b.config("spark.sql.shuffle.partitions", sys.argv[1])
+    spark = b.getOrCreate()
 
     from glue_etl_pyspark_spark.parity import check_query, duckdb_connect
     from glue_etl_pyspark_spark.registry import load_all

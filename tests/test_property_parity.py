@@ -336,3 +336,40 @@ def test_python_xxhash64_matches_spark(spark, tokens):
     b = hashed_shingles_kernel(df, "id", "text", 1).withColumnRenamed("sh", "eb")
     diff = a.join(b, "id").filter(~(F.col("ea") == F.col("eb"))).count()
     assert diff == 0
+
+
+# --- symmetric-delete blocking completeness (linkage_fuzzy_match) ---
+#
+# The r11 linkage rework replaced the quadratic block join with
+# SymSpell candidate generation; its correctness rests on one lemma:
+# any two strings with levenshtein(a, b) <= 1 share a delete-one
+# variant (the string itself counts as a variant). Pin the lemma
+# itself, driver-side, over adversarial small strings — if it held
+# only for the fixture's name shapes, a future dataset would silently
+# lose pairs.
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _variants(s: str) -> set[str]:
+    return {s} | {s[:i] + s[i + 1:] for i in range(len(s))}
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    a=st.text(alphabet="ab0#é", max_size=8),
+    b=st.text(alphabet="ab0#é", max_size=8),
+)
+def test_symdelete_variants_complete_for_dist_le_1(a, b):
+    if _lev(a, b) <= 1:
+        assert _variants(a) & _variants(b), (
+            f"dist<=1 pair {a!r}/{b!r} shares no delete variant — "
+            "symdelete blocking would lose it"
+        )
