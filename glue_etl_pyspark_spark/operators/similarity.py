@@ -263,6 +263,13 @@ def ivf_build(
         if train_stride <= 1
         else c.filter(F.col("neighbor_id") % train_stride == 0)
     )
+    # A sparse/offset id domain (or a tiny corpus) can stride the
+    # training set down to ZERO rows, which would make Lloyd emit an
+    # empty centroid frame and the build silently return no members
+    # (ADVICE r11). Fall back to the full corpus — one cheap probe of
+    # a frame we were about to scan lloyd_iters times anyway.
+    if train_stride > 1 and not train.limit(1).count():
+        train = c
 
     # Lloyd training: assign-train-set -> per-dim mean -> floor 6 dp.
     # Each iteration is one window shuffle (assignment) + one groupBy

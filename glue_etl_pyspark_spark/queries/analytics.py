@@ -1198,15 +1198,16 @@ def revenue_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cents*1e6 div region_cents, with the product in
     DECIMAL(38,0)/HUGEINT — a 100 TB region's revenue is ~1e16 cents,
     so the int64 product dies while the ppm quotient always fits) so
-    both engines agree at every boundary; dimensions broadcast, one
-    fact aggregation, then a groups-sized self-aggregate join (no
-    window over the fact)."""
+    both engines agree at every boundary; only the fixed-cardinality
+    nation/region dims are hinted (customer is SF-scaled — AQE picks
+    its strategy), one fact aggregation, then a groups-sized
+    self-aggregate join (no window over the fact)."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
     rev = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))

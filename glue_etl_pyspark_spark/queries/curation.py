@@ -567,7 +567,8 @@ def feature_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding mode to disagree on). The prior is the global rate in
     ppm; k=20 pseudo-counts shrink rare brands toward it.
 
-    Scale: one broadcast dim join (part), one map-side-combined
+    Scale: one dim join (part is SF-scaled so it carries no broadcast
+    hint — AQE size-converts at bench scale), one map-side-combined
     groupBy to brand grain, and the global prior is a one-row
     aggregate OF THE PER-BRAND FRAME (never a second corpus pass)
     cross-joined back broadcast — the decayed-popularity shape. The
@@ -576,7 +577,7 @@ def feature_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     per_brand = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(
             F.count(F.lit(1)).alias("n"),

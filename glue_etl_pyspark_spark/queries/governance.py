@@ -102,7 +102,7 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ri = (
         orders.join(
-            F.broadcast(customer.select("c_custkey")),
+            customer.select("c_custkey"),
             orders["o_custkey"] == F.col("c_custkey"),
             "left",
         )

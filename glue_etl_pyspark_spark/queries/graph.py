@@ -10,7 +10,9 @@ floor-scaling (9 dp) pins the accumulating doubles to identical values
 on both engines (the dedup_clusters / tpch_q9 discipline).
 
 Scale notes: the edge build is the expensive part (fact-table joins —
-all dimension sides broadcast, one shuffle to aggregate edge weights);
+the orders/customer/supplier sides are SF-scaled so they carry no
+broadcast hint; AQE size-converts at bench scale and shuffle-joins at
+100 TB, then one shuffle aggregates edge weights);
 the iteration then runs on the aggregated graph, which for real
 property graphs means shuffles keyed on dst. Each round
 localCheckpoints (lineage rule for EVERY iterative loop — iteration N
@@ -103,9 +105,9 @@ def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     edges = (
-        li.join(F.broadcast(o.hint("broadcast")), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .groupBy(
             F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
         )
@@ -343,8 +345,8 @@ def graph_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     edges = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
         .select(
             c["c_nationkey"].alias("src"), s["s_nationkey"].alias("dst")
         )

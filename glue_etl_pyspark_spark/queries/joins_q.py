@@ -23,13 +23,14 @@ GROUP BY c.c_mktsegment
 
 @query("join_inner_equi", oracle=INNER_ORACLE, category="join")
 def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inner equi-join (Glue Join.apply), customer side broadcast —
-    at 100 TB the fact side never shuffles for dims under the
-    broadcast threshold."""
+    """Inner equi-join (Glue Join.apply). No explicit broadcast hint:
+    customer scales with SF (150k x SF rows), so the plan must be
+    allowed to flip to shuffle join at 100 TB; AQE's runtime
+    size-based conversion still picks broadcast at bench scale."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     return (
-        glue_join(orders, broadcast(customer), keys1=["o_custkey"], keys2=["c_custkey"])
+        glue_join(orders, customer, keys1=["o_custkey"], keys2=["c_custkey"])
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("order_cnt"), F.sum("o_totalprice").alias("sum_total"))
     )
@@ -173,9 +174,12 @@ GROUP BY n.n_name
 
 @query("join_multiway_revenue", oracle=MULTIWAY_ORACLE, category="join")
 def join_multiway_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H-Q5-style 5-way join. All dimension sides broadcast; the
-    only shuffle left is the final small groupBy — the shape that
-    survives a 100x fact-table scale-up."""
+    """TPC-H-Q5-style 5-way join. Only the fixed-cardinality dims
+    (nation=25, region=5) carry explicit broadcast hints; orders and
+    customer scale with SF, so their join strategy is left to AQE —
+    broadcast at bench scale, shuffle join when they outgrow the
+    threshold at 100 TB. That is the shape that survives a 100x
+    fact-table scale-up."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
@@ -188,8 +192,8 @@ def join_multiway_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r = region.filter(F.col("r_name") == "ASIA")
     return (
-        li.join(broadcast(o), li["l_orderkey"] == o["o_orderkey"])
-        .join(broadcast(customer), o["o_custkey"] == customer["c_custkey"])
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(customer, o["o_custkey"] == customer["c_custkey"])
         .join(broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
         .join(broadcast(r), nation["n_regionkey"] == r["r_regionkey"])
         .groupBy("n_name")

@@ -219,10 +219,12 @@ def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (≤1024 (word,mask) rows, broadcast); lineitem probes both bit
     positions with broadcast-hash joins BEFORE the exact join, so at
     scale the fact table sheds non-matching rows at scan parallelism
-    without shuffling them. No false negatives ⇒ the final exact
-    (broadcast) join returns exactly the plain-join result — the
-    oracle is that plain join. The pass-rate (pruning power) is pinned
-    in tests/test_plans.py."""
+    without shuffling them. No false negatives ⇒ the final exact join
+    returns exactly the plain-join result — the oracle is that plain
+    join. Only the constant-size (word,mask) bitmap frames carry
+    broadcast hints; the dim subset itself is SF-scaled (~3% of
+    orders), so the exact join's strategy is left to AQE. The
+    pass-rate (pruning power) is pinned in tests/test_plans.py."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     dim = o.filter(
@@ -259,7 +261,7 @@ def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        fact.join(F.broadcast(dim), fact.l_orderkey == dim.o_orderkey)
+        fact.join(dim, fact.l_orderkey == dim.o_orderkey)
         .groupBy("o_month")
         .agg(
             F.count("*").alias("n_items"),

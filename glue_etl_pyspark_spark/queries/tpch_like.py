@@ -33,8 +33,10 @@ LIMIT 10
 @query("tpch_q3_shipping_priority", oracle=Q3_ORACLE, category="tpch")
 def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: segment-filtered customers → orders → lineitem,
-    revenue per order, global top-10. Both dims broadcast; the sort
-    compiles to TakeOrderedAndProject."""
+    revenue per order, global top-10. Orders/customer are SF-scaled so
+    they carry no broadcast hint (AQE size-converts at bench scale,
+    shuffle-joins at 100 TB); the sort compiles to
+    TakeOrderedAndProject."""
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1997-03-15").cast("timestamp_ntz")
@@ -43,8 +45,8 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1997-03-15").cast("timestamp_ntz")
     )
     return (
-        li.join(broadcast(o), li["l_orderkey"] == o["o_orderkey"])
-        .join(broadcast(c), o["o_custkey"] == c["c_custkey"])
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -173,7 +175,7 @@ def tpch_q12_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
     )
     return (
-        li.join(broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .groupBy("o_orderpriority")
         .agg(
             F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("final_count"),
@@ -192,8 +194,8 @@ WHERE l.l_shipdate >= TIMESTAMP '1996-03-01' AND l.l_shipdate < TIMESTAMP '1996-
 
 @query("tpch_q14_promo_effect", oracle=Q14_ORACLE, category="tpch")
 def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14: ratio of conditional aggregates over a broadcast
-    part join."""
+    """TPC-H Q14: ratio of conditional aggregates over the part join
+    (part is SF-scaled — no hint; AQE picks the strategy by size)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
@@ -201,7 +203,7 @@ def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .agg(
             (
                 100.0
@@ -294,8 +296,9 @@ FROM (
 def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: 5-way join tying each lineitem to its supplier
     nation AND (through orders→customer) its customer nation, revenue
-    per directed nation pair per year. All four dims broadcast; the
-    fact table never shuffles for the joins."""
+    per directed nation pair per year. Only the two nation legs (25
+    rows) are hinted; supplier/orders/customer are SF-scaled and left
+    to AQE so the plan stays executable at 100 TB."""
     s = load_table(spark, sf_dir, "supplier")
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
@@ -307,9 +310,9 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("supp_nation") == "NATION_1"
     ) & (F.col("cust_nation") == "NATION_0")
     return (
-        li.join(broadcast(s), li["l_suppkey"] == s["s_suppkey"])
-        .join(broadcast(o), li["l_orderkey"] == o["o_orderkey"])
-        .join(broadcast(c), o["o_custkey"] == c["c_custkey"])
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
@@ -427,7 +430,8 @@ GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
 def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: IN-subquery over a HAVING aggregate (orders
     whose total quantity exceeds a threshold) planned as a semi join,
-    then re-aggregation with the customer dim broadcast."""
+    then re-aggregation with the customer dim (unhinted SQL — the
+    planner/AQE sizes the joins)."""
     register_views(spark, sf_dir, "customer", "orders", "lineitem")
     return spark.sql(
         """
@@ -476,7 +480,7 @@ def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(20, 50)
     )
     return (
-        li.join(broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .filter(bracket)
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
@@ -628,9 +632,10 @@ GROUP BY n.n_name
 def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way join where the supplier join carries the
     extra same-nation equi-condition (customer and supplier co-located)
-    — revenue per nation in one region-year. Every dim broadcasts;
-    lineitem (the only big table) joins orders on its own key, so the
-    fact side needs no pre-shuffle."""
+    — revenue per nation in one region-year. Only nation/region (fixed
+    25/5 rows) are hinted; orders/customer/supplier scale with SF and
+    are left to AQE — broadcast at bench scale, shuffle join when they
+    outgrow the threshold at 100 TB."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
@@ -641,10 +646,10 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
-        li.join(broadcast(o), li["l_orderkey"] == o["o_orderkey"])
-        .join(broadcast(c), o["o_custkey"] == c["c_custkey"])
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(
-            broadcast(s),
+            s,
             (li["l_suppkey"] == s["s_suppkey"])
             & (c["c_nationkey"] == s["s_nationkey"]),
         )
@@ -704,12 +709,12 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .join(broadcast(o), li["l_orderkey"] == o["o_orderkey"])
-        .join(broadcast(c), o["o_custkey"] == c["c_custkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(broadcast(r), F.col("n1_region") == r["r_regionkey"])
-        .join(broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
@@ -777,13 +782,13 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         / 1e6
     )
     return (
-        li.join(broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .join(
             ps,
             (li["l_partkey"] == ps["ps_partkey"]) & (li["l_suppkey"] == ps["ps_suppkey"]),
         )
-        .join(broadcast(s), li["l_suppkey"] == s["s_suppkey"])
-        .join(broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -822,8 +827,8 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = load_table(spark, sf_dir, "nation")
     return (
-        li.join(broadcast(o), li["l_orderkey"] == o["o_orderkey"])
-        .join(broadcast(c), o["o_custkey"] == c["c_custkey"])
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))

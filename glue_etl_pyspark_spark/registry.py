@@ -50,95 +50,126 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 
 
 # The driver checks the FIRST 50 queries in ``queries()`` dict-insertion
-# order (confirmed rounds 1-10; every round checked exactly 50 names).
+# order (confirmed rounds 1-11; every round checked exactly 50 names).
 #
-# ROUND-11 WINDOW (VERDICT r10 item 1): recomputed from the CORRECTNESS
-# glob — no never-checked names remain (all 306 carry an external row),
-# so the window is the globally stalest evidence: the 6 oracled scalar
-# names last green in ROUND 4 (the r10 deferred block), then 44 of the
-# exactly-50 names last green in ROUND 5. The 6 displaced r5 names are
-# the lowest-marginal-value member of each redundant pair (the sibling
-# stays in the window and exercises the same machinery):
-# agg_histogram_equidepth (sibling agg_histogram), agg_hll_grouped
-# (sibling agg_hll_portable), knn_pq_rerank (sibling knn_pq_adc; rerank
-# path also re-passed r10 via knn_int8_rerank), contamination_minhash
-# (md5-poly family re-passed r10 via contamination_ngram_overlap +
-# dedup_minhash_portable stays in-window), sample_stratified_exact
-# (sampling family re-passed r10 via sample_docs_deterministic),
-# text_bigram_pmi (sibling text_bigram_lm_score). A clean window moves
-# the oldest external evidence from round 4 to round 5.
-#
-# tests/test_registry.py asserts len(DRIVER_WINDOW) == 50 so the cutoff
-# can never drift from the driver's actual check width again (the r8
-# marker sat after 61 names), and that no name outside the window is
-# staler than any name inside it.
-DRIVER_WINDOW: tuple[str, ...] = (
-    # --- oracled, last externally green in ROUND 4 (6) ---
-    "func_regexp",
-    "func_bitwise",
-    "func_url",
-    "func_interval",
-    "func_try_safe",
-    "func_datename",
-    # --- last externally green in ROUND 5 (44 of 50) ---
-    "agg_histogram",
-    "agg_hll_portable",
-    "agg_incremental_merge",
-    "agg_quantiles_sampled",
-    "agg_rollup",
-    "corpus_mix_resample",
-    "corpus_split_assign",
-    "curation_quality_gate",
-    "curation_source_cap",
-    "curation_token_budget",
-    "dedup_cluster_canonical",
-    "dedup_incremental_batch",
-    "dedup_minhash_portable",
-    "dedup_semantic_clusters",
-    "doc_pack_sequences",
-    "dq_fk_orphans",
-    "dq_outliers_mad",
-    "embedding_lsh_portable",
-    "events_gap_fill_hourly",
-    "events_markov_transitions",
-    "events_rolling_hourly",
-    "events_seasonal_baseline",
-    "events_winsorize_bounds",
+# ROUND-12 WINDOW (VERDICT r11 items 1+2): evidence must catch up with
+# code, so the window leads with the queries whose EXTERNAL rows
+# predate their current implementation:
+#   - 5 reworked in r11 after their last external row (tpch_q11
+#     adaptive threshold, simhash packed-BIGINT banding, linkage
+#     symmetric-delete blocking, arrowdocs directory planning x2);
+#   - 19 de-hinted in r12 (forced broadcast() removed from every
+#     SF-scaled join side — values unchanged, plans changed);
+#   - the 6 r5-stale names pre-staged in the r11 DRIVER_DEFERRED;
+#   - 20 of the 47 remaining r6-stale names (one per redundant family
+#     where possible; the 27 displaced, equally-r6-stale siblings move
+#     to DRIVER_DEFERRED and lead the r13 window).
+# After a clean r12 the oldest external evidence moves r5 -> r6 and no
+# query's external row predates its code.
+DRIVER_REWORKED: tuple[str, ...] = (
+    # --- r11 code rework after last external row (5) ---
+    "tpch_q11_important_parts",
+    "dedup_simhash_pairs",
+    "linkage_fuzzy_match",
+    "pyds_arrowdocs_scan",
+    "pyds_pushdown_scan",
+    # --- r12 broadcast-hint removal: plan changed, values pinned
+    #     locally at sf0.01+sf0.1 (19) ---
+    "join_inner_equi",
+    "join_multiway_revenue",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q12_priority_counts",
+    "tpch_q14_promo_effect",
+    "tpch_q19_disjunctive",
+    "revenue_share_of_region",
+    "feature_target_encode",
+    "dq_expectations",
+    "bloom_prune_join",
+    "stream_static_join_batch",
+    "stream_static_join",
     "graph_pagerank_topk",
-    "graph_triangles_topk",
-    "knn_pq_adc",
-    "length_bucket_packing",
-    "llm_training_manifest",
-    "profile_table_stats",
-    "q1_pricing_summary",
-    "sample_weighted_noreplace",
-    "scan_zonemap_prune",
-    "sink_avro_roundtrip",
-    "sink_jdbc_roundtrip",
-    "snapshot_diff",
-    "text_bigram_lm_score",
-    "text_bm25_topk",
-    "text_boilerplate_strip",
-    "text_entropy_gate",
-    "text_idf_quality",
-    "text_oov_rate",
-    "text_tokenize_to_ids",
-    "udtf_analyze_dynamic",
-    "vocab_bpe_merges",
+    "graph_bfs_khop",
 )
 
-# Pre-staged round-12 lead block: the 6 oracled r5 names displaced by
-# the 50-slot width (each the lower-value member of a redundant pair
-# whose sibling IS in the round-11 window — see the window comment).
-# Every other name is round 6+; the round-12 rotation should recompute
-# from the CORRECTNESS glob anyway.
-DRIVER_DEFERRED: tuple[str, ...] = (
+# tests/test_registry.py asserts len(DRIVER_WINDOW) == 50 so the cutoff
+# can never drift from the driver's actual check width again (the r8
+# marker sat after 61 names), that every DRIVER_REWORKED name is inside
+# the window (no reworked query may keep a pre-rework external row),
+# and that no un-reworked name outside the window is staler than any
+# un-reworked name inside it.
+DRIVER_WINDOW: tuple[str, ...] = (
+    *DRIVER_REWORKED,
+    # --- oracled, last externally green in ROUND 5 (6) ---
     "agg_histogram_equidepth",
     "agg_hll_grouped",
     "knn_pq_rerank",
     "contamination_minhash",
     "sample_stratified_exact",
     "text_bigram_pmi",
+    # --- last externally green in ROUND 6 (20 of 47) ---
+    "basket_association_rules",
+    "cluster_medoids",
+    "corpus_datasheet",
+    "dedup_containment",
+    "dq_k_anonymity",
+    "dq_reconcile_amounts",
+    "embedding_pca_power",
+    "embedding_feature_stats",
+    "events_attribution_last_touch",
+    "events_bot_burst_detect",
+    "events_dau_wau",
+    "events_rolling_correlation",
+    "gdpr_erasure_cascade",
+    "hybrid_search_rrf",
+    "ingest_dedup_replay",
+    "join_point_in_time",
+    "knn_ivf_persisted",
+    "pyds_writer_roundtrip",
+    "scan_binary_files",
+    "text_inverted_index",
+)
+
+# The 27 equally-r6-stale names displaced by the 50-slot width (each
+# has an in-window sibling exercising the same machinery where one
+# exists: attribution_linear/last_touch, pool_mean+robust_scale/
+# pca_power+feature_stats, substring_spans/containment, hard_negatives+
+# mutual_nn/ivf_persisted, sampler_chi2+join_skew/k_anonymity+
+# reconcile, scripting_loop/udf_declarative, rolling_median/
+# rolling_correlation, bpe_apply/inverted_index). They lead the
+# round-13 window.
+DRIVER_DEFERRED: tuple[str, ...] = (
+    "curriculum_phase_assign",
+    "dedup_substring_spans",
+    "dq_join_skew_report",
+    "dq_sampler_chi2",
+    "embedding_pool_mean",
+    "embedding_robust_scale",
+    "epoch_shuffle_shards",
+    "events_attribution_linear",
+    "events_cusum_shift",
+    "events_decayed_popularity",
+    "events_drift_psi",
+    "events_path_trigrams",
+    "events_rolling_median",
+    "events_time_to_conversion",
+    "hist_range_selectivity",
+    "knn_hard_negatives",
+    "knn_mutual_nn",
+    "multimodal_features",
+    "quality_classifier_linear",
+    "quality_gate_roc_sweep",
+    "sketch_join_cardinality",
+    "skyline_parts_frontier",
+    "sql_scripting_loop",
+    "sql_udf_declarative",
+    "stream_state_inspect",
+    "text_bpe_apply",
+    "udf_mapinarrow",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = DRIVER_WINDOW + DRIVER_DEFERRED

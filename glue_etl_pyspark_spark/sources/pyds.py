@@ -79,9 +79,22 @@ _PUSHABLE = {
 
 class ArrowDocsReader(DataSourceReader):
     def __init__(self, options: dict):
+        import glob
+        import os
+
         self.path = options["path"]
         self.num_slices = int(options.get("numPartitions", "8"))
         self.pushed: list[tuple[str, str, object]] = []
+        # A directory holding exactly ONE part file reuses single-file
+        # planning (row-range slices for a single-row-group file) so
+        # small demo layouts keep their parallel scan (ADVICE r11).
+        # Resolved HERE, not in partitions(): the reader is pickled to
+        # executors before partitions() runs, so a late repoint of
+        # self.path would never reach read().
+        if os.path.isdir(self.path):
+            files = sorted(glob.glob(os.path.join(self.path, "*.parquet")))
+            if len(files) == 1:
+                self.path = files[0]
 
     def pushFilters(self, filters: list[Filter]):
         """Accept flat-column comparison filters; pyarrow evaluates
@@ -126,6 +139,8 @@ class ArrowDocsReader(DataSourceReader):
                 raise ValueError(
                     f"arrowdocs: no .parquet part files under {self.path!r}"
                 )
+            # len(files) == 1 can't happen here — __init__ repoints
+            # single-part-file directories at the lone file.
             return [
                 _FileRowGroupPartition(fp, i)
                 for fp in files

@@ -152,7 +152,10 @@ def build_clone(spark, factor: int) -> None:
 
 
 def main() -> int:
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    # flags and positionals can come in any order (ADVICE r11:
+    # `probe_vacuous_10x.py --reuse` used to crash on int("--reuse"))
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    factor = int(pos[0]) if pos else 10
     from glue_etl_pyspark_spark.registry import load_all
     from glue_etl_pyspark_spark.session import get_spark
 
@@ -164,7 +167,7 @@ def main() -> int:
 
     reg = load_all()
     oracled = [n for n, s in reg.items() if s.oracle is not None]
-    zero, shrunk = [], []
+    zero, shrunk, errored = [], [], []
     for name in oracled:
         row = {"name": name}
         for tag, d in (("sf01", SF_DIR), ("x10", OUT)):
@@ -177,7 +180,11 @@ def main() -> int:
                 row[f"{tag}_s"] = round(time.time() - t0, 1)
             spark.catalog.clearCache()
         print(json.dumps(row), flush=True)
-        if row["x10"] == 0:
+        if isinstance(row["x10"], str) or isinstance(row["sf01"], str):
+            # a query that CRASHES one notch above bench scale is as
+            # bad as a vacuous one — it must fail the probe (ADVICE r11)
+            errored.append(name)
+        elif row["x10"] == 0:
             zero.append(name)
         elif (
             isinstance(row["x10"], int)
@@ -187,10 +194,12 @@ def main() -> int:
         ):
             shrunk.append(name)
     print(
-        json.dumps({"n": len(oracled), "zero": zero, "shrunk": shrunk}),
+        json.dumps(
+            {"n": len(oracled), "zero": zero, "shrunk": shrunk, "err": errored}
+        ),
         flush=True,
     )
-    return 1 if zero else 0
+    return 1 if zero or errored else 0
 
 
 if __name__ == "__main__":

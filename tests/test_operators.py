@@ -341,6 +341,36 @@ def test_arrowdocs_directory_table(spark, tmp_path):
         ArrowDocsReader({"path": str(empty)}).partitions()
 
 
+def test_arrowdocs_single_file_directory_keeps_parallelism(spark, tmp_path):
+    """A directory holding ONE single-row-group part file must reuse
+    the single-file row-range planning (numPartitions slices), not
+    collapse to 1 partition (ADVICE r11) — and the repointed path must
+    survive the driver->executor reader serialization."""
+    import pyarrow.parquet as pq
+
+    from glue_etl_pyspark_spark.io import load_table
+    from glue_etl_pyspark_spark.sources.pyds import (
+        ArrowDocsReader,
+        _RowRangePartition,
+        register_python_sources,
+    )
+
+    path = str(tmp_path / "docs_one.parquet")
+    src = load_table(spark, "/root/testdata/sf0.001", "documents")
+    src.coalesce(1).write.parquet(path)
+
+    r = ArrowDocsReader({"path": path, "numPartitions": "4"})
+    parts = r.partitions()
+    assert len(parts) == 4
+    assert all(isinstance(p, _RowRangePartition) for p in parts)
+
+    register_python_sources(spark)
+    df = spark.read.format("arrowdocs").option("path", path) \
+        .option("numPartitions", "4").load()
+    assert df.count() == src.count()
+    assert df.rdd.getNumPartitions() == 4
+
+
 def test_jsonldir_writer_two_phase_commit(spark, tmp_path):
     """The custom sink's commit protocol: a successful write leaves
     only manifest-listed final files (no _tmp_ leftovers); a failing

@@ -683,3 +683,57 @@ def test_rolling_correlation_prefilters_event_types(spark, sf_dir):
 def test_containment_dedup_joins_inverted_index_equi(spark, sf_dir):
     plan = explain_str(_df(spark, sf_dir, "dedup_containment"))
     assert "CartesianProduct" not in plan
+
+
+# --- r12: forced-broadcast hygiene on SF-scaled relations -----------------
+#
+# An explicit broadcast() hint is honored regardless of
+# autoBroadcastJoinThreshold, so a hint on an SF-scaled side (orders,
+# customer, part, supplier — all grow linearly with data) pins an
+# OOM-class plan at the 100 TB target. These queries must instead rely
+# on size-based conversion (static estimate or AQE): broadcast at bench
+# scale, shuffle join when the side outgrows the threshold. The pin:
+# with the threshold disabled, every one of them must plan at least one
+# shuffle join (a hinted plan would stay all-broadcast), while the
+# threshold-on plan stays broadcast (pinned by the tests above).
+
+_SF_SCALED_JOIN_QUERIES = [
+    "join_inner_equi",
+    "join_multiway_revenue",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q12_priority_counts",
+    "tpch_q14_promo_effect",
+    "tpch_q19_disjunctive",
+    "revenue_share_of_region",
+    "feature_target_encode",
+    "dq_expectations",
+    "bloom_prune_join",
+    "stream_static_join_batch",
+]
+
+
+def test_sf_scaled_joins_have_no_forced_broadcast(spark, sf_dir):
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        unhinted = []
+        for name in _SF_SCALED_JOIN_QUERIES:
+            ops = operator_counts(_df(spark, sf_dir, name))
+            n_shuffle = sum(
+                v
+                for k, v in ops.items()
+                if "SortMergeJoin" in k or "ShuffledHashJoin" in k
+            )
+            if n_shuffle >= 1:
+                unhinted.append(name)
+        assert unhinted == _SF_SCALED_JOIN_QUERIES, (
+            "forced broadcast() hint survives threshold=-1 (OOM-class at "
+            f"100 TB) in: {sorted(set(_SF_SCALED_JOIN_QUERIES) - set(unhinted))}"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)

@@ -87,7 +87,10 @@ def test_priority_window_targets_external_coverage_gaps():
     import pathlib
     import re
 
-    from glue_etl_pyspark_spark.registry import DRIVER_DEFERRED
+    from glue_etl_pyspark_spark.registry import (
+        DRIVER_DEFERRED,
+        DRIVER_REWORKED,
+    )
 
     root = pathlib.Path(__file__).resolve().parents[1]
     last_checked: dict[str, int] = {}
@@ -100,6 +103,13 @@ def test_priority_window_targets_external_coverage_gaps():
     window = all_names[:50]
     never = [n for n in window if n not in last_checked]
     assert window[: len(never)] == never, "never-checked names must lead"
+    # a reworked query (code/plan changed after its last external row)
+    # outranks any merely-stale name: its evidence predates its
+    # implementation. All of them must sit INSIDE the window.
+    missing_rework = [n for n in DRIVER_REWORKED if n not in window]
+    assert not missing_rework, (
+        f"reworked queries left with pre-rework external rows: {missing_rework}"
+    )
     # staleness outside the window, ignoring the documented deferral
     outside = [
         n
@@ -117,7 +127,8 @@ def test_priority_window_targets_external_coverage_gaps():
     wasted = [
         n
         for n in window
-        if floor_outside <= last_checked.get(n, 0) < latest_round
+        if n not in DRIVER_REWORKED
+        and floor_outside <= last_checked.get(n, 0) < latest_round
     ]
     assert not wasted, f"window wastes slots on fresher-evidence {wasted}"
     # the deferral must never hide anything staler than the window tail
