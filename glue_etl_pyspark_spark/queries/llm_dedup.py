@@ -8,7 +8,7 @@ rows-only + recall tests in tests/test_llm_ops.py."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import hamming, simhash64, tokenize_ws
@@ -660,3 +660,192 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
     return out
+
+
+# --- winnowing fingerprints (r12) --------------------------------------
+#
+# MOSS-style document fingerprinting [Schleimer, Wilkerson, Aiken,
+# SIGMOD'03 "Winnowing: Local Algorithms for Document Fingerprinting"]:
+# hash every k-char gram, slide a window of w consecutive gram hashes,
+# and keep each window's minimum (rightmost-minimal on hash ties). The
+# guarantee: any shared substring of length >= w + k - 1 between two
+# documents contributes at least one IDENTICAL selected hash to both —
+# position-robust near-dup/plagiarism/contamination detection with
+# ~2/(w+1) of the grams retained.
+#
+# Implementation is pure window SQL, identical tree on both engines:
+# the (hash, position) pair packs into ONE BIGINT key
+# (hash * 65536 + (65535 - pos), hash < 2^24 so key < 2^40) whose MIN
+# over the w-frame is exactly "smallest hash, rightmost position" —
+# no arg_min needed, and DISTINCT over the per-start minima IS the
+# winnowing selection set. Spark hashes the exploded grams with the
+# codegen _md5_mod_spark twin (one md5 + conv per gram); the oracle
+# keeps the portable polynomial. Gram extraction is O(L) per doc via
+# the split-once char array (the langid discipline — substring(str,i,k)
+# per position would rescan UTF-8 from offset 0 and go O(L^2)).
+#
+# Scale: one shuffle (window partitioned by doc_id); per-doc work is
+# bounded by doc length, per-row state by w. The pair query joins on
+# fp_hash through a df-cap (HAVING <= 10 docs) inverted index, so
+# candidates stay linear in corpus size — never all-pairs.
+
+_WN_K = 7          # gram chars
+_WN_W = 4          # window of consecutive gram hashes
+_WN_MOD = 1 << 24  # md5 hash domain (6 hex digits)
+_WN_DF_CAP = 10    # pair query: drop fingerprints in more docs
+_WN_SHARED = 3     # pair query: min shared fingerprint hashes
+
+_WN_SEL_SQL = f"""
+WITH wnd AS (
+  SELECT doc_id, text, length(text) - {_WN_K - 1} AS n FROM documents
+  WHERE length(text) >= {_WN_K + _WN_W - 1}
+), wng AS (
+  SELECT doc_id, n, pos, substr(text, CAST(pos AS INT), {_WN_K}) AS gram
+  FROM (SELECT doc_id, n, text, unnest(generate_series(1, n)) AS pos
+        FROM wnd) u
+), wnk AS (
+  SELECT doc_id, n, pos,
+         CAST({{poly}} AS BIGINT) * 65536 + (65535 - pos) AS key
+  FROM wng
+), wnm AS (
+  SELECT doc_id, pos, n,
+         MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {_WN_W - 1} FOLLOWING)
+           AS win_min
+  FROM wnk
+), wsel AS (
+  SELECT DISTINCT doc_id, win_min FROM wnm WHERE pos <= n - {_WN_W - 1}
+)
+"""
+
+
+def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp_hash, fp_pos) winnowing selection over (doc_id,
+    text). Exported for the guarantee unit test; both registered
+    queries build on it."""
+    from .sketches import _md5_mod_spark
+
+    d = docs.filter(F.length("text") >= _WN_K + _WN_W - 1)
+    d = d.withColumn("__n", (F.length("text") - F.lit(_WN_K - 1)).cast("int"))
+    # Gram extraction stays entirely in whole-stage codegen: explode
+    # the char array ONCE (split evaluated once per doc inside the
+    # generator), then assemble each k-gram from window lead()s over
+    # the char rows. The first-draft HOF shape —
+    # transform(sequence(1,n), i -> concat(get(__ch,...) x k)) fed to
+    # posexplode — collapsed the split INTO the per-element lambda and
+    # re-evaluated it per element-access (~145 s for 1.5M grams at
+    # sf0.1, single-core); this window form does the same work in
+    # ~2 s. Both window specs share (doc_id, pos) partitioning, so the
+    # whole selection costs ONE shuffle.
+    ch = d.select(
+        "doc_id", "__n", F.posexplode(F.split("text", "")).alias("__c0", "__ch")
+    )
+    wc = Window.partitionBy("doc_id").orderBy("__c0")
+    gram = F.concat(
+        F.col("__ch"),
+        *[F.lead("__ch", j, "").over(wc) for j in range(1, _WN_K)],
+    )
+    ex = (
+        ch.withColumn("gram", gram)
+        .withColumn("pos", (F.col("__c0") + 1).cast("int"))
+        .filter(F.col("pos") <= F.col("__n"))
+    )
+    ex = ex.withColumn(
+        "key",
+        F.expr(_md5_mod_spark("gram", "wn", _WN_MOD)).cast("bigint") * 65536
+        + (65535 - F.col("pos")),
+    )
+    wnd = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WN_W - 1)
+    sel = (
+        ex.withColumn("win_min", F.min("key").over(wnd))
+        .filter(F.col("pos") <= F.col("__n") - (_WN_W - 1))
+        .select("doc_id", "win_min")
+        .distinct()
+    )
+    return sel.select(
+        "doc_id",
+        F.expr("CAST(win_min DIV 65536 AS BIGINT)").alias("fp_hash"),
+        F.expr("CAST(65535 - (win_min % 65536) AS BIGINT)").alias("fp_pos"),
+    )
+
+
+def _winnow_oracle(tail: str) -> str:
+    from .sketches import _md5_mod
+
+    return _WN_SEL_SQL.format(poly=_md5_mod("gram", "wn", _WN_MOD)) + tail
+
+
+WINNOW_PROFILE_ORACLE = _winnow_oracle(f"""
+, fp AS (
+  SELECT doc_id, win_min // 65536 AS fp_hash FROM wsel
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps,
+       CAST(COUNT(DISTINCT fp_hash) AS BIGINT) AS n_hashes,
+       CAST(SUM(fp_hash) AS BIGINT) AS fp_sum,
+       CAST(MIN(fp_hash) AS BIGINT) AS fp_min,
+       CAST(MAX(fp_hash) AS BIGINT) AS fp_max
+FROM fp GROUP BY doc_id
+""")
+
+
+@query(
+    "text_winnow_fingerprints",
+    oracle=WINNOW_PROFILE_ORACLE,
+    category="llm-dedup",
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document winnowing fingerprint profile: selection count,
+    distinct hash count, and an order-invariant integer digest
+    (sum/min/max of selected 24-bit hashes — per-doc sum is bounded by
+    2^24 x grams-per-doc, integer-exact in BIGINT at any corpus
+    size)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = winnow_fingerprints(docs)
+    return fp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fps"),
+        F.countDistinct("fp_hash").cast("bigint").alias("n_hashes"),
+        F.sum("fp_hash").cast("bigint").alias("fp_sum"),
+        F.min("fp_hash").cast("bigint").alias("fp_min"),
+        F.max("fp_hash").cast("bigint").alias("fp_max"),
+    )
+
+
+WINNOW_PAIRS_ORACLE = _winnow_oracle(f"""
+, fps AS (
+  SELECT DISTINCT doc_id, win_min // 65536 AS fp_hash FROM wsel
+), kept AS (
+  SELECT fp_hash FROM fps GROUP BY fp_hash HAVING COUNT(*) <= {_WN_DF_CAP}
+), ff AS (
+  SELECT f.doc_id, f.fp_hash FROM fps f JOIN kept USING (fp_hash)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM ff a JOIN ff b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= {_WN_SHARED}
+""")
+
+
+@query("dedup_winnow_pairs", oracle=WINNOW_PAIRS_ORACLE, category="llm-dedup")
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates via shared winnowing fingerprints: docs
+    sharing >= 3 selected hashes after a document-frequency cut
+    (fingerprints present in > 10 docs are boilerplate, dropped — the
+    df-cap bounds every inverted-index bucket, so the candidate join
+    stays linear in corpus size; the winnowing guarantee still catches
+    any >= w+k-1 = 10-char rare shared substring run)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fps = winnow_fingerprints(docs).select("doc_id", "fp_hash").distinct()
+    kept = fps.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("__df")).filter(
+        F.col("__df") <= _WN_DF_CAP
+    )
+    ff = fps.join(kept.select("fp_hash"), "fp_hash")
+    a = ff.select(F.col("doc_id").alias("doc_a"), "fp_hash")
+    b = ff.select(F.col("doc_id").alias("doc_b"), "fp_hash")
+    return (
+        a.join(b, "fp_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= _WN_SHARED)
+    )

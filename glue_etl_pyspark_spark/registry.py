@@ -61,8 +61,10 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 #   - 19 de-hinted in r12 (forced broadcast() removed from every
 #     SF-scaled join side — values unchanged, plans changed);
 #   - the 6 r5-stale names pre-staged in the r11 DRIVER_DEFERRED;
-#   - 20 of the 47 remaining r6-stale names (one per redundant family
-#     where possible; the 27 displaced, equally-r6-stale siblings move
+#   - the 2 queries ADDED in r12 (winnowing fingerprints — the only
+#     never-checked names; they must lead);
+#   - 18 of the 47 remaining r6-stale names (one per redundant family
+#     where possible; the 29 displaced, equally-r6-stale siblings move
 #     to DRIVER_DEFERRED and lead the r13 window).
 # After a clean r12 the oldest external evidence moves r5 -> r6 and no
 # query's external row predates its code.
@@ -103,6 +105,9 @@ DRIVER_REWORKED: tuple[str, ...] = (
 # and that no un-reworked name outside the window is staler than any
 # un-reworked name inside it.
 DRIVER_WINDOW: tuple[str, ...] = (
+    # --- never-checked (registered r12) ---
+    "text_winnow_fingerprints",
+    "dedup_winnow_pairs",
     *DRIVER_REWORKED,
     # --- oracled, last externally green in ROUND 5 (6) ---
     "agg_histogram_equidepth",
@@ -111,18 +116,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "contamination_minhash",
     "sample_stratified_exact",
     "text_bigram_pmi",
-    # --- last externally green in ROUND 6 (20 of 47) ---
+    # --- last externally green in ROUND 6 (18 of 47) ---
     "basket_association_rules",
     "cluster_medoids",
     "corpus_datasheet",
     "dedup_containment",
     "dq_k_anonymity",
-    "dq_reconcile_amounts",
     "embedding_pca_power",
     "embedding_feature_stats",
     "events_attribution_last_touch",
     "events_bot_burst_detect",
-    "events_dau_wau",
     "events_rolling_correlation",
     "gdpr_erasure_cascade",
     "hybrid_search_rrf",
@@ -134,7 +137,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_inverted_index",
 )
 
-# The 27 equally-r6-stale names displaced by the 50-slot width (each
+# The 29 equally-r6-stale names displaced by the 50-slot width (each
 # has an in-window sibling exercising the same machinery where one
 # exists: attribution_linear/last_touch, pool_mean+robust_scale/
 # pca_power+feature_stats, substring_spans/containment, hard_negatives+
@@ -144,6 +147,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # round-13 window.
 DRIVER_DEFERRED: tuple[str, ...] = (
     "curriculum_phase_assign",
+    "dq_reconcile_amounts",
+    "events_dau_wau",
     "dedup_substring_spans",
     "dq_join_skew_report",
     "dq_sampler_chi2",

@@ -869,3 +869,87 @@ def test_kernels_accept_non_long_ids(spark):
         assert len(pairs) == 1
         sim = simhash_pairs(df, "doc_id", "text", max_hamming=4)
         assert sim.count() == 1
+
+
+def test_winnowing_guarantee_shared_substring(spark):
+    """The winnowing theorem (Schleimer et al. '03): two documents
+    sharing a substring of length >= w + k - 1 (= 10 here) must share
+    at least one selected fingerprint HASH. Pinned on synthetic docs
+    whose only common content is the planted run, plus a negative
+    control with no 7-gram in common."""
+    from glue_etl_pyspark_spark.queries.llm_dedup import winnow_fingerprints
+
+    shared = "zqxjkvbwpm"  # 10 chars = w + k - 1, rare alphabet
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa bbbb cccc " + shared + " dddd eeee ffff"),
+            (2, "1111 2222 3333 4444 " + shared + " 5555 6666"),
+            (3, "no overlap here at all with anything else!"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(docs).select("doc_id", "fp_hash").collect()
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp_hash)
+    assert by_doc[1] & by_doc[2], "planted >=10-char run missed"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3]), (
+        "negative control shares a fingerprint"
+    )
+
+
+def test_winnowing_density_and_positions(spark, sf_dir):
+    """Selection density ~2/(w+1) of gram positions (upper-bounded by
+    1, lower-bounded by 1/w since every w-window selects something),
+    and every selected position indexes a real gram."""
+    from glue_etl_pyspark_spark.io import load_table
+    from glue_etl_pyspark_spark.queries.llm_dedup import (
+        _WN_K,
+        _WN_W,
+        winnow_fingerprints,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .limit(50)
+    )
+    fp = winnow_fingerprints(docs)
+    stats = (
+        fp.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sel"), F.max("fp_pos").alias("max_pos"))
+        .join(
+            docs.select(
+                "doc_id",
+                (F.length("text") - F.lit(_WN_K - 1)).alias("n_grams"),
+            ),
+            "doc_id",
+        )
+        .collect()
+    )
+    assert stats, "no docs selected"
+    for r in stats:
+        n_windows = r.n_grams - _WN_W + 1
+        assert 1 <= r.n_sel <= n_windows
+        assert r.n_sel >= n_windows / _WN_W - 1  # every window picks one
+        assert 1 <= r.max_pos <= r.n_grams
+
+
+def test_ivf_empty_strided_train_falls_back_to_full_corpus(spark, sf_dir):
+    """A sparse/offset id domain can stride the training set to zero
+    rows; the trainer must fall back to the full corpus instead of
+    emitting an empty centroid frame and silently empty inverted
+    lists (ADVICE r11)."""
+    from glue_etl_pyspark_spark.io import load_table
+    from glue_etl_pyspark_spark.operators.similarity import ivf_build
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .limit(40)
+        # shift ids so NO id satisfies id % train_stride == 0
+        .withColumn("vec_id", F.col("vec_id") * 10 + 3)
+    )
+    cents, members = ivf_build(emb, centroid_stride=7, train_stride=10)
+    n_c, n_m = cents.count(), members.count()
+    assert n_c > 0, "empty centroid frame after strided train wipeout"
+    assert n_m == 40, f"members lost: {n_m}/40"

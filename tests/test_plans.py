@@ -737,3 +737,17 @@ def test_sf_scaled_joins_have_no_forced_broadcast(spark, sf_dir):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+
+
+def test_winnow_fingerprints_single_shuffle_and_pruned(spark, sf_dir):
+    """The whole winnowing selection (char explode -> lead-window gram
+    build -> hash -> min-window -> distinct -> per-doc agg) must ride
+    ONE doc_id exchange — both window specs and both aggregations
+    share the partitioning — and the scan must read only
+    (doc_id, text)."""
+    df = _df(spark, sf_dir, "text_winnow_fingerprints")
+    ops = operator_counts(df)
+    n_ex = sum(v for k, v in ops.items() if k == "Exchange")
+    assert n_ex == 1, f"expected exactly 1 exchange, got {n_ex}: {ops}"
+    [schema] = read_schemas(df)
+    assert "text" in schema and "lang" not in schema and "source" not in schema
