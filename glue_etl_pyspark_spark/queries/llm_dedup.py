@@ -835,7 +835,16 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays linear in corpus size; the winnowing guarantee still catches
     any >= w+k-1 = 10-char rare shared substring run)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    fps = winnow_fingerprints(docs).select("doc_id", "fp_hash").distinct()
+    # the df-cut + self-join reference the selection FOUR times through
+    # their lineage (kept, ff, a, b) — materialize it once
+    # (localCheckpoint, the dedup_jaccard_prefix stance) so the char
+    # explode + windows run a single time.
+    fps = (
+        winnow_fingerprints(docs)
+        .select("doc_id", "fp_hash")
+        .distinct()
+        .localCheckpoint()
+    )
     kept = fps.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("__df")).filter(
         F.col("__df") <= _WN_DF_CAP
     )
