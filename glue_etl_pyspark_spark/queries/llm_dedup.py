@@ -836,14 +836,21 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     any >= w+k-1 = 10-char rare shared substring run)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     # the df-cut + self-join reference the selection FOUR times through
-    # their lineage (kept, ff, a, b) — materialize it once
-    # (localCheckpoint, the dedup_jaccard_prefix stance) so the char
-    # explode + windows run a single time.
+    # their lineage (kept, ff, a, b) — materialize it once so the char
+    # explode + windows run a single time. DISK_ONLY, not
+    # localCheckpoint: the fingerprint set is CORPUS-scaled (~60 rows
+    # per doc), and memory-backed materialization of a corpus-scaled
+    # frame OOMs the moment the corpus outgrows the heap (the r12 100x
+    # probe killed the 8g JVM at 500k docs through exactly this line);
+    # serialized disk blocks cost one linear write and never compete
+    # with the self-join's sort buffers for heap.
+    from pyspark import StorageLevel
+
     fps = (
         winnow_fingerprints(docs)
         .select("doc_id", "fp_hash")
         .distinct()
-        .localCheckpoint()
+        .persist(StorageLevel.DISK_ONLY)
     )
     kept = fps.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("__df")).filter(
         F.col("__df") <= _WN_DF_CAP
