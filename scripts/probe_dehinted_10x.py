@@ -52,11 +52,17 @@ QUERIES = [
 
 
 def final_join_mix(df) -> dict[str, int]:
-    """Execute and read the final (post-AQE) physical join operators."""
+    """Execute and read the final (post-AQE) physical join operators.
+
+    The executed AdaptiveSparkPlan's toString prints BOTH the final
+    plan and an "== Initial Plan ==" section — slice the final section
+    off so counts are true operator counts (the r12 SCALING rows were
+    recorded from the doubled form; divide those by 2)."""
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
     return {
-        op: len(re.findall(rf"\b{op}\b", plan))
+        op: len(re.findall(rf"\b{op}\b", final))
         for op in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
     }
 
