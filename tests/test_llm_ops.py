@@ -953,3 +953,23 @@ def test_ivf_empty_strided_train_falls_back_to_full_corpus(spark, sf_dir):
     n_c, n_m = cents.count(), members.count()
     assert n_c > 0, "empty centroid frame after strided train wipeout"
     assert n_m == 40, f"members lost: {n_m}/40"
+
+
+def test_winnow_pairs_stable_across_shuffle_widths(spark, sf_dir):
+    """The pair set must be identical under different shuffle widths
+    (the DISK_ONLY materialization + self-join must not pick up any
+    partition-order sensitivity). Widths 3 and 32."""
+    from glue_etl_pyspark_spark.registry import load_all
+
+    fn = load_all()["dedup_winnow_pairs"].fn
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    out = {}
+    try:
+        for w in ("3", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", w)
+            out[w] = {
+                (r.doc_a, r.doc_b, r.n_shared) for r in fn(spark, sf_dir).collect()
+            }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert out["3"] == out["32"] and out["3"], "pair set varies with width"
