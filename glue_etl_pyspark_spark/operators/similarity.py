@@ -200,14 +200,36 @@ def _nearest_cents_gemm(
     ).mapInPandas(batches, schema=f"{id_out} bigint, cent_id bigint")
 
 
+def ivf_auto_strides(n: int) -> tuple[int, int]:
+    """Data-adaptive (centroid_stride, train_stride) for an n-vector
+    corpus: ncents ≈ √n (the IVF serve-cost optimum for fixed nprobe)
+    and a training sample of ≈256 vectors per centroid — together they
+    bound the trainer at O(256·n·d) instead of the quadratic
+    O(n·(n/31)·d) a FIXED stride-31 init degrades to (the r12 100x
+    probe hung cluster_medoids for an hour on exactly that).
+
+    centroid_stride = max(31, floor(sqrt(n))) — the max keeps every
+    value at the driver's sf0.01 check scale bit-identical to the
+    historical stride-31 numbers. Computed as floor of the IEEE double
+    sqrt so the DuckDB oracle's GREATEST(31, CAST(floor(sqrt(n)) AS
+    BIGINT)) derives the SAME integer (double sqrt of an exact int can
+    only floor-flip vs isqrt for n ≳ 1e13 — far past any corpus this
+    runs on). train_stride = max(1, centroid_stride // 256) — both
+    integer DIV, mirrored by // in the oracle."""
+    import math
+
+    cs = max(31, int(math.floor(math.sqrt(float(n)))))
+    return cs, max(1, cs // 256)
+
+
 def ivf_build(
     corpus: DataFrame,
-    centroid_stride: int = 31,
+    centroid_stride: int | None = 31,
     lloyd_iters: int = 2,
     corpus_id: str = "vec_id",
     vec: str = "embedding",
     assign: str = "expr",
-    train_stride: int = 1,
+    train_stride: int | None = 1,
 ) -> tuple[DataFrame, DataFrame]:
     """Build an IVF index: returns ``(centroids, members)`` —
     ``centroids`` (cent_id, centroid array<double>) and ``members``
@@ -252,6 +274,10 @@ def ivf_build(
     if assign not in ("expr", "gemm"):
         raise ValueError(f"unknown assign {assign!r} (expr|gemm)")
     nearest1 = _nearest_cents if assign == "expr" else _nearest_cents_gemm
+    if centroid_stride is None or train_stride is None:
+        auto_cs, auto_ts = ivf_auto_strides(corpus.count())
+        centroid_stride = auto_cs if centroid_stride is None else centroid_stride
+        train_stride = auto_ts if train_stride is None else train_stride
     cents = corpus.filter(F.col(corpus_id) % centroid_stride == 0).select(
         F.col(corpus_id).alias("cent_id"),
         F.transform(vec, lambda x: x.cast("double")).alias("centroid"),
@@ -380,19 +406,20 @@ def ivf_knn(
     corpus: DataFrame,
     k: int = 5,
     nprobe: int = 10,
-    centroid_stride: int = 31,
+    centroid_stride: int | None = 31,
     lloyd_iters: int = 2,
     query_id: str = "vec_id",
     corpus_id: str = "vec_id",
     vec: str = "embedding",
     round_dp: int | None = 6,
+    train_stride: int | None = 1,
 ) -> DataFrame:
     """End-to-end IVF knn: ``ivf_build`` + ``ivf_search`` in one call
     (see those for the trainer/search design). Fully deterministic and
     oracle-checkable; amortizing callers build once and search many."""
     cents, members = ivf_build(
         corpus, centroid_stride=centroid_stride, lloyd_iters=lloyd_iters,
-        corpus_id=corpus_id, vec=vec,
+        corpus_id=corpus_id, vec=vec, train_stride=train_stride,
     )
     return ivf_search(
         queries, cents, members, k=k, nprobe=nprobe,

@@ -73,11 +73,15 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # nearest current centroid (cosine, cent_id tie-break), then recompute
 # each centroid as the per-dimension mean floor-scaled to 6 dp (so the
 # mean's float summation order can't drift between engines).
-def _lloyd_cte(prev: str, sfx: str) -> str:
+def _lloyd_cte(prev: str, sfx: str, src: str = "e") -> str:
+    """``src`` is the TRAINING relation: "e" (full corpus) for the
+    bounded jittered-corpus oracles, "et" (the vec_id % train_stride
+    sample) for the data-scaled ones — mirroring
+    ivf_build(train_stride=...)."""
     return f"""
 s{sfx} AS (
   SELECT a.vec_id, c.cent_id, {_COS.format(a="a.v", b="c.cv")} AS cs
-  FROM e a, {prev} c, range(1, 65) r(i)
+  FROM {src} a, {prev} c, range(1, 65) r(i)
   GROUP BY a.vec_id, c.cent_id
 ),
 a{sfx} AS (
@@ -89,20 +93,34 @@ a{sfx} AS (
 c{sfx} AS (
   SELECT cent_id, list(m ORDER BY i) AS cv FROM (
     SELECT a{sfx}.cent_id, r.i,
-      floor(AVG(CAST(e.v[r.i] AS DOUBLE)) * 1e6) / 1e6 AS m
-    FROM a{sfx} JOIN e ON e.vec_id = a{sfx}.vec_id, range(1, 65) r(i)
+      floor(AVG(CAST({src}.v[r.i] AS DOUBLE)) * 1e6) / 1e6 AS m
+    FROM a{sfx} JOIN {src} ON {src}.vec_id = a{sfx}.vec_id, range(1, 65) r(i)
     GROUP BY a{sfx}.cent_id, r.i)
   GROUP BY cent_id
 )"""
 
 
+# Adaptive stride pair for the DATA-SCALED IVF oracles — the exact SQL
+# twin of operators.similarity.ivf_auto_strides (GREATEST/floor(sqrt)/
+# integer // mirror max/math.floor(math.sqrt)/.// bit-for-bit for any
+# corpus below ~1e13 rows). c0/et then select on these scalars.
+_IVF_STRIDES_CTE = """
+p AS (
+  SELECT GREATEST(31, CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))
+    AS cs FROM e
+),
+p2 AS (SELECT cs, GREATEST(1, cs // 256) AS ts FROM p),
+et AS (SELECT e.* FROM e, p2 WHERE e.vec_id % p2.ts = 0)"""
+
+
 KNN_IVF_ORACLE = f"""
 WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+{_IVF_STRIDES_CTE},
 c0 AS (SELECT vec_id AS cent_id,
          list_transform(v, x -> CAST(x AS DOUBLE)) AS cv
-       FROM e WHERE vec_id % 31 = 0),
-{_lloyd_cte("c0", "1")},
-{_lloyd_cte("c1", "2")},
+       FROM e, p2 WHERE vec_id % p2.cs = 0),
+{_lloyd_cte("c0", "1", src="et")},
+{_lloyd_cte("c1", "2", src="et")},
 cent_sims AS (
   SELECT a.vec_id, c.cent_id, {_COS.format(a="a.v", b="c.cv")} AS cs
   FROM e a, c2 c, range(1, 65) r(i)
@@ -156,11 +174,14 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed nprobe holds recall as ncents grows; for structureless data,
     production tuning raises nprobe to meet a recall SLO (the operator
     takes it as a parameter; here it is pinned so the oracle stays a
-    literal)."""
+    literal). r12: strides are DATA-ADAPTIVE (ncents ~ sqrt(n),
+    ~256-per-centroid training sample — ivf_auto_strides), mirrored in
+    the oracle's p2/et CTEs; at sf0.01 the formula reduces to the
+    historical stride 31, so driver-scale values are unchanged."""
     e = load_table(spark, sf_dir, "embeddings")
     return ivf_knn(
         e.filter(F.col("vec_id") < 20), e, k=5, nprobe=10,
-        centroid_stride=31, lloyd_iters=2,
+        centroid_stride=None, lloyd_iters=2, train_stride=None,
     )
 
 
@@ -1380,7 +1401,7 @@ def knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.formats import staging_dir
 
     e = load_table(spark, sf_dir, "embeddings")
-    cents, members = ivf_build(e, centroid_stride=31, lloyd_iters=2)
+    cents, members = ivf_build(e, centroid_stride=None, lloyd_iters=2, train_stride=None)
     path = staging_dir("sgraft_ivf_idx_")
     ivf_save(cents, members, path)
     cents2, members2 = ivf_load(spark, path)
@@ -1391,11 +1412,12 @@ def knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CLUSTER_MEDOID_ORACLE = f"""
 WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+{_IVF_STRIDES_CTE},
 c0 AS (SELECT vec_id AS cent_id,
          list_transform(v, x -> CAST(x AS DOUBLE)) AS cv
-       FROM e WHERE vec_id % 31 = 0),
-{_lloyd_cte("c0", "1")},
-{_lloyd_cte("c1", "2")},
+       FROM e, p2 WHERE vec_id % p2.cs = 0),
+{_lloyd_cte("c0", "1", src="et")},
+{_lloyd_cte("c1", "2", src="et")},
 cent_sims AS (
   SELECT a.vec_id, c.cent_id, {_COS.format(a="a.v", b="c.cv")} AS cs
   FROM e a, c2 c, range(1, 65) r(i)
@@ -1459,7 +1481,7 @@ def cluster_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic only within a cluster (~sqrt(n) members at ncents ~
     sqrt(n)); everything downstream is cluster-sized."""
     e = load_table(spark, sf_dir, "embeddings")
-    cents, members = ivf_build(e, centroid_stride=31, lloyd_iters=2)
+    cents, members = ivf_build(e, centroid_stride=None, lloyd_iters=2, train_stride=None)
     assign = members.select("cent_id", F.col("neighbor_id").alias("vec_id"))
     sizes = assign.groupBy("cent_id").agg(
         F.count(F.lit(1)).alias("n_members")
