@@ -117,6 +117,55 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RIGHT_OUTER_ORACLE = """
+SELECT
+  c.c_custkey,
+  c.c_mktsegment,
+  CAST(COALESCE(o.urgent_cnt, 0) AS BIGINT) AS urgent_cnt,
+  (o.ok IS NOT NULL) AS has_urgent
+FROM
+  (SELECT o_custkey AS ok, CAST(COUNT(*) AS BIGINT) AS urgent_cnt
+   FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey) o
+RIGHT JOIN customer c ON o.ok = c.c_custkey
+"""
+
+
+@query("join_right_outer", oracle=RIGHT_OUTER_ORACLE, category="join")
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join: urgent-order counts per customer keep EVERY
+    customer row; customers with no urgent orders null-extend from the
+    left side (``has_urgent`` is the null-extension witness —
+    COALESCE'd counts alone would be indistinguishable from an inner
+    join + fill). Mirrors the green ``join_full_outer``/left-outer
+    pair; Spark plans right outer as the same shuffled hash/sort-merge
+    join with build-side swap, so the scale story is identical — no
+    broadcast hint on the SF-scaled sides (r12 de-hint discipline).
+
+    The count is COALESCE'd to 0 so the output column stays BIGINT on
+    both engines (a nullable count renders as float64 NaN in pandas —
+    the r4 dtype-hash trap)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.col("o_custkey").alias("ok"))
+        .agg(F.count(F.lit(1)).alias("urgent_cnt"))
+    )
+    j = glue_join(
+        urgent,
+        customer.select("c_custkey", "c_mktsegment"),
+        keys1=["ok"],
+        keys2=["c_custkey"],
+        how="right",
+    )
+    return j.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.coalesce(F.col("urgent_cnt"), F.lit(0)).cast("bigint").alias("urgent_cnt"),
+        F.col("ok").isNotNull().alias("has_urgent"),
+    )
+
+
 CROSS_ORACLE = """
 SELECT r.r_name, s.o_orderstatus
 FROM region r CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s

@@ -694,6 +694,18 @@ _WN_W = 4          # window of consecutive gram hashes
 _WN_MOD = 1 << 24  # md5 hash domain (6 hex digits)
 _WN_DF_CAP = 10    # pair query: drop fingerprints in more docs
 _WN_SHARED = 3     # pair query: min shared fingerprint hashes
+# Position field width for the packed (hash, pos) window key. 32 bits,
+# not 16: a 16-bit field overflows for docs > 65535 grams — the same
+# gram hash would decode to a different fp_hash depending on position
+# bucket (silently voiding the winnowing shared-substring guarantee),
+# and hash = 0 would yield a NEGATIVE key where Spark DIV (truncates
+# toward zero) and DuckDB // (floors) diverge. With 32 bits the key is
+# hash(<2^24) * 2^32 + posfield(<2^32) < 2^56 — comfortably BIGINT,
+# always non-negative, correct for docs up to 2^32-1 chars. The
+# tie-break semantics (hash-major, rightmost position wins equal
+# hashes) are identical to the narrow field for every in-range doc.
+_WN_POS_W = 1 << 32
+_WN_POS_MAX = _WN_POS_W - 1
 
 _WN_SEL_SQL = f"""
 WITH wnd AS (
@@ -705,7 +717,7 @@ WITH wnd AS (
         FROM wnd) u
 ), wnk AS (
   SELECT doc_id, n, pos,
-         CAST({{poly}} AS BIGINT) * 65536 + (65535 - pos) AS key
+         CAST({{poly}} AS BIGINT) * {_WN_POS_W} + ({_WN_POS_MAX} - pos) AS key
   FROM wng
 ), wnm AS (
   SELECT doc_id, pos, n,
@@ -722,7 +734,15 @@ WITH wnd AS (
 def winnow_fingerprints(docs: DataFrame) -> DataFrame:
     """(doc_id, fp_hash, fp_pos) winnowing selection over (doc_id,
     text). Exported for the guarantee unit test; both registered
-    queries build on it."""
+    queries build on it.
+
+    BMP-only text assumption (repo-wide discipline, see langid): gram
+    extraction splits with ``F.split(text, '')`` which yields UTF-16
+    code units, while ``length()`` and the oracle's substr/
+    generate_series count code points — non-BMP characters (surrogate
+    pairs) would misalign positions and grams between engines. The
+    synthetic corpus is ASCII; real pipelines should strip or gate
+    non-BMP text upstream (``text_normalize_clean``)."""
     from .sketches import _md5_mod_spark
 
     d = docs.filter(F.length("text") >= _WN_K + _WN_W - 1)
@@ -752,8 +772,9 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
     )
     ex = ex.withColumn(
         "key",
-        F.expr(_md5_mod_spark("gram", "wn", _WN_MOD)).cast("bigint") * 65536
-        + (65535 - F.col("pos")),
+        F.expr(_md5_mod_spark("gram", "wn", _WN_MOD)).cast("bigint")
+        * F.lit(_WN_POS_W).cast("bigint")
+        + (F.lit(_WN_POS_MAX).cast("bigint") - F.col("pos")),
     )
     wnd = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WN_W - 1)
     sel = (
@@ -764,8 +785,10 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
     )
     return sel.select(
         "doc_id",
-        F.expr("CAST(win_min DIV 65536 AS BIGINT)").alias("fp_hash"),
-        F.expr("CAST(65535 - (win_min % 65536) AS BIGINT)").alias("fp_pos"),
+        F.expr(f"CAST(win_min DIV {_WN_POS_W} AS BIGINT)").alias("fp_hash"),
+        F.expr(f"CAST({_WN_POS_MAX} - (win_min % {_WN_POS_W}) AS BIGINT)").alias(
+            "fp_pos"
+        ),
     )
 
 
@@ -777,7 +800,7 @@ def _winnow_oracle(tail: str) -> str:
 
 WINNOW_PROFILE_ORACLE = _winnow_oracle(f"""
 , fp AS (
-  SELECT doc_id, win_min // 65536 AS fp_hash FROM wsel
+  SELECT doc_id, win_min // {_WN_POS_W} AS fp_hash FROM wsel
 )
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps,
        CAST(COUNT(DISTINCT fp_hash) AS BIGINT) AS n_hashes,
@@ -812,7 +835,7 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WINNOW_PAIRS_ORACLE = _winnow_oracle(f"""
 , fps AS (
-  SELECT DISTINCT doc_id, win_min // 65536 AS fp_hash FROM wsel
+  SELECT DISTINCT doc_id, win_min // {_WN_POS_W} AS fp_hash FROM wsel
 ), kept AS (
   SELECT fp_hash FROM fps GROUP BY fp_hash HAVING COUNT(*) <= {_WN_DF_CAP}
 ), ff AS (
@@ -858,10 +881,22 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ff = fps.join(kept.select("fp_hash"), "fp_hash")
     a = ff.select(F.col("doc_id").alias("doc_a"), "fp_hash")
     b = ff.select(F.col("doc_id").alias("doc_b"), "fp_hash")
-    return (
+    pairs = (
         a.join(b, "fp_hash")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= _WN_SHARED)
     )
+    # Release the ~60-rows/doc fingerprint blocks before handing the
+    # result back: materialize the (much smaller, df-cap-bounded) pair
+    # aggregate to its own DISK_ONLY blocks, then drop fps. Long-lived
+    # sessions that sweep many queries otherwise accumulate
+    # corpus-scaled disk blocks per sweep. The result's own blocks
+    # (bounded by n_fps x df_cap pairs pre-agg, far fewer post-agg)
+    # live until the consumer's session ends — acceptable residue; a
+    # recompute after eviction would still be correct, just slower.
+    pairs = pairs.persist(StorageLevel.DISK_ONLY)
+    pairs.count()
+    fps.unpersist()
+    return pairs

@@ -104,13 +104,28 @@ c{sfx} AS (
 # twin of operators.similarity.ivf_auto_strides (GREATEST/floor(sqrt)/
 # integer // mirror max/math.floor(math.sqrt)/.// bit-for-bit for any
 # corpus below ~1e13 rows). c0/et then select on these scalars.
-_IVF_STRIDES_CTE = """
+# ``et`` mirrors ivf_build's empty-strided-train fallback (ADVICE r12):
+# a sparse/offset vec_id domain can stride the training sample to zero
+# rows, where Spark falls back to the full corpus — without the UNION
+# branch the oracle would train on nothing and silently return zero
+# rows while Spark returns real neighbors. ``_ivf_strides_cte`` is
+# parameterized on the train-stride expression ONLY so the fallback
+# branch is unit-testable (auto ts > 1 needs >= 65536 vectors);
+# production oracles use the adaptive default.
+def _ivf_strides_cte(ts_expr: str = "GREATEST(1, cs // 256)") -> str:
+    return f"""
 p AS (
   SELECT GREATEST(31, CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))
     AS cs FROM e
 ),
-p2 AS (SELECT cs, GREATEST(1, cs // 256) AS ts FROM p),
-et AS (SELECT e.* FROM e, p2 WHERE e.vec_id % p2.ts = 0)"""
+p2 AS (SELECT cs, {ts_expr} AS ts FROM p),
+et0 AS (SELECT e.* FROM e, p2 WHERE e.vec_id % p2.ts = 0),
+et AS (SELECT * FROM et0
+       UNION ALL
+       SELECT e.* FROM e WHERE NOT EXISTS (SELECT 1 FROM et0))"""
+
+
+_IVF_STRIDES_CTE = _ivf_strides_cte()
 
 
 KNN_IVF_ORACLE = f"""

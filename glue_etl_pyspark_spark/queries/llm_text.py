@@ -372,16 +372,28 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     10x wall (55 s vs 53 s pre-rework): the cost was never the join
     but the trigram EXTRACTION — O(L^2) substring scans, run twice
     (training + scoring). Now: O(L) char-array extraction
-    (_TRI_EXPR_FAST) materialized ONCE (localCheckpoint — the
-    iterative-lineage rule's cousin: two consumers, one extraction;
-    the frame is doc_id+lang+distinct-gram array, ~6 MB at 10x) and
-    shared by the profile count and the literal-intersect scoring.
-    Measured 10x: 55.2 s -> 11.6 s warm."""
+    (_TRI_EXPR_FAST) materialized ONCE (two consumers, one
+    extraction; the frame is doc_id+lang+distinct-gram array, ~6 MB
+    at 10x) and shared by the profile count and the literal-intersect
+    scoring. Measured 10x: 55.2 s -> 11.6 s warm.
+
+    Materialization is persist(DISK_ONLY), not localCheckpoint: the
+    trigram frame is CORPUS-scaled (one array per doc), and the r12
+    winnow postmortem (SCALING.md) bans memory-backed materialization
+    of corpus-scaled reuse frames — winnow's localCheckpoint pinned
+    heap-sized blocks at 500k docs and OOM'd against a downstream
+    sort. langid itself survived its 500k probe (no self-join
+    competes for heap), but it sat one adjacent edit from the same
+    OOM class; disk blocks cost one linear write and zero heap
+    competition. Blocks live until session teardown (the profile
+    training action materializes them; scoring re-reads them)."""
+    from pyspark import StorageLevel
+
     d = load_table(spark, sf_dir, "documents")
     tri = (
         _with_trigrams(d)
         .select("doc_id", "lang", "__tri")
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.DISK_ONLY)
     )
     doc_tri = tri.select("doc_id", "lang", F.explode("__tri").alias("g"))
     profs = _langid_top_profiles(spark, sf_dir, doc_tri=doc_tri)

@@ -898,6 +898,52 @@ def test_winnowing_guarantee_shared_substring(spark):
     )
 
 
+def test_winnowing_long_doc_wide_position_field(spark):
+    """Docs longer than 65535 grams exercised end-to-end (ADVICE r12:
+    the old 16-bit position field overflowed there, decoding the same
+    gram hash to different fp_hash values by position bucket and going
+    negative for hash=0 — a Spark-DIV vs DuckDB-// divergence). With
+    the 32-bit field: (a) the winnowing guarantee holds for a shared
+    run planted PAST position 65535, (b) fp_pos decodes correctly
+    beyond 65535, (c) the full selection is bit-identical to the
+    DuckDB oracle fragment on the same long docs."""
+    import duckdb
+    import pandas as pd
+
+    from glue_etl_pyspark_spark.queries.llm_dedup import (
+        _WN_POS_MAX,
+        _WN_POS_W,
+        _winnow_oracle,
+        winnow_fingerprints,
+    )
+
+    shared = "zqxjkvbwpm"  # 10 chars = w + k - 1
+    filler_a = "".join(chr(97 + (7 * i) % 26) for i in range(70000))
+    filler_b = "".join(chr(48 + (3 * i) % 10) for i in range(70000))
+    rows = [
+        (1, filler_a[:66000] + shared + filler_a[66000:]),
+        (2, filler_b[:66000] + shared + filler_b[66000:]),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = winnow_fingerprints(docs)
+    got = {(r.doc_id, r.fp_hash, r.fp_pos) for r in fp.collect()}
+    by_doc = {}
+    for d, h, _p in got:
+        by_doc.setdefault(d, set()).add(h)
+    assert by_doc[1] & by_doc[2], "planted run past 65535 missed"
+    assert any(p > 65535 for _d, _h, p in got), "no fp_pos beyond 16-bit range"
+    assert all(0 <= h < (1 << 24) for _d, h, _p in got), "hash out of domain"
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    sql = _winnow_oracle(
+        f"SELECT doc_id, win_min // {_WN_POS_W} AS fp_hash,"
+        f" {_WN_POS_MAX} - (win_min % {_WN_POS_W}) AS fp_pos FROM wsel"
+    )
+    want = {(int(d), int(h), int(p)) for d, h, p in con.sql(sql).fetchall()}
+    assert got == want, "Spark selection diverges from oracle on long docs"
+
+
 def test_winnowing_density_and_positions(spark, sf_dir):
     """Selection density ~2/(w+1) of gram positions (upper-bounded by
     1, lower-bounded by 1/w since every w-window selects something),
@@ -953,6 +999,37 @@ def test_ivf_empty_strided_train_falls_back_to_full_corpus(spark, sf_dir):
     n_c, n_m = cents.count(), members.count()
     assert n_c > 0, "empty centroid frame after strided train wipeout"
     assert n_m == 40, f"members lost: {n_m}/40"
+
+
+def test_ivf_oracle_train_cte_mirrors_empty_fallback():
+    """The oracle's ``et`` training CTE must mirror ivf_build's
+    empty-strided-train fallback (ADVICE r12): when no vec_id
+    satisfies ``vec_id % ts = 0`` the oracle would otherwise train on
+    an EMPTY set and return zero rows while Spark trains on the full
+    corpus. Forced-stride DuckDB check: (a) wiped-out stride -> et ==
+    full corpus, (b) live stride -> et == the strided sample only."""
+    import duckdb
+    import pandas as pd
+
+    from glue_etl_pyspark_spark.queries.llm_knn import _ivf_strides_cte
+
+    con = duckdb.connect()
+    # ids 3, 13, 23, ... 393: none divisible by 10, all odd
+    con.register(
+        "e",
+        pd.DataFrame({"vec_id": [10 * i + 3 for i in range(40)], "v": 0.0}),
+    )
+    n_all, n_et = con.sql(
+        f"WITH {_ivf_strides_cte('10')} "
+        "SELECT (SELECT COUNT(*) FROM e), (SELECT COUNT(*) FROM et)"
+    ).fetchone()
+    assert n_et == n_all == 40, "wiped-out stride must fall back to full corpus"
+    n_strided, n_et2 = con.sql(
+        f"WITH {_ivf_strides_cte('3')} "
+        "SELECT (SELECT COUNT(*) FROM e WHERE vec_id % 3 = 0), "
+        "(SELECT COUNT(*) FROM et)"
+    ).fetchone()
+    assert n_et2 == n_strided > 0, "live stride must NOT trigger the fallback"
 
 
 def test_winnow_pairs_stable_across_shuffle_widths(spark, sf_dir):

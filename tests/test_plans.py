@@ -717,6 +717,106 @@ _SF_SCALED_JOIN_QUERIES = [
 ]
 
 
+# Every forced-broadcast call site in non-test source, frozen after the
+# r12 de-hint review (all are dims, one-row/constant frames, or
+# query-bounded shortlists — never an SF-scaled side). The gate below
+# auto-discovers NEW sites: adding broadcast() anywhere fails this test
+# until the site is reviewed against the de-hint rule (would this frame
+# still fit in executor+driver memory at 1000x the data?) and added
+# here. Keyed by (file, first-arg prefix) with counts, so a second
+# broadcast of a same-named frame in the same file also trips it.
+_REVIEWED_BROADCAST_SITES = {
+    ("operators/packing.py", "bases"): 1,
+    ("operators/similarity.py", ""): 1,
+    ("operators/similarity.py", "(cids"): 1,
+    ("operators/similarity.py", "(qids"): 1,
+    ("operators/similarity.py", "q"): 2,
+    ("queries/analytics.py", "base_df"): 1,
+    ("queries/analytics.py", "mx"): 1,
+    ("queries/analytics.py", "n"): 1,
+    ("queries/analytics.py", "n_baskets"): 1,
+    ("queries/analytics.py", "profile"): 1,
+    ("queries/analytics.py", "r"): 1,
+    ("queries/analytics.py", "tot"): 1,
+    ("queries/analytics.py", "truth"): 1,
+    ("queries/curation.py", "anchors"): 1,
+    ("queries/curation.py", "glob"): 1,
+    ("queries/curation.py", "ranked"): 1,
+    ("queries/curation.py", "tot"): 1,
+    ("queries/curation.py", "vocab"): 1,
+    ("queries/extras.py", "lex"): 1,
+    ("queries/graph.py", 'deg.select(F.col("node"'): 2,
+    ("queries/graph.py", "nation"): 1,
+    ("queries/joins_q.py", "inc"): 1,
+    ("queries/joins_q.py", "nation"): 1,
+    ("queries/joins_q.py", "r"): 1,
+    ("queries/llm_knn.py", ""): 1,
+    ("queries/llm_knn.py", "a"): 1,
+    ("queries/llm_knn.py", "cents"): 1,
+    ("queries/llm_knn.py", "hp"): 1,
+    ("queries/llm_knn.py", "n_labels"): 1,
+    ("queries/llm_knn.py", "q"): 3,
+    ("queries/llm_knn.py", "q_labels"): 1,
+    ("queries/llm_knn.py", "seeds"): 1,
+    ("queries/llm_pack.py", "bases"): 1,
+    ("queries/llm_pack.py", "fv_q"): 1,
+    ("queries/llm_pack.py", "tot"): 1,
+    ("queries/llm_quality.py", "boiler"): 1,
+    ("queries/llm_quality.py", "freq"): 1,
+    ("queries/llm_quality.py", "thr"): 1,
+    ("queries/llm_text.py", "n"): 1,
+    ("queries/llm_text.py", "top_profile"): 1,
+    ("queries/profiling.py", "live"): 1,
+    ("queries/profiling.py", "stats"): 1,
+    ("queries/retrieval.py", "dfs"): 2,
+    ("queries/retrieval.py", "q"): 1,
+    ("queries/retrieval.py", "stats"): 2,
+    ("queries/selection.py", "_mh_bands(evald"): 1,
+    ("queries/selection.py", "enc"): 1,
+    ("queries/selection.py", "uni"): 1,
+    ("queries/selection.py", 'uni.select(F.col("token"'): 2,
+    ("queries/selection.py", "vocab"): 1,
+    ("queries/sketches.py", "probe"): 1,
+    ("queries/sketches.py", "truth"): 1,
+    ("queries/tpch_like.py", "n"): 3,
+    ("queries/tpch_like.py", "n1"): 2,
+    ("queries/tpch_like.py", "n2"): 2,
+    ("queries/tpch_like.py", "r"): 2,
+    ("queries/tpch_like.py", "thr"): 1,
+}
+
+
+def test_every_broadcast_site_is_reviewed():
+    """Auto-discovering forced-broadcast gate (VERDICT r12 item 6): the
+    plan-based check below pins a FIXED list of queries; this source
+    scan catches any NEW broadcast() call site anywhere in non-test
+    code, so an r13+ addition can't silently reintroduce a hint on an
+    SF-scaled side. Fails with the offending (file, arg) until the
+    site is reviewed and frozen into _REVIEWED_BROADCAST_SITES."""
+    import collections
+    import pathlib
+    import re
+
+    import glue_etl_pyspark_spark as pkg
+
+    root = pathlib.Path(pkg.__file__).parent
+    pat = re.compile(r"\bbroadcast\(([^\n,)]*)")
+    got: collections.Counter = collections.Counter()
+    for p in sorted(root.rglob("*.py")):
+        for line in p.read_text().splitlines():
+            code = line.split("#", 1)[0]
+            for m in pat.finditer(code):
+                got[(str(p.relative_to(root)), m.group(1).strip())] += 1
+    new = {k: v for k, v in got.items() if v > _REVIEWED_BROADCAST_SITES.get(k, 0)}
+    gone = {k: v for k, v in _REVIEWED_BROADCAST_SITES.items() if got.get(k, 0) < v}
+    assert not new, (
+        f"unreviewed broadcast() sites {sorted(new)} — review each against "
+        "the de-hint rule (must be a dim/constant/query-bounded frame at "
+        "1000x data) and add to _REVIEWED_BROADCAST_SITES"
+    )
+    assert not gone, f"stale allowlist entries (site removed): {sorted(gone)}"
+
+
 def test_sf_scaled_joins_have_no_forced_broadcast(spark, sf_dir):
     thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:

@@ -74,10 +74,23 @@ def test_stream_dedup_halves_duplicates(spark, smoke_dir):
 
 
 def test_stream_static_join_matches_batch(spark, smoke_dir):
+    """stream_static_join is the one rows-only driver entry whose
+    oracle anchor is its batch twin — so this equality gate must cover
+    EVERY output column, not just the exact-integer ones. Counts per
+    segment compare exactly; the double sum_value compares to 1e-9
+    relative tolerance (micro-batch accumulation order differs from
+    the batch plan's, so bit-equality would over-promise)."""
     stream = _run(spark, smoke_dir, "stream_static_join")
     batch = _run(spark, smoke_dir, "stream_static_join_batch")
     cols = ["c_mktsegment", "n"]
     assert _rows(stream, cols) == _rows(batch, cols)
+    sv = {r["c_mktsegment"]: r["sum_value"] for r in stream.collect()}
+    bv = {r["c_mktsegment"]: r["sum_value"] for r in batch.collect()}
+    assert sv.keys() == bv.keys()
+    for seg, v in bv.items():
+        assert abs(sv[seg] - v) <= 1e-9 * max(1.0, abs(v)), (
+            f"sum_value drift for {seg}: stream={sv[seg]!r} batch={v!r}"
+        )
 
 
 def test_stream_stateful_counts_match_batch(spark, smoke_dir):
