@@ -56,3 +56,48 @@ def test_triangles_known_shapes(spark, edges):
 )
 def test_triangles_random_graphs(spark, edges):
     _check(spark, edges)
+
+
+def test_knn_graph_cap_and_width_determinism(spark, sf_dir):
+    """The capped KNN co-purchase graph (shared input of
+    graph_label_propagation and graph_jaccard_linkpred) must (a) cap
+    every out-list at _KNN_CAP, (b) break weight ties by the hash mix,
+    not by id (an id tie-break hands the smallest parts ~n_nodes
+    indegree and re-creates the quadratic hub the cap exists to kill),
+    and (c) give bit-identical query outputs across shuffle widths —
+    both queries are window+join chains whose determinism rests on the
+    unique (w DESC, mix, v) / (wsum DESC, label) orderings."""
+    from glue_etl_pyspark_spark.queries.graph import (
+        _KNN_CAP,
+        _copurchase_knn,
+        graph_jaccard_linkpred,
+        graph_label_propagation,
+    )
+    from pyspark.sql import functions as F
+
+    _, knn = _copurchase_knn(spark, sf_dir)
+    deg = knn.groupBy("u").agg(F.count("*").alias("d"))
+    assert deg.agg(F.max("d")).collect()[0][0] <= _KNN_CAP
+    # id tie-break would concentrate indegree on the smallest part ids;
+    # the hash mix keeps the max indegree within a small multiple of
+    # the cap (measured 23 vs cap 8 at sf0.1; generous bound here)
+    max_in = (
+        knn.groupBy("v").agg(F.count("*").alias("d")).agg(F.max("d")).collect()
+    )[0][0]
+    assert max_in <= _KNN_CAP * 8, f"indegree hub {max_in} — tie-break broken?"
+
+    runs_lpa, runs_lp = [], []
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for parts in ("2", "32", "200"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            runs_lpa.append(
+                [tuple(r) for r in graph_label_propagation(spark, sf_dir).collect()]
+            )
+            runs_lp.append(
+                [tuple(r) for r in graph_jaccard_linkpred(spark, sf_dir).collect()]
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert all(r == runs_lpa[0] for r in runs_lpa[1:]), "LPA varies with width"
+    assert all(r == runs_lp[0] for r in runs_lp[1:]), "linkpred varies with width"
