@@ -656,3 +656,147 @@ def text_normalize_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("norm_md5"),
         F.length(norm).cast("bigint").alias("n_chars_norm"),
     )
+
+
+# --- RAKE keyword extraction ----------------------------------------
+
+# Standard RAKE practice caps candidate phrases at 4 words — in
+# low-stopword text (this corpus, code, tables) uncapped islands span
+# most of a document and drown real keywords in unique junk phrases.
+_RAKE_MAX_PHRASE = 4
+_RAKE_TOPK = 30
+
+RAKE_ORACLE = f"""
+WITH toks AS (
+  SELECT d.doc_id, gs.i AS pos, list_extract(d.tk, gs.i) AS word
+  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) d,
+       unnest(generate_series(1, len(d.tk))) AS gs(i)
+),
+nonstop AS (
+  SELECT doc_id, pos, word,
+    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM toks WHERE word <> '' AND NOT list_contains({_DUCK_STOPLIST}, word)
+),
+phr AS (
+  SELECT doc_id, grp, string_agg(word, ' ' ORDER BY pos) AS phrase,
+    CAST(COUNT(*) AS BIGINT) AS plen
+  FROM nonstop GROUP BY doc_id, grp
+  HAVING COUNT(*) <= {_RAKE_MAX_PHRASE}
+),
+ws AS (
+  SELECT n.word, CAST(COUNT(*) AS BIGINT) AS freq,
+    CAST(SUM(p.plen) AS BIGINT) AS deg
+  FROM nonstop n JOIN phr p ON p.doc_id = n.doc_id AND p.grp = n.grp
+  GROUP BY n.word
+),
+pscore AS (
+  SELECT p.doc_id, p.grp, p.phrase,
+    CAST(SUM(w.deg) AS BIGINT) AS deg_sum,
+    CAST(SUM(w.freq) AS BIGINT) AS freq_sum
+  FROM nonstop n
+  JOIN phr p ON p.doc_id = n.doc_id AND p.grp = n.grp
+  JOIN ws w ON w.word = n.word
+  GROUP BY p.doc_id, p.grp, p.phrase
+),
+agg AS (
+  SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occ,
+    MIN(deg_sum) AS deg_sum, MIN(freq_sum) AS freq_sum
+  FROM pscore GROUP BY phrase
+)
+SELECT phrase, n_occ, deg_sum, freq_sum,
+  CAST(CAST(deg_sum AS HUGEINT) * 1000000 // freq_sum AS BIGINT) AS score_ppm
+FROM agg
+ORDER BY score_ppm DESC, phrase LIMIT {_RAKE_TOPK}
+"""
+
+
+@query("text_rake_keywords", oracle=RAKE_ORACLE, category="llm-text")
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs (gaps-and-islands: pos minus
+    per-doc row_number), capped at _RAKE_MAX_PHRASE (4) words; word
+    scores are degree (sum of containing-phrase lengths) over
+    frequency, both computed across candidate phrases; a phrase scores
+    the deg-sum/freq-sum ratio of its words as exact integer ppm.
+    Top-30 phrases corpus-wide with occurrence counts.
+
+    Determinism/portability: everything is integer until the single
+    final division, which promotes to DECIMAL(38,0)/HUGEINT before DIV
+    — deg_sum is corpus-scaled, so deg_sum*1e6 would overflow int64 at
+    ~1e13 tokens (the CLAUDE.md two-BIGINT-product rule); the quotient
+    (<= 1e6 * max phrase len) casts back to BIGINT. Phrase strings
+    assemble via array_sort(struct(pos, word)) == string_agg ORDER BY
+    pos — unique pos makes the sort total.
+
+    Scale: one posexplode (narrow, linear), one per-doc window for the
+    island ids, then phrase/word aggregations keyed on (doc, grp) and
+    word — all map-side-combinable shuffles, no self-joins. The
+    corpus-scaled token and phrase frames are each read 2-3 times, so
+    they persist spillable (thin rows, MEMORY_AND_DISK per the r12
+    materialization audit)."""
+    from pyspark import StorageLevel
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+    stoplist = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    nonstop = (
+        toks.filter(
+            (F.col("word") != "") & ~F.array_contains(stoplist, F.col("word"))
+        )
+        .withColumn(
+            "grp",
+            F.col("pos")
+            - F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("pos")
+            ),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    phr = (
+        nonstop.groupBy("doc_id", "grp")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s["word"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count("*").alias("plen"),
+        )
+        .filter(F.col("plen") <= _RAKE_MAX_PHRASE)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    in_phrase = nonstop.join(phr, ["doc_id", "grp"])
+    ws = in_phrase.groupBy("word").agg(
+        F.count("*").alias("freq"), F.sum("plen").cast("bigint").alias("deg")
+    )
+    pscore = (
+        in_phrase.join(ws, "word")
+        .groupBy("doc_id", "grp", "phrase")
+        .agg(
+            F.sum("deg").cast("bigint").alias("deg_sum"),
+            F.sum("freq").cast("bigint").alias("freq_sum"),
+        )
+    )
+    agg = pscore.groupBy("phrase").agg(
+        F.count("*").alias("n_occ"),
+        F.min("deg_sum").alias("deg_sum"),
+        F.min("freq_sum").alias("freq_sum"),
+    )
+    return (
+        agg.select(
+            "phrase",
+            "n_occ",
+            "deg_sum",
+            "freq_sum",
+            F.expr(
+                "CAST(CAST(deg_sum AS DECIMAL(38,0)) * 1000000 DIV freq_sum"
+                " AS BIGINT)"
+            ).alias("score_ppm"),
+        )
+        .orderBy(F.desc("score_ppm"), "phrase")
+        .limit(_RAKE_TOPK)
+    )

@@ -49,31 +49,28 @@ TABLES = (
 ).split()
 
 
-def build_clone(spark) -> None:
-    from pyspark.sql import functions as F
-
-    from glue_etl_pyspark_spark.io import load_table
+def build_clone() -> None:
+    # DuckDB writes SINGLE parquet files (Spark writes directories,
+    # which parity.duckdb_connect's read_parquet views can't open)
+    import duckdb
 
     if os.path.exists(f"{OUT}/lineitem.parquet"):
         return
     os.makedirs(OUT, exist_ok=True)
-    clones = spark.range(FACTOR).withColumnRenamed("id", "c")
-    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
-    (
-        li.crossJoin(F.broadcast(clones))
-        .select(
-            (F.col("l_orderkey") + F.col("c") * SHIFT).alias("l_orderkey"),
-            "l_partkey",
-        )
-        .write.mode("overwrite")
-        .parquet(f"{OUT}/lineitem.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (
+          SELECT l.l_orderkey + t.c * {SHIFT} AS l_orderkey, l.l_partkey
+          FROM read_parquet('{SF}/lineitem.parquet') l
+          CROSS JOIN (SELECT unnest(generate_series(0, {FACTOR - 1})) AS c) t
+        ) TO '{OUT}/lineitem.parquet' (FORMAT parquet)"""
     )
-    o = load_table(spark, SF, "orders").select("o_orderkey")
-    (
-        o.crossJoin(F.broadcast(clones))
-        .select((F.col("o_orderkey") + F.col("c") * SHIFT).alias("o_orderkey"))
-        .write.mode("overwrite")
-        .parquet(f"{OUT}/orders.parquet")
+    con.execute(
+        f"""COPY (
+          SELECT o.o_orderkey + t.c * {SHIFT} AS o_orderkey
+          FROM read_parquet('{SF}/orders.parquet') o
+          CROSS JOIN (SELECT unnest(generate_series(0, {FACTOR - 1})) AS c) t
+        ) TO '{OUT}/orders.parquet' (FORMAT parquet)"""
     )
     for t in TABLES:
         dst = f"{OUT}/{t}.parquet"
@@ -102,7 +99,7 @@ def main() -> None:
     from glue_etl_pyspark_spark.session import get_spark
 
     spark = get_spark()
-    build_clone(spark)
+    build_clone()
 
     for name in ("cooccurrence_part_pairs", "basket_association_rules"):
         rows, cold, warm, anchor, anchor_s = time_query(spark, name)
