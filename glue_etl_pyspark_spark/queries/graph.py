@@ -641,6 +641,16 @@ def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jaccard_ppm"),
         )
     )
-    return scored.orderBy(F.desc("jaccard_ppm"), "part_a", "part_b").limit(
+    out = scored.orderBy(F.desc("jaccard_ppm"), "part_a", "part_b").limit(
         _LP_TOPK
     )
+    # release the corpus-scaled edge blocks before handing the result
+    # back (the dedup_winnow_pairs idiom): materialize the top-k
+    # (constant-size) to its own blocks, then drop the inputs —
+    # long-lived sweep sessions otherwise accumulate edge-sized blocks
+    # per run
+    out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    knn.unpersist()
+    cpairs.unpersist()
+    return out

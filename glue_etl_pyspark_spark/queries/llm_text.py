@@ -786,7 +786,7 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("deg_sum").alias("deg_sum"),
         F.min("freq_sum").alias("freq_sum"),
     )
-    return (
+    out = (
         agg.select(
             "phrase",
             "n_occ",
@@ -800,3 +800,11 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_ppm"), "phrase")
         .limit(_RAKE_TOPK)
     )
+    # release the corpus-scaled token/phrase blocks before handing the
+    # result back (the dedup_winnow_pairs idiom): materialize the
+    # top-k (constant-size) to its own blocks, then drop the inputs
+    out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    nonstop.unpersist()
+    phr.unpersist()
+    return out
