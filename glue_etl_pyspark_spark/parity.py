@@ -111,13 +111,23 @@ class ParityResult:
 
 
 def duckdb_connect(sf_dir: str):
-    """A DuckDB connection with the driver's table views pre-registered."""
+    """A DuckDB connection with the driver's table views pre-registered.
+
+    Handles both layouts: the testdata's single-file ``{t}.parquet``
+    and Spark's directory-style ``{t}.parquet/part-*.parquet`` (probe
+    clones written by Spark) — read_parquet can't open a directory
+    path directly, so directories get a glob."""
+    import os
+
     import duckdb
 
     con = duckdb.connect()
     for t in TABLE_NAMES:
+        src = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(src):
+            src = f"{src}/*.parquet"
         con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
         )
     return con
 

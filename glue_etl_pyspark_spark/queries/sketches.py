@@ -633,3 +633,218 @@ def sketch_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("true_n").alias("true_join_rows"),
         (F.col("est") - F.col("true_n")).alias("overcount"),
     )
+
+
+# --- HLL audience overlap (sketch union + inclusion-exclusion) -------
+#
+# The mergeable-sketch composition the single-set HLL above can't
+# show: per-segment register vectors union by element-wise MAX (the
+# property that lets 1000 executors build per-partition sketches and
+# merge driver-side without re-reading data), and pairwise overlap
+# falls out by inclusion-exclusion on the pinned estimates. All
+# register math is integer; the only doubles are the same exact
+# power-of-two harmonic sums and the shared alpha*m^2 literal the
+# oracled HLLs already use, and the intersection arithmetic runs on
+# the FLOORED milli integers, so it is bit-stable by construction.
+# est_overlap_milli can legitimately go negative (inclusion-exclusion
+# noise at 64 registers) — it is reported as-is, with the exact
+# overlap beside it as the yardstick (accuracy gated in
+# tests/test_sketches.py).
+
+_OVL_BUCKET = _md5_mod("user_id", "hb", _HLL_M)
+_OVL_W = _md5_mod("user_id", "hw", 16777216)
+# Segment = "has a HIGH-VALUE event of this type": without the value
+# gate every user hits every type in this dense fixture and all five
+# audiences are the identical full user set (union == side == overlap
+# — degenerate). The threshold keys on the per-event value
+# distribution, whose selectivity is volume-independent (events per
+# user is scale-constant in the fixture, ~60-65%% membership at
+# sf0.01 AND sf0.1), so the segments stay differentiated at any SF —
+# not the q11 fixed-constant class.
+_OVL_VALUE_MIN = 130
+
+HLL_OVERLAP_ORACLE = f"""
+WITH keys AS (
+  SELECT event_type AS grp, {_OVL_BUCKET} AS bucket, {_OVL_W} AS __w
+  FROM events WHERE value > {_OVL_VALUE_MIN}
+),
+regs AS (
+  SELECT grp, bucket, MAX({_HLL_RHO}) AS reg FROM keys GROUP BY grp, bucket
+),
+types AS (SELECT DISTINCT grp FROM regs),
+pairs AS (
+  SELECT a.grp AS ta, b.grp AS tb FROM types a JOIN types b ON a.grp < b.grp
+),
+ent AS (
+  SELECT p.ta, p.tb, 'a' AS side, r.bucket, MAX(r.reg) AS reg
+  FROM pairs p JOIN regs r ON r.grp = p.ta GROUP BY p.ta, p.tb, r.bucket
+  UNION ALL
+  SELECT p.ta, p.tb, 'b' AS side, r.bucket, MAX(r.reg) AS reg
+  FROM pairs p JOIN regs r ON r.grp = p.tb GROUP BY p.ta, p.tb, r.bucket
+  UNION ALL
+  SELECT ta, tb, 'u' AS side, bucket, MAX(reg) AS reg FROM (
+    SELECT p.ta, p.tb, r.bucket, r.reg
+    FROM pairs p JOIN regs r ON r.grp = p.ta
+    UNION ALL
+    SELECT p.ta, p.tb, r.bucket, r.reg
+    FROM pairs p JOIN regs r ON r.grp = p.tb
+  ) u GROUP BY ta, tb, bucket
+),
+sk AS (
+  SELECT ta, tb, side, CAST(COUNT(*) AS BIGINT) AS n_present,
+    SUM(1.0 / power(2.0, reg)) AS s_present
+  FROM ent GROUP BY ta, tb, side
+),
+est AS (
+  SELECT ta, tb, side,
+    CAST({_HLL_M} - n_present AS BIGINT) AS nz,
+    {_HLL_ALPHA_M2} / (s_present + ({_HLL_M} - n_present) * 1.0) AS e_raw
+  FROM sk
+),
+pin AS (
+  SELECT ta, tb, side,
+    CAST(floor(CASE WHEN e_raw <= {2.5 * _HLL_M} AND nz > 0
+               THEN {_HLL_M} * ln({_HLL_M} * 1.0 / nz)
+               ELSE e_raw END * 1000) AS BIGINT) AS est_milli
+  FROM est
+),
+wide AS (
+  SELECT ta AS type_a, tb AS type_b,
+    MAX(CASE WHEN side = 'a' THEN est_milli END) AS est_a_milli,
+    MAX(CASE WHEN side = 'b' THEN est_milli END) AS est_b_milli,
+    MAX(CASE WHEN side = 'u' THEN est_milli END) AS est_union_milli
+  FROM pin GROUP BY ta, tb
+),
+ut AS (SELECT DISTINCT user_id, event_type FROM events
+      WHERE value > {_OVL_VALUE_MIN}),
+ex AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+    CAST(COUNT(*) AS BIGINT) AS exact_overlap
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT w.type_a, w.type_b, w.est_a_milli, w.est_b_milli, w.est_union_milli,
+  w.est_a_milli + w.est_b_milli - w.est_union_milli AS est_overlap_milli,
+  COALESCE(e.exact_overlap, 0) AS exact_overlap
+FROM wide w LEFT JOIN ex e ON e.type_a = w.type_a AND e.type_b = w.type_b
+ORDER BY w.type_a, w.type_b
+"""
+
+
+@query("sketch_hll_overlap", oracle=HLL_OVERLAP_ORACLE, category="sketch")
+def sketch_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between high-value event-type segments (users
+    with an event of that type above _OVL_VALUE_MIN — see the constant
+    comment for why the dense fixture needs the gate) from MERGED HLL
+    sketches: per-type 64-register vectors (same portable md5 family
+    as agg_hll_portable), pairwise union by register-wise MAX — the
+    mergeability that makes HLL the 100 TB distinct counter — and
+    |A∩B| by inclusion-exclusion on the floor-pinned milli estimates
+    (integer arithmetic after the pin, so cross-engine stable; can go
+    negative at this register count, reported as-is with the exact
+    overlap yardstick).
+
+    Scale: one linear pass builds per-(type, bucket) registers with
+    map-side combine (<= 64 rows per type survive the shuffle);
+    everything after operates on constant-size frames (types bounded
+    by the event-type domain, 64 registers, 10 pairs). The exact
+    yardstick is the only corpus-scaled extra: distinct (user, type)
+    then a per-user self-join bounded by <= 5 types/user."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value") > _OVL_VALUE_MIN
+    )
+    keys = ev.select(
+        F.col("event_type").alias("grp"),
+        F.expr(_OVL_BUCKET).alias("bucket"),
+        F.expr(_OVL_W).alias("__w"),
+    )
+    regs = (
+        keys.select("grp", "bucket", F.expr(_HLL_RHO).alias("rho"))
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    types = regs.select("grp").distinct()
+    pairs = (
+        types.select(F.col("grp").alias("ta"))
+        .join(types.select(F.col("grp").alias("tb")))
+        .filter(F.col("ta") < F.col("tb"))
+    )
+    side_a = pairs.join(regs, pairs.ta == regs.grp).select(
+        "ta", "tb", F.lit("a").alias("side"), "bucket", "reg"
+    )
+    side_b = pairs.join(regs, pairs.tb == regs.grp).select(
+        "ta", "tb", F.lit("b").alias("side"), "bucket", "reg"
+    )
+    side_u = (
+        side_a.select("ta", "tb", "bucket", "reg")
+        .unionAll(side_b.select("ta", "tb", "bucket", "reg"))
+        .groupBy("ta", "tb", "bucket")
+        .agg(F.max("reg").alias("reg"))
+        .select("ta", "tb", F.lit("u").alias("side"), "bucket", "reg")
+    )
+    ent = side_a.unionAll(side_b).unionAll(side_u)
+    sk = ent.groupBy("ta", "tb", "side").agg(
+        F.count("*").alias("n_present"),
+        F.sum(F.lit(1.0) / F.pow(F.lit(2.0), F.col("reg"))).alias("s_present"),
+    )
+    est = sk.select(
+        "ta", "tb", "side",
+        (F.lit(_HLL_M) - F.col("n_present")).cast("bigint").alias("nz"),
+        (
+            F.expr(_HLL_ALPHA_M2)
+            / (F.col("s_present") + (F.lit(_HLL_M) - F.col("n_present")) * 1.0)
+        ).alias("e_raw"),
+    )
+    lc = (F.col("e_raw") <= F.lit(2.5 * _HLL_M)) & (F.col("nz") > 0)
+    pin = est.select(
+        "ta", "tb", "side",
+        F.floor(
+            F.when(
+                lc, F.lit(_HLL_M) * F.log(F.lit(_HLL_M * 1.0) / F.col("nz"))
+            ).otherwise(F.col("e_raw"))
+            * 1000
+        )
+        .cast("bigint")
+        .alias("est_milli"),
+    )
+    wide = pin.groupBy(
+        F.col("ta").alias("type_a"), F.col("tb").alias("type_b")
+    ).agg(
+        F.max(F.when(F.col("side") == "a", F.col("est_milli"))).alias(
+            "est_a_milli"
+        ),
+        F.max(F.when(F.col("side") == "b", F.col("est_milli"))).alias(
+            "est_b_milli"
+        ),
+        F.max(F.when(F.col("side") == "u", F.col("est_milli"))).alias(
+            "est_union_milli"
+        ),
+    )
+    ut = ev.select("user_id", "event_type").distinct()
+    ex = (
+        ut.select("user_id", F.col("event_type").alias("type_a"))
+        .join(
+            ut.select("user_id", F.col("event_type").alias("type_b")),
+            "user_id",
+        )
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("exact_overlap"))
+    )
+    return (
+        wide.join(ex, ["type_a", "type_b"], "left")
+        .select(
+            "type_a", "type_b", "est_a_milli", "est_b_milli",
+            "est_union_milli",
+            (
+                F.col("est_a_milli")
+                + F.col("est_b_milli")
+                - F.col("est_union_milli")
+            ).alias("est_overlap_milli"),
+            F.coalesce(F.col("exact_overlap"), F.lit(0)).alias(
+                "exact_overlap"
+            ),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -157,3 +157,24 @@ def test_join_cardinality_estimate_is_one_sided(spark, sf_dir):
     [row] = load_all()["sketch_join_cardinality"].fn(spark, sf_dir).collect()
     assert row.est_join_rows >= row.true_join_rows
     assert row.overcount == row.est_join_rows - row.true_join_rows
+
+
+def test_hll_overlap_error_bound(spark, sf_dir):
+    """Inclusion-exclusion overlap from three 64-register sketches
+    compounds up to ~3 per-sketch standard errors (1.04/sqrt(64) ~
+    13% each), so the gate is |est - exact| <= 35% OF THE UNION
+    estimate per pair (measured worst 18.3% at sf0.01, 16.2% at
+    sf0.1). Also pins the structural invariants: union >= each side
+    (register-wise MAX can only grow the estimate) and 10 pairs from
+    the 5-type domain."""
+    from glue_etl_pyspark_spark.registry import load_all
+
+    rows = load_all()["sketch_hll_overlap"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.est_union_milli >= max(r.est_a_milli, r.est_b_milli)
+        err = abs(r.est_overlap_milli / 1000.0 - r.exact_overlap)
+        assert err <= 0.35 * (r.est_union_milli / 1000.0), (
+            f"{r.type_a}x{r.type_b}: est {r.est_overlap_milli / 1000.0} "
+            f"vs exact {r.exact_overlap} (union {r.est_union_milli / 1000.0})"
+        )
