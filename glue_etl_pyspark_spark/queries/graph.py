@@ -654,3 +654,103 @@ def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     knn.unpersist()
     cpairs.unpersist()
     return out
+
+
+# --- bounded-hop weighted shortest path (Bellman-Ford unrolled) ------
+
+_SSSP_HOPS = 4
+# hop cost inversely proportional to trade volume (strong trade =
+# cheap hop), as exact integer micro-units: 1e6 DIV w. Integer floor
+# division is identical in both engines on positive operands; path
+# cost <= hops * 1e6 — no overflow at any scale.
+_SSSP_COST = "CAST(1000000 // w AS BIGINT)"
+_SSSP_COST_SPARK = "CAST(1000000 DIV w AS BIGINT)"
+
+
+def _sssp_oracle() -> str:
+    ctes = [
+        f"""edges AS (
+  SELECT src, dst, {_SSSP_COST} AS cost
+  FROM ({_EDGES_SQL}) e0
+  WHERE {_BFS_EDGE_KEEP} AND src <> dst
+)""",
+        "dist0 AS (SELECT 0 AS nationkey, CAST(0 AS BIGINT) AS cost)",
+    ]
+    for k in range(1, _SSSP_HOPS + 1):
+        ctes.append(
+            f"""dist{k} AS (
+  SELECT nationkey, MIN(cost) AS cost FROM (
+    SELECT nationkey, cost FROM dist{k - 1}
+    UNION ALL
+    SELECT e.dst AS nationkey, d.cost + e.cost AS cost
+    FROM edges e JOIN dist{k - 1} d ON e.src = d.nationkey
+  ) u GROUP BY nationkey
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT CAST(nationkey AS BIGINT) AS nationkey,
+  CAST(cost AS BIGINT) AS cost_micro
+FROM dist{_SSSP_HOPS}"""
+    )
+
+
+SSSP_ORACLE = _sssp_oracle()
+
+
+@query("graph_sssp_bounded", oracle=SSSP_ORACLE, category="graph")
+def graph_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop weighted shortest path (Bellman-Ford, 4 relaxation
+    rounds) from nation 0 over the sparsified trade graph — the
+    weighted completion of graph_bfs_khop: hop cost is integer
+    micro-units inversely proportional to trade volume (1e6 DIV w), so
+    the min-cost route can differ from the min-hop route and the whole
+    computation stays in exact integers (MIN and + only — the unrolled
+    chained-CTE oracle hash-checks every round with zero float risk).
+
+    Scale: the same Pregel-in-SQL step as BFS — each round one
+    equi-join keyed on src + one MIN aggregation; rounds bounded by
+    the hop budget (domain), never data volume. The edge build's
+    fact-table joins dominate and run once; the 25-node distance
+    frame makes per-round cost trivial here, but the shape is the one
+    a billion-edge property graph needs (frontier x adjacency,
+    localCheckpoint per round)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .select(c["c_nationkey"].alias("src"), s["s_nationkey"].alias("dst"))
+        .filter(F.expr(_BFS_EDGE_KEEP) & (F.col("src") != F.col("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+        .select("src", "dst", F.expr(_SSSP_COST_SPARK).alias("cost"))
+        # constant-size after the aggregate (<= 25x25 rows): truncate
+        # lineage once so no relaxation round re-runs the fact joins
+        .localCheckpoint(eager=True)
+    )
+    dist = edges.sparkSession.range(1).select(
+        F.lit(0).alias("nationkey"), F.lit(0).cast("bigint").alias("cost")
+    )
+    for _ in range(1, _SSSP_HOPS + 1):
+        relaxed = (
+            edges.join(dist, edges["src"] == dist["nationkey"])
+            .select(
+                F.col("dst").alias("nationkey"),
+                (dist["cost"] + edges["cost"]).alias("cost"),
+            )
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("nationkey")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select(
+        F.col("nationkey").cast("bigint").alias("nationkey"),
+        F.col("cost").alias("cost_micro"),
+    )

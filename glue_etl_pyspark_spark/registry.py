@@ -59,7 +59,8 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 #     query) plus the three ops ADDED in r13 (label-propagation
 #     communities + Jaccard link prediction over the capped KNN
 #     co-purchase graph; RAKE keyword extraction; HLL audience
-#     overlap) — never checked, must lead;
+#     overlap; bounded weighted shortest path) — never checked, must
+#     lead;
 #   - 7 reworked in r13 after their last external row: the winnowing
 #     pair (position field widened 16->32 bits + DISK_ONLY lifecycle),
 #     the langid pair (corpus-scaled localCheckpoint -> DISK_ONLY per
@@ -67,8 +68,8 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 #     (empty-strided-train fallback mirrored into the et CTE — values
 #     unchanged on dense id domains, oracle text changed);
 #   - the 29 r6-stale names pre-staged in the r12 DRIVER_DEFERRED;
-#   - 9 of the 48 remaining r7-stale names (one per redundant family
-#     where possible; the 39 displaced, equally-r7-stale siblings move
+#   - 8 of the 48 remaining r7-stale names (one per redundant family
+#     where possible; the 40 displaced, equally-r7-stale siblings move
 #     to DRIVER_DEFERRED and lead the r14 window).
 # After a clean r13 the oldest external evidence moves r6 -> r7 and no
 # query's external row predates its code.
@@ -98,6 +99,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "graph_jaccard_linkpred",
     "text_rake_keywords",
     "sketch_hll_overlap",
+    "graph_sssp_bounded",
     *DRIVER_REWORKED,
     # --- oracled, last externally green in ROUND 6 (29, staged in the
     #     r12 DRIVER_DEFERRED) ---
@@ -130,19 +132,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_state_inspect",
     "text_bpe_apply",
     "udf_mapinarrow",
-    # --- last externally green in ROUND 7 (9 of 48) ---
+    # --- last externally green in ROUND 7 (8 of 48) ---
     "agg_cube",
     "bucketed_join",
     "catalog_table_scan",
     "cdc_upsert_merge",
-    "dedup_exact",
     "dpp_partitioned_join",
     "events_ewma_control",
     "glue_map_filter",
     "skew_salted_join",
 )
 
-# The 39 equally-r7-stale names displaced by the 50-slot width (each
+# The 40 equally-r7-stale names displaced by the 50-slot width (each
 # has an in-window sibling exercising the same machinery where one
 # exists: the agg_* family rides agg_cube, the sink roundtrips ride
 # catalog_table_scan's io path, the join_* variants ride
@@ -160,6 +161,7 @@ DRIVER_DEFERRED: tuple[str, ...] = (
     "agg_sum_distinct",
     "cdc_extract_changes",
     "cohort_ltv_curve",
+    "dedup_exact",
     "dedup_jaccard_prefix",
     "dedup_ngram_jaccard",
     "dedup_simhash_twins",
