@@ -659,20 +659,26 @@ def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- bounded-hop weighted shortest path (Bellman-Ford unrolled) ------
 
 _SSSP_HOPS = 4
-# hop cost inversely proportional to trade volume (strong trade =
-# cheap hop), as exact integer micro-units: 1e6 DIV w. Integer floor
-# division is identical in both engines on positive operands; path
-# cost <= hops * 1e6 — no overflow at any scale.
-_SSSP_COST = "CAST(1000000 // w AS BIGINT)"
-_SSSP_COST_SPARK = "CAST(1000000 DIV w AS BIGINT)"
+# hop cost = the edge's INVERSE SHARE of total kept trade, total_w
+# DIV w (strong trade = cheap hop), in exact integers. A fixed-
+# numerator form (1e6 DIV w) would be the q11 fixed-constant class:
+# w scales with volume, so every cost collapses to 0 around 1000x and
+# the whole distance field degenerates; the data-adaptive numerator
+# keeps the cost distribution scale-invariant (total_w and w both
+# grow linearly). Integer floor division agrees across engines on
+# positive operands; path cost <= hops * total_w — BIGINT-safe.
 
 
 def _sssp_oracle() -> str:
     ctes = [
-        f"""edges AS (
-  SELECT src, dst, {_SSSP_COST} AS cost
-  FROM ({_EDGES_SQL}) e0
+        f"""kept AS (
+  SELECT src, dst, w FROM ({_EDGES_SQL}) e0
   WHERE {_BFS_EDGE_KEEP} AND src <> dst
+),
+tot AS (SELECT CAST(SUM(w) AS BIGINT) AS total_w FROM kept),
+edges AS (
+  SELECT k.src, k.dst, CAST(t.total_w // k.w AS BIGINT) AS cost
+  FROM kept k CROSS JOIN tot t
 )""",
         "dist0 AS (SELECT 0 AS nationkey, CAST(0 AS BIGINT) AS cost)",
     ]
@@ -691,7 +697,7 @@ def _sssp_oracle() -> str:
         "WITH " + ",\n".join(ctes)
         + f"""
 SELECT CAST(nationkey AS BIGINT) AS nationkey,
-  CAST(cost AS BIGINT) AS cost_micro
+  CAST(cost AS BIGINT) AS cost_invshare
 FROM dist{_SSSP_HOPS}"""
     )
 
@@ -703,8 +709,10 @@ SSSP_ORACLE = _sssp_oracle()
 def graph_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-hop weighted shortest path (Bellman-Ford, 4 relaxation
     rounds) from nation 0 over the sparsified trade graph — the
-    weighted completion of graph_bfs_khop: hop cost is integer
-    micro-units inversely proportional to trade volume (1e6 DIV w), so
+    weighted completion of graph_bfs_khop: hop cost is the edge's
+    inverse share of total kept trade (total_w DIV w, exact integers —
+    see the constant comment for why a fixed numerator would collapse
+    at ~1000x), so
     the min-cost route can differ from the min-hop route and the whole
     computation stays in exact integers (MIN and + only — the unrolled
     chained-CTE oracle hash-checks every round with zero float risk).
@@ -728,10 +736,14 @@ def graph_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.expr(_BFS_EDGE_KEEP) & (F.col("src") != F.col("dst")))
         .groupBy("src", "dst")
         .agg(F.count("*").alias("w"))
-        .select("src", "dst", F.expr(_SSSP_COST_SPARK).alias("cost"))
         # constant-size after the aggregate (<= 25x25 rows): truncate
-        # lineage once so no relaxation round re-runs the fact joins
+        # lineage once so neither the total nor any relaxation round
+        # re-runs the fact joins
         .localCheckpoint(eager=True)
+    )
+    tot = edges.agg(F.sum("w").cast("bigint").alias("total_w"))
+    edges = edges.crossJoin(tot).select(
+        "src", "dst", F.expr("CAST(total_w DIV w AS BIGINT)").alias("cost")
     )
     dist = edges.sparkSession.range(1).select(
         F.lit(0).alias("nationkey"), F.lit(0).cast("bigint").alias("cost")
@@ -752,5 +764,5 @@ def graph_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return dist.select(
         F.col("nationkey").cast("bigint").alias("nationkey"),
-        F.col("cost").alias("cost_micro"),
+        F.col("cost").alias("cost_invshare"),
     )
