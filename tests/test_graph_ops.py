@@ -101,3 +101,27 @@ def test_knn_graph_cap_and_width_determinism(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", orig)
     assert all(r == runs_lpa[0] for r in runs_lpa[1:]), "LPA varies with width"
     assert all(r == runs_lp[0] for r in runs_lp[1:]), "linkpred varies with width"
+
+
+def test_r13_additions_width_determinism(spark, sf_dir):
+    """Same bit-stability gate for the round's other additions: RAKE
+    (window islands + HOF phrase assembly), HLL overlap (checkpointed
+    register frame + unions), and weighted SSSP (checkpointed rounds)
+    must return identical rows at shuffle widths 2/32/200."""
+    from glue_etl_pyspark_spark.registry import load_all
+
+    reg = load_all()
+    names = ("text_rake_keywords", "sketch_hll_overlap", "graph_sssp_bounded")
+    runs: dict[str, list] = {n: [] for n in names}
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for parts in ("2", "32", "200"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            for n in names:
+                runs[n].append(
+                    sorted(tuple(r) for r in reg[n].fn(spark, sf_dir).collect())
+                )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    for n in names:
+        assert all(r == runs[n][0] for r in runs[n][1:]), f"{n} varies with width"
