@@ -122,6 +122,12 @@ def duckdb_connect(sf_dir: str):
     import duckdb
 
     con = duckdb.connect()
+    # bounded, absolute temp: the default is cwd-relative ".tmp" with a
+    # near-disk-sized cap — one runaway spill (e.g. an oracle missing a
+    # MATERIALIZED hint at a probe scale) fills the disk and fails
+    # UNRELATED concurrent work with "No space left on device"
+    con.execute("SET temp_directory='/tmp/spark_graft_duckdb_tmp'")
+    con.execute("SET max_temp_directory_size='40GB'")
     for t in TABLE_NAMES:
         src = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(src):

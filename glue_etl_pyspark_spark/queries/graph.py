@@ -403,16 +403,19 @@ _LP_TOPK = 25
 
 _KNN_MIX = "((e.u * 31 + e.v) % 1000000007) * 2654435761 % 4294967296"
 
+# every CTE here is multi-referenced downstream — MATERIALIZED stops
+# DuckDB re-inlining the O(basket^2) pair build per reference (the
+# kcore oracle measured 406 s -> seconds at sf0.1 from this alone)
 _KNN_BASE_SQL = f"""
-op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-cpairs AS (
+op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+cpairs AS MATERIALIZED (
   SELECT a.l_partkey AS u, b.l_partkey AS v, CAST(COUNT(*) AS BIGINT) AS w
   FROM op a JOIN op b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY a.l_partkey, b.l_partkey
 ),
-und AS (SELECT u, v, w FROM cpairs UNION ALL SELECT v, u, w FROM cpairs),
-knn AS (
+und AS MATERIALIZED (SELECT u, v, w FROM cpairs UNION ALL SELECT v, u, w FROM cpairs),
+knn AS MATERIALIZED (
   SELECT u, v, w FROM (
     SELECT e.u, e.v, e.w,
       ROW_NUMBER() OVER (
@@ -481,7 +484,7 @@ def _lpa_oracle() -> str:
         )
     return f"""
 WITH {_KNN_BASE_SQL},
-sym AS (
+sym AS MATERIALIZED (
   SELECT u, v, MAX(w) AS w FROM (
     SELECT u, v, w FROM knn UNION ALL SELECT v, u, w FROM knn
   ) both_dirs GROUP BY u, v
@@ -525,13 +528,17 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     _, knn = _copurchase_knn(spark, sf_dir)
+    # DISK_ONLY, not MEMORY_AND_DISK: the edge frame is corpus-scaled
+    # and re-read every round while the per-round window sorts need
+    # the heap — memory-backed blocks starve them on small-heap
+    # sessions (a vanilla 1g driver OOM'd at 10x; the winnow rule)
     sym = (
         knn.unionAll(
             knn.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
         )
         .groupBy("u", "v")
         .agg(F.max("w").alias("w"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.DISK_ONLY)
     )
     labels = (
         sym.select(F.col("u").alias("node"))
@@ -612,9 +619,11 @@ def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cpairs, knn_raw = _copurchase_knn(spark, sf_dir)
     # cpairs feeds the knn build AND the anti-join; knn feeds degrees
-    # + both sides of the candidate join — persist both, thin rows
-    cpairs = cpairs.persist(StorageLevel.MEMORY_AND_DISK)
-    knn = knn_raw.persist(StorageLevel.MEMORY_AND_DISK)
+    # + both sides of the candidate join. DISK_ONLY: corpus-scaled
+    # reuse frames must not compete with the candidate join's sorts
+    # for heap (the winnow rule; the LPA sibling OOM'd a 1g session)
+    cpairs = cpairs.persist(StorageLevel.DISK_ONLY)
+    knn = knn_raw.persist(StorageLevel.DISK_ONLY)
     kdeg = knn.groupBy("u").agg(F.count("*").alias("deg"))
     e1 = knn.select(F.col("u").alias("a"), F.col("v").alias("n"))
     e2 = knn.select(F.col("u").alias("b"), F.col("v").alias("n"))
@@ -766,3 +775,152 @@ def graph_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nationkey").cast("bigint").alias("nationkey"),
         F.col("cost").alias("cost_invshare"),
     )
+
+
+# --- bounded-round k-core peeling ------------------------------------
+
+_KCORE_ROUNDS = 4
+_KCORE_TOPK = 20
+# Data-adaptive threshold: k = (3 * directed-edge count) DIV (4 * node
+# count) = 3/4 of the mean degree. A fixed k is the q11 class (the
+# graph densifies with SF: mean degree ~116 at sf0.01, so any constant
+# either never peels or instantly empties); mean-scaled k peels
+# progressively at every SF (measured survivors 2000->1372 at sf0.01,
+# 20000->12886 at sf0.1 over 4 rounds). Pure integer division on BOTH
+# engines — DuckDB's bare `/` on integers is FLOAT division and its
+# BIGINT cast rounds half-even where Spark truncates (the documented
+# cast trap), so the oracle uses `//` and Spark uses DIV.
+_KCORE_K_SQL = "(COUNT(*) * 3) // (COUNT(DISTINCT u) * 4)"
+
+
+def _kcore_oracle() -> str:
+    rounds = []
+    for r in range(1, _KCORE_ROUNDS + 1):
+        rounds.append(
+            f"""s{r} AS MATERIALIZED (
+  SELECT e.u AS node FROM und e
+  JOIN s{r - 1} a ON a.node = e.u
+  JOIN s{r - 1} b ON b.node = e.v
+  GROUP BY e.u
+  HAVING CAST(COUNT(*) AS BIGINT) >= (SELECT k FROM kparam)
+)"""
+        )
+    # EVERY multi-referenced CTE is MATERIALIZED: without it DuckDB
+    # re-inlines per reference — und re-runs the O(basket^2) pair
+    # build (406 s at sf0.1), and each survivor round s{r} references
+    # s{r-1} twice, so recompute DOUBLES per round (2^rounds blowup:
+    # the 10x oracle spilled past 37 GB of temp before the fix)
+    return f"""
+WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+cpairs AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+),
+und AS MATERIALIZED (SELECT u, v FROM cpairs UNION ALL SELECT v, u FROM cpairs),
+kparam AS MATERIALIZED (SELECT CAST({_KCORE_K_SQL} AS BIGINT) AS k FROM und),
+s0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM und),
+{','.join(rounds)},
+fin AS (
+  SELECT e.u AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
+  FROM und e
+  JOIN s{_KCORE_ROUNDS} a ON a.node = e.u
+  JOIN s{_KCORE_ROUNDS} b ON b.node = e.v
+  GROUP BY e.u
+)
+SELECT node, core_deg,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM s{_KCORE_ROUNDS}) AS n_core,
+  (SELECT k FROM kparam) AS k_threshold
+FROM fin ORDER BY core_deg DESC, node LIMIT {_KCORE_TOPK}
+"""
+
+
+KCORE_ORACLE = _kcore_oracle()
+
+
+@query("graph_kcore_peel", oracle=KCORE_ORACLE, category="graph")
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round k-core peeling over the co-purchase graph (the
+    dense-subgraph primitive behind spam rings, community cores, and
+    graph sampling): 4 synchronous rounds, each dropping nodes whose
+    degree WITHIN the current survivor set falls below the
+    data-adaptive threshold k = 3/4 of the initial mean degree (see
+    the constant comment — a fixed k never peels or instantly empties
+    as the graph densifies with SF). Top-20 survivors by within-core
+    degree plus the core size and threshold. Pure integers throughout
+    — the fixed-round loop unrolls into the chained-CTE oracle.
+
+    Scale: each round is two semi-join-shaped equi-joins (edge list
+    vs survivor set, both endpoint keys) + one map-side-combined
+    degree count — linear in surviving edges, the Pregel peel step.
+    The edge frame is corpus-scaled and reused every round
+    (MEMORY_AND_DISK, thin rows); survivor frames localCheckpoint per
+    round (the iterative-lineage rule)."""
+    from pyspark import StorageLevel
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    op = li.distinct()
+    a = op.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("v"))
+    cpairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("w"))
+        .select("u", "v")
+    )
+    # DISK_ONLY, not MEMORY_AND_DISK: the edge list is corpus-scaled
+    # and re-read by two joins per peel round — memory-backed blocks
+    # fill the unified region and starve the per-round broadcast
+    # builds of the (node-scaled) survivor sets on small-heap drivers
+    # (a vanilla 1g session OOM'd at 10x exactly there); serialized
+    # disk blocks cost one linear write and never compete for heap
+    # (the winnow-pairs rule)
+    und = (
+        cpairs.unionAll(cpairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    kparam = und.agg(
+        F.expr("CAST((COUNT(*) * 3) DIV (COUNT(DISTINCT u) * 4) AS BIGINT)").alias(
+            "k"
+        )
+    )
+    s = und.select(F.col("u").alias("node")).distinct().localCheckpoint(eager=True)
+    for _ in range(_KCORE_ROUNDS):
+        sa = s.select(F.col("node").alias("u"))
+        sb = s.select(F.col("node").alias("v"))
+        deg = (
+            und.join(sa, "u")
+            .join(sb, "v")
+            .groupBy("u")
+            .agg(F.count("*").cast("bigint").alias("deg"))
+        )
+        s = (
+            deg.crossJoin(kparam)
+            .filter(F.col("deg") >= F.col("k"))
+            .select(F.col("u").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+    sa = s.select(F.col("node").alias("u"))
+    sb = s.select(F.col("node").alias("v"))
+    fin = (
+        und.join(sa, "u")
+        .join(sb, "v")
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.count("*").cast("bigint").alias("core_deg"))
+    )
+    n_core = s.agg(F.count("*").cast("bigint").alias("n_core"))
+    out = (
+        fin.crossJoin(n_core)
+        .crossJoin(kparam.select(F.col("k").alias("k_threshold")))
+        .select("node", "core_deg", "n_core", "k_threshold")
+        .orderBy(F.desc("core_deg"), "node")
+        .limit(_KCORE_TOPK)
+    )
+    # release the corpus-scaled edge blocks (winnow idiom): the top-k
+    # is constant-size; materialize it, then drop the edges
+    out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    und.unpersist()
+    return out

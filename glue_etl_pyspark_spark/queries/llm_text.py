@@ -752,7 +752,8 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
                 Window.partitionBy("doc_id").orderBy("pos")
             ),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        # DISK_ONLY: corpus-scaled reuse frame (the winnow rule)
+        .persist(StorageLevel.DISK_ONLY)
     )
     phr = (
         nonstop.groupBy("doc_id", "grp")
@@ -767,7 +768,7 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("plen"),
         )
         .filter(F.col("plen") <= _RAKE_MAX_PHRASE)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.DISK_ONLY)
     )
     in_phrase = nonstop.join(phr, ["doc_id", "grp"])
     ws = in_phrase.groupBy("word").agg(

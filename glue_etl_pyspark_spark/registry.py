@@ -59,8 +59,8 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 #     query) plus the three ops ADDED in r13 (label-propagation
 #     communities + Jaccard link prediction over the capped KNN
 #     co-purchase graph; RAKE keyword extraction; HLL audience
-#     overlap; bounded weighted shortest path) — never checked, must
-#     lead;
+#     overlap; bounded weighted shortest path; k-core peeling) —
+#     never checked, must lead;
 #   - 7 reworked in r13 after their last external row: the winnowing
 #     pair (position field widened 16->32 bits + DISK_ONLY lifecycle),
 #     the langid pair (corpus-scaled localCheckpoint -> DISK_ONLY per
@@ -68,8 +68,8 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 #     (empty-strided-train fallback mirrored into the et CTE — values
 #     unchanged on dense id domains, oracle text changed);
 #   - the 29 r6-stale names pre-staged in the r12 DRIVER_DEFERRED;
-#   - 8 of the 48 remaining r7-stale names (one per redundant family
-#     where possible; the 40 displaced, equally-r7-stale siblings move
+#   - 7 of the 48 remaining r7-stale names (one per redundant family
+#     where possible; the 41 displaced, equally-r7-stale siblings move
 #     to DRIVER_DEFERRED and lead the r14 window).
 # After a clean r13 the oldest external evidence moves r6 -> r7 and no
 # query's external row predates its code.
@@ -100,6 +100,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_rake_keywords",
     "sketch_hll_overlap",
     "graph_sssp_bounded",
+    "graph_kcore_peel",
     *DRIVER_REWORKED,
     # --- oracled, last externally green in ROUND 6 (29, staged in the
     #     r12 DRIVER_DEFERRED) ---
@@ -132,8 +133,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_state_inspect",
     "text_bpe_apply",
     "udf_mapinarrow",
-    # --- last externally green in ROUND 7 (8 of 48) ---
-    "agg_cube",
+    # --- last externally green in ROUND 7 (7 of 48) ---
     "bucketed_join",
     "catalog_table_scan",
     "cdc_upsert_merge",
@@ -143,7 +143,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "skew_salted_join",
 )
 
-# The 40 equally-r7-stale names displaced by the 50-slot width (each
+# The 41 equally-r7-stale names displaced by the 50-slot width (each
 # has an in-window sibling exercising the same machinery where one
 # exists: the agg_* family rides agg_cube, the sink roundtrips ride
 # catalog_table_scan's io path, the join_* variants ride
@@ -158,6 +158,7 @@ DRIVER_DEFERRED: tuple[str, ...] = (
     "agg_pivot",
     "agg_quantiles",
     "agg_stats",
+    "agg_cube",
     "agg_sum_distinct",
     "cdc_extract_changes",
     "cohort_ltv_curve",

@@ -111,7 +111,10 @@ def test_r13_additions_width_determinism(spark, sf_dir):
     from glue_etl_pyspark_spark.registry import load_all
 
     reg = load_all()
-    names = ("text_rake_keywords", "sketch_hll_overlap", "graph_sssp_bounded")
+    names = (
+        "text_rake_keywords", "sketch_hll_overlap",
+        "graph_sssp_bounded", "graph_kcore_peel",
+    )
     runs: dict[str, list] = {n: [] for n in names}
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:
