@@ -881,11 +881,14 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         cpairs.unionAll(cpairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .persist(StorageLevel.DISK_ONLY)
     )
+    # constant-size (1 row) but crossJoined into every round — without
+    # materialization each reference re-aggregates the full edge list
+    # (the sketch_hll_overlap regs lesson)
     kparam = und.agg(
         F.expr("CAST((COUNT(*) * 3) DIV (COUNT(DISTINCT u) * 4) AS BIGINT)").alias(
             "k"
         )
-    )
+    ).localCheckpoint(eager=True)
     s = und.select(F.col("u").alias("node")).distinct().localCheckpoint(eager=True)
     for _ in range(_KCORE_ROUNDS):
         sa = s.select(F.col("node").alias("u"))
