@@ -63,6 +63,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    # 1-min load at launch: this box's numbers carry a documented
+    # post-suite load tail (BASELINE.md "bench protocol") — recording
+    # it lets a reader adjudicate tail-vs-regression from the JSON
+    # alone instead of cross-referencing BASELINE prose.
+    load_at_launch = round(os.getloadavg()[0], 2)
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
     specs = load_all()
@@ -77,6 +82,7 @@ def main() -> None:
         "unit": "sec",
         "queries": results,
         "sf": sf,
+        "load_at_launch": load_at_launch,
     }))
 
 

@@ -50,41 +50,17 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 
 
 # The driver checks the FIRST 50 queries in ``queries()`` dict-insertion
-# order (confirmed rounds 1-12; every round checked exactly 50 names).
+# order (confirmed rounds 1-13; every round checked exactly 50 names).
 #
-# ROUND-13 WINDOW (VERDICT r12 items 1-3 + ADVICE r12): evidence must
-# catch up with code, so the window leads with the queries whose
-# EXTERNAL rows predate their current implementation:
-#   - join_right_outer (the one §2.4 inventory row that had no named
-#     query) plus the three ops ADDED in r13 (label-propagation
-#     communities + Jaccard link prediction over the capped KNN
-#     co-purchase graph; RAKE keyword extraction; HLL audience
-#     overlap; bounded weighted shortest path; k-core peeling) —
-#     never checked, must lead;
-#   - 7 reworked in r13 after their last external row: the winnowing
-#     pair (position field widened 16->32 bits + DISK_ONLY lifecycle),
-#     the langid pair (corpus-scaled localCheckpoint -> DISK_ONLY per
-#     the r12 materialization rule), and the three IVF-oracled queries
-#     (empty-strided-train fallback mirrored into the et CTE — values
-#     unchanged on dense id domains, oracle text changed);
-#   - the 29 r6-stale names pre-staged in the r12 DRIVER_DEFERRED;
-#   - 7 of the 48 remaining r7-stale names (one per redundant family
-#     where possible; the 41 displaced, equally-r7-stale siblings move
-#     to DRIVER_DEFERRED and lead the r14 window).
-# After a clean r13 the oldest external evidence moves r6 -> r7 and no
-# query's external row predates its code.
-DRIVER_REWORKED: tuple[str, ...] = (
-    # --- r13 winnow key widening (ADVICE r12 medium) ---
-    "text_winnow_fingerprints",
-    "dedup_winnow_pairs",
-    # --- r13 corpus-scaled materialization rule (VERDICT r12 item 3) ---
-    "text_language_id",
-    "langid_confusion_matrix",
-    # --- r13 IVF oracle train-fallback mirror (ADVICE r12) ---
-    "knn_ivf",
-    "knn_ivf_persisted",
-    "cluster_medoids",
-)
+# ROUND-14 WINDOW (VERDICT r13 item 1 — the evidence-freshness
+# rotation): after the clean r13 pass every query is green and the
+# oldest external evidence is ROUND 7 — exactly the 41 names the r13
+# window displaced into DRIVER_DEFERRED. They lead verbatim. The 9
+# remaining slots take one representative per r8-stale family (the 37
+# displaced, equally-r8-stale siblings move to DRIVER_DEFERRED and
+# lead the r15 window). After a clean r14 the oldest external evidence
+# moves r7 -> r8.
+DRIVER_REWORKED: tuple[str, ...] = ()
 
 # tests/test_registry.py asserts len(DRIVER_WINDOW) == 50 so the cutoff
 # can never drift from the driver's actual check width again (the r8
@@ -93,64 +69,8 @@ DRIVER_REWORKED: tuple[str, ...] = (
 # and that no un-reworked name outside the window is staler than any
 # un-reworked name inside it.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- never-checked (registered r13) ---
-    "join_right_outer",
-    "graph_label_propagation",
-    "graph_jaccard_linkpred",
-    "text_rake_keywords",
-    "sketch_hll_overlap",
-    "graph_sssp_bounded",
-    "graph_kcore_peel",
-    *DRIVER_REWORKED,
-    # --- oracled, last externally green in ROUND 6 (29, staged in the
-    #     r12 DRIVER_DEFERRED) ---
-    "curriculum_phase_assign",
-    "dq_reconcile_amounts",
-    "events_dau_wau",
-    "dedup_substring_spans",
-    "dq_join_skew_report",
-    "dq_sampler_chi2",
-    "embedding_pool_mean",
-    "embedding_robust_scale",
-    "epoch_shuffle_shards",
-    "events_attribution_linear",
-    "events_cusum_shift",
-    "events_decayed_popularity",
-    "events_drift_psi",
-    "events_path_trigrams",
-    "events_rolling_median",
-    "events_time_to_conversion",
-    "hist_range_selectivity",
-    "knn_hard_negatives",
-    "knn_mutual_nn",
-    "multimodal_features",
-    "quality_classifier_linear",
-    "quality_gate_roc_sweep",
-    "sketch_join_cardinality",
-    "skyline_parts_frontier",
-    "sql_scripting_loop",
-    "sql_udf_declarative",
-    "stream_state_inspect",
-    "text_bpe_apply",
-    "udf_mapinarrow",
-    # --- last externally green in ROUND 7 (7 of 48) ---
-    "bucketed_join",
-    "catalog_table_scan",
-    "cdc_upsert_merge",
-    "dpp_partitioned_join",
-    "events_ewma_control",
-    "glue_map_filter",
-    "skew_salted_join",
-)
-
-# The 41 equally-r7-stale names displaced by the 50-slot width (each
-# has an in-window sibling exercising the same machinery where one
-# exists: the agg_* family rides agg_cube, the sink roundtrips ride
-# catalog_table_scan's io path, the join_* variants ride
-# skew_salted_join + the reworked right-outer, asof rides
-# events_ewma_control's window machinery, cdc_extract/scd3 ride
-# cdc_upsert_merge). They lead the round-14 window.
-DRIVER_DEFERRED: tuple[str, ...] = (
+    # --- last externally green in ROUND 7 (all 41, staged verbatim in
+    #     the r13 DRIVER_DEFERRED) ---
     "agg_decimal_exact",
     "agg_distinct",
     "agg_grouping_sets",
@@ -192,6 +112,65 @@ DRIVER_DEFERRED: tuple[str, ...] = (
     "text_stopword_topterms",
     "unpivot_stack",
     "window_analytic_extra",
+    # --- last externally green in ROUND 8 (9 of 46, one per family) ---
+    "agg_bitmap_distinct",
+    "apply_mapping_orders",
+    "func_string",
+    "join_interval_overlap",
+    "knn_bruteforce_cosine",
+    "stream_tumbling_rocksdb",
+    "text_tfidf",
+    "udf_pandas_scalar",
+    "window_ranking",
+)
+
+# The 37 equally-r8-stale names displaced by the 50-slot width (each
+# has an in-window sibling exercising the same machinery where one
+# exists: agg_collect_set/agg_salted_hotkey ride agg_bitmap_distinct,
+# resolve_choice_*/drop_null_fields/fill_missing ride
+# apply_mapping_orders' projection path, func_array/date/map ride
+# func_string, knn_bruteforce_numpy rides knn_bruteforce_cosine, the
+# stream_* members ride stream_tumbling_rocksdb, text_* ride
+# text_tfidf, udf_* ride udf_pandas_scalar, window_*/topk ride
+# window_ranking). They lead the round-15 window.
+DRIVER_DEFERRED: tuple[str, ...] = (
+    "agg_collect_set",
+    "agg_salted_hotkey",
+    "drop_null_fields_events",
+    "embedding_dedup_pairs",
+    "fill_missing_left_join",
+    "filter_compound",
+    "func_array",
+    "func_date",
+    "func_map_json",
+    "func_map_ops",
+    "knn_bruteforce_numpy",
+    "pandas_api_groupby",
+    "resolve_choice_cast",
+    "resolve_choice_make_cols",
+    "scan_corrupt_records",
+    "sink_partitioned_pruned",
+    "sort_limit_offset",
+    "sql_parameterized",
+    "sql_pipe_syntax",
+    "stream_chained_windows",
+    "stream_session_dynamic",
+    "stream_stateful_batch",
+    "text_normalize_clean",
+    "text_quality_score",
+    "text_term_freq",
+    "text_token_stats",
+    "topk_global",
+    "topk_per_group",
+    "udf_arrow_scalar",
+    "udf_row_scalar",
+    "unnest_struct",
+    "window_analytic",
+    "window_chained_batch",
+    "window_frames",
+    "window_range_frame",
+    "window_session_dynamic_batch",
+    "window_tumbling_batch",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = DRIVER_WINDOW + DRIVER_DEFERRED

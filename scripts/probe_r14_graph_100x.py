@@ -1,0 +1,247 @@
+"""Round-14 100x probes (VERDICT r13 items 2 + 4).
+
+Two gaps left by r13: graph_kcore_peel and text_rake_keywords were
+probed at 10x only, and graph_label_propagation's 100x row carried no
+external value evidence (the full unrolled oracle exhausts DuckDB's
+temp disk at 100x against Spark's own spills).
+
+The trick that fixes both at once: clone with EVERY key shifted per
+clone — l_orderkey AND l_partkey for the graph ops, doc_id for RAKE —
+so the 100x input is 100 DISJOINT copies of the 1x input. Then the
+exact 100x answer is DERIVABLE in DuckDB from the full (un-LIMITed)
+1x oracle, which DuckDB computes comfortably:
+
+- kcore: per-node core_deg identical per clone; k threshold is a
+  ratio (count*3 DIV nodes*4) so it is clone-invariant; n_core scales
+  exactly 100x; top-20 by (core_deg DESC, node) = the globally best
+  core_deg rows with the smallest shifted node ids.
+- LPA: community structure identical per clone; sizes invariant;
+  top-20 by (n_members DESC, community) picks the smallest shifted
+  community ids among equal sizes.
+- RAKE: freq/deg/n_occ/deg_sum/freq_sum all scale exactly 100x and
+  score_ppm = deg_sum*1e6 // freq_sum is invariant under the common
+  factor (floor of an unchanged rational), so ordering is unchanged.
+
+Each expected frame is computed END-TO-END IN DUCKDB (1x oracle minus
+LIMIT + a clone cross join + the query's own ORDER BY/LIMIT) and
+compared dtype-strict (toPandas/.df + astype(str), never fetchall —
+the r4 HUGEINT rule) against Spark running the real query on the 100x
+clone. That is external value evidence AT 100x, not rows-stable.
+
+Usage: python scripts/probe_r14_graph_100x.py [kcore|lpa|rake ...]
+Derived data stays in /tmp; results land as rows in SCALING.md.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.1"
+GRAPH_OUT = "/tmp/spark_graft_probe_graph_100x"
+DOCS_OUT = "/tmp/spark_graft_probe_rakedocs_100x"
+FACTOR = 100
+ORDER_SHIFT = 10_000_000   # sf0.1 orderkeys < 10M
+PART_SHIFT = 1_000_000     # sf0.1 partkeys < 1M (20k parts)
+DOC_SHIFT = 1_000_000      # sf0.1 doc_ids < 1M
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _symlink_rest(out: str) -> None:
+    for t in TABLES:
+        dst = f"{out}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{SF}/{t}.parquet", dst)
+
+
+def build_graph_clone() -> None:
+    import duckdb
+
+    if os.path.exists(f"{GRAPH_OUT}/lineitem.parquet"):
+        return
+    os.makedirs(GRAPH_OUT, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (
+          SELECT l.l_orderkey + t.c * {ORDER_SHIFT} AS l_orderkey,
+                 l.l_partkey + t.c * {PART_SHIFT} AS l_partkey
+          FROM read_parquet('{SF}/lineitem.parquet') l
+          CROSS JOIN (SELECT unnest(generate_series(0, {FACTOR - 1})) AS c) t
+        ) TO '{GRAPH_OUT}/lineitem.parquet' (FORMAT parquet)"""
+    )
+    _symlink_rest(GRAPH_OUT)
+
+
+def build_docs_clone() -> None:
+    import duckdb
+
+    if os.path.exists(f"{DOCS_OUT}/documents.parquet"):
+        return
+    os.makedirs(DOCS_OUT, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (
+          SELECT d.doc_id + t.c * {DOC_SHIFT} AS doc_id,
+                 d.* EXCLUDE (doc_id)
+          FROM read_parquet('{SF}/documents.parquet') d
+          CROSS JOIN (SELECT unnest(generate_series(0, {FACTOR - 1})) AS c) t
+        ) TO '{DOCS_OUT}/documents.parquet' (FORMAT parquet)"""
+    )
+    _symlink_rest(DOCS_OUT)
+
+
+def _strip_limit(oracle: str) -> str:
+    """Drop the trailing ORDER BY ... LIMIT k from an oracle (every
+    graph/RAKE oracle ends with exactly one)."""
+    i = oracle.rstrip().rfind("ORDER BY")
+    return oracle[:i]
+
+
+def _compare(spark_df, duck_df) -> str:
+    import pandas as pd  # noqa: F401
+
+    sp = spark_df.toPandas()
+    du = duck_df
+    if sorted(sp.columns) != sorted(du.columns):
+        return f"SCHEMA DIFF {sorted(sp.columns)} vs {sorted(du.columns)}"
+    sp = sp[sorted(sp.columns)].astype(str).reset_index(drop=True)
+    du = du[sorted(du.columns)].astype(str).reset_index(drop=True)
+    if len(sp) != len(du):
+        return f"ROWS DIFF {len(sp)} vs {len(du)}"
+    if not sp.equals(du):
+        diff = (sp != du).any(axis=1)
+        return f"VALUE DIFF at rows {list(sp.index[diff])[:5]}"
+    return "MATCH"
+
+
+def probe_kcore(spark, con) -> None:
+    from glue_etl_pyspark_spark.queries.graph import KCORE_ORACLE, _KCORE_TOPK
+    from glue_etl_pyspark_spark.registry import load_all
+
+    fn = load_all()["graph_kcore_peel"].fn
+    t0 = time.time()
+    n1 = fn(spark, SF).count()
+    anchor = time.time() - t0
+    t0 = time.time()
+    sp100 = fn(spark, GRAPH_OUT)
+    sp100.persist()
+    n100 = sp100.count()
+    cold = time.time() - t0
+    # expected 100x from the full 1x core table: replicate per clone,
+    # n_core scales by FACTOR, k invariant, re-rank globally
+    body = _strip_limit(KCORE_ORACLE)
+    t0 = time.time()
+    exp = con.execute(
+        f"""WITH base AS ({body})
+        SELECT node + c.c * {PART_SHIFT} AS node, core_deg,
+               CAST(n_core * {FACTOR} AS BIGINT) AS n_core, k_threshold
+        FROM base CROSS JOIN
+          (SELECT unnest(generate_series(0, {FACTOR - 1})) AS c) c
+        ORDER BY core_deg DESC, node LIMIT {_KCORE_TOPK}"""
+    ).df()
+    verdict = _compare(sp100, exp)
+    print(
+        f"graph_kcore_peel: 1x {n1} rows/{anchor:.1f}s -> 100x {n100} rows/"
+        f"{cold:.1f}s; derived-expected check @100x: {verdict} "
+        f"({time.time() - t0:.1f}s oracle side)",
+        flush=True,
+    )
+    sp100.unpersist()
+
+
+def probe_lpa(spark, con) -> None:
+    from glue_etl_pyspark_spark.queries.graph import LPA_ORACLE, _LPA_TOPK
+    from glue_etl_pyspark_spark.registry import load_all
+
+    fn = load_all()["graph_label_propagation"].fn
+    t0 = time.time()
+    n1 = fn(spark, SF).count()
+    anchor = time.time() - t0
+    t0 = time.time()
+    sp100 = fn(spark, GRAPH_OUT)
+    sp100.persist()
+    n100 = sp100.count()
+    cold = time.time() - t0
+    body = _strip_limit(LPA_ORACLE)
+    t0 = time.time()
+    exp = con.execute(
+        f"""WITH base AS ({body})
+        SELECT community + c.c * {PART_SHIFT} AS community, n_members,
+               min_node + c.c * {PART_SHIFT} AS min_node,
+               max_node + c.c * {PART_SHIFT} AS max_node
+        FROM base CROSS JOIN
+          (SELECT unnest(generate_series(0, {FACTOR - 1})) AS c) c
+        ORDER BY n_members DESC, community LIMIT {_LPA_TOPK}"""
+    ).df()
+    verdict = _compare(sp100, exp)
+    print(
+        f"graph_label_propagation: 1x {n1} rows/{anchor:.1f}s -> 100x "
+        f"{n100} rows/{cold:.1f}s; derived-expected check @100x: {verdict} "
+        f"({time.time() - t0:.1f}s oracle side)",
+        flush=True,
+    )
+    sp100.unpersist()
+
+
+def probe_rake(spark, con) -> None:
+    from glue_etl_pyspark_spark.queries.llm_text import RAKE_ORACLE, _RAKE_TOPK
+    from glue_etl_pyspark_spark.registry import load_all
+
+    fn = load_all()["text_rake_keywords"].fn
+    t0 = time.time()
+    n1 = fn(spark, SF).count()
+    anchor = time.time() - t0
+    t0 = time.time()
+    sp100 = fn(spark, DOCS_OUT)
+    sp100.persist()
+    n100 = sp100.count()
+    cold = time.time() - t0
+    body = _strip_limit(RAKE_ORACLE)
+    t0 = time.time()
+    exp = con.execute(
+        f"""WITH base AS ({body})
+        SELECT phrase, CAST(n_occ * {FACTOR} AS BIGINT) AS n_occ,
+               CAST(deg_sum * {FACTOR} AS BIGINT) AS deg_sum,
+               CAST(freq_sum * {FACTOR} AS BIGINT) AS freq_sum,
+               score_ppm
+        FROM base
+        ORDER BY score_ppm DESC, phrase LIMIT {_RAKE_TOPK}"""
+    ).df()
+    verdict = _compare(sp100, exp)
+    print(
+        f"text_rake_keywords: 1x {n1} rows/{anchor:.1f}s -> 100x {n100} "
+        f"rows/{cold:.1f}s; derived-expected check @100x: {verdict} "
+        f"({time.time() - t0:.1f}s oracle side)",
+        flush=True,
+    )
+    sp100.unpersist()
+
+
+def main() -> None:
+    from glue_etl_pyspark_spark.parity import duckdb_connect
+    from glue_etl_pyspark_spark.session import get_spark
+
+    which = set(sys.argv[1:]) or {"kcore", "lpa", "rake"}
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    if {"kcore", "lpa"} & which:
+        build_graph_clone()
+    if "rake" in which:
+        build_docs_clone()
+    con = duckdb_connect(SF)
+    if "kcore" in which:
+        probe_kcore(spark, con)
+    if "lpa" in which:
+        probe_lpa(spark, con)
+    if "rake" in which:
+        probe_rake(spark, con)
+
+
+if __name__ == "__main__":
+    main()
