@@ -927,3 +927,181 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()
     und.unpersist()
     return out
+
+
+# --- connected components (hash-to-min + pointer jumping) ------------
+
+# 3 rounds of (neighbor-min, then pointer jump label <- label[label]):
+# the jump DOUBLES the propagation radius per round (Rastogi et al.
+# 2012 "Finding Connected Components in Map-Reduce", the Hash-to-Min
+# family) — O(log diameter) rounds where LPA-style propagation needs
+# O(diameter). The new scale lesson of this op: convergence radius is
+# a multiplicative resource, and the jump step buys it with a
+# node-scaled self-join instead of another edge-scaled round.
+_CC_ROUNDS = 3
+_CC_TOPK = 20
+# Sparsifier target: mean kept degree 1.5 (above the percolation
+# threshold 1.0 so a giant component exists, low enough that real
+# component structure survives). The keep-threshold is DATA-ADAPTIVE —
+# t = 750 * n_nodes / n_edges, so the kept-edge fraction falls as the
+# co-purchase graph densifies with SF and the component structure
+# stays scale-stable (a fixed keep-% is the q11 fixed-constant class:
+# at 10x the graph collapses into one giant component and the top-20
+# output SHRINKS). Pure integer math on both engines; u*31+v stays
+# far below 2^63 even on shifted 100x-clone keys. (COUNT(DISTINCT u)
+# over the u<v pair set is a lower-endpoint node proxy — identical on
+# both engines, and a constant-factor proxy is all a target-degree
+# heuristic needs.) DuckDB spelling uses //, Spark uses DIV — floor
+# vs truncation agree on positive operands.
+_CC_KEEP_T_SQL = "(750 * COUNT(DISTINCT u)) // COUNT(*)"
+_CC_KEEP_T_SPARK = "CAST((750 * COUNT(DISTINCT u)) DIV COUNT(*) AS BIGINT)"
+
+
+def _cc_oracle() -> str:
+    ctes = []
+    for k in range(1, _CC_ROUNDS + 1):
+        ctes.append(
+            f"""m{k} AS MATERIALIZED (
+  SELECT nd, MIN(label) AS label FROM (
+    SELECT e.u AS nd, p.label FROM edges e JOIN r{k - 1} p ON p.node = e.v
+    UNION ALL
+    SELECT node AS nd, label FROM r{k - 1}
+  ) s GROUP BY nd
+),
+r{k} AS MATERIALIZED (
+  SELECT a.nd AS node, b.label FROM m{k} a JOIN m{k} b ON b.nd = a.nd_label
+)""".replace(
+                "b.nd = a.nd_label", "b.nd = a.label"
+            )
+        )
+    return f"""
+WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+cpairs AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+),
+keep AS MATERIALIZED (SELECT CAST({_CC_KEEP_T_SQL} AS BIGINT) AS t FROM cpairs),
+sparse AS MATERIALIZED (
+  SELECT u, v FROM cpairs WHERE (u * 31 + v) % 1000 < (SELECT t FROM keep)
+),
+edges AS MATERIALIZED (SELECT u, v FROM sparse UNION ALL SELECT v, u FROM sparse),
+r0 AS (SELECT DISTINCT u AS node, u AS label FROM edges),
+{','.join(ctes)}
+SELECT CAST(label AS BIGINT) AS component,
+  CAST(COUNT(*) AS BIGINT) AS n_members,
+  CAST(MIN(node) AS BIGINT) AS min_node,
+  CAST(MAX(node) AS BIGINT) AS max_node,
+  (SELECT CAST(COUNT(DISTINCT label) AS BIGINT) FROM r{_CC_ROUNDS})
+    AS n_components
+FROM r{_CC_ROUNDS} GROUP BY label
+ORDER BY n_members DESC, component LIMIT {_CC_TOPK}
+"""
+
+
+CC_ORACLE = _cc_oracle()
+
+
+def cc_labels(und: DataFrame, rounds: int) -> DataFrame:
+    """(node, label) after ``rounds`` of hash-to-min + pointer jump
+    over a symmetric edge frame (u, v). Every label value is a node id
+    (min over a set that always contains the node itself), so the jump
+    self-join is inner. Property-tested against a driver-side BFS on
+    adversarial toy graphs in tests/test_graph_ops.py."""
+    labels = (
+        und.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        nbr = und.join(labels, und["v"] == labels["node"]).select(
+            und["u"].alias("nd"), "label"
+        )
+        m = (
+            nbr.unionAll(labels.select(F.col("node").alias("nd"), "label"))
+            .groupBy("nd")
+            .agg(F.min("label").alias("label"))
+        )
+        m2 = m.select(F.col("nd").alias("jnode"), F.col("label").alias("jlabel"))
+        labels = (
+            m.join(m2, m["label"] == m2["jnode"])
+            .select(F.col("nd").alias("node"), F.col("jlabel").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+@query("graph_connected_components", oracle=CC_ORACLE, category="graph")
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round connected components over the sparsified part
+    co-purchase graph (the partitioning primitive behind dedup-cluster
+    consolidation and entity resolution): 3 rounds of hash-to-min
+    (every node takes the min label over itself + neighbors) each
+    followed by a pointer jump (label <- label-of-label), top-20
+    components by size plus the total component count. Min-label
+    semantics are fully deterministic, so the fixed-round loop unrolls
+    into the oracle's chained CTEs and the whole iterative computation
+    is hash-checked (pure integers).
+
+    Scale: the min-propagate round is one edge-keyed equi-join + a
+    map-side-combinable MIN — LPA's linear-radius step — but the jump
+    is a NODE-scaled self-join that squares the effective propagation
+    distance, giving O(log diameter) total rounds (Hash-to-Min,
+    Rastogi et al. 2012). The sparsifier threshold is data-adaptive
+    (mean kept degree pinned at 1.5) so component structure survives
+    SF-driven densification; the edge frame is corpus-scaled and
+    re-read every round (DISK_ONLY, the winnow rule); label frames
+    localCheckpoint per round (the iterative-lineage rule)."""
+    from pyspark import StorageLevel
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    op = li.distinct()
+    a = op.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("v"))
+    cpairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("w"))
+        .select("u", "v")
+    )
+    cpairs = cpairs.persist(StorageLevel.DISK_ONLY)
+    # constant-size (1 row) threshold frame, crossJoined into the
+    # sparsifying filter — materialize or the reference re-aggregates
+    # the full pair set (the kcore kparam lesson)
+    keep = cpairs.agg(
+        F.expr(_CC_KEEP_T_SPARK).alias("t")
+    ).localCheckpoint(eager=True)
+    sparse = (
+        cpairs.crossJoin(keep)
+        .filter((F.col("u") * 31 + F.col("v")) % 1000 < F.col("t"))
+        .select("u", "v")
+    )
+    und = (
+        sparse.unionAll(sparse.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    labels = cc_labels(und, _CC_ROUNDS)
+    ncomp = labels.agg(
+        F.countDistinct("label").cast("bigint").alias("n_components")
+    ).localCheckpoint(eager=True)
+    out = (
+        labels.groupBy(F.col("label").alias("component"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        .crossJoin(ncomp)
+        .orderBy(F.desc("n_members"), "component")
+        .limit(_CC_TOPK)
+    )
+    # release the corpus-scaled edge blocks once the constant-size
+    # top-k is materialized (winnow idiom)
+    out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    und.unpersist()
+    cpairs.unpersist()
+    return out

@@ -15,12 +15,12 @@ exact 100x answer is DERIVABLE in DuckDB from the full (un-LIMITed)
   ratio (count*3 DIV nodes*4) so it is clone-invariant; n_core scales
   exactly 100x; top-20 by (core_deg DESC, node) = the globally best
   core_deg rows with the smallest shifted node ids.
-- LPA: community structure identical per clone; sizes invariant;
-  top-20 by (n_members DESC, community) picks the smallest shifted
-  community ids among equal sizes.
 - RAKE: freq/deg/n_occ/deg_sum/freq_sum all scale exactly 100x and
   score_ppm = deg_sum*1e6 // freq_sum is invariant under the common
   factor (floor of an unchanged rational), so ordering is unchanged.
+- LPA is the exception (see probe_lpa docstring): the KNN tie-break
+  hash mixes absolute ids, so clones are NOT isomorphic — it gets a
+  per-clone full-oracle subset check instead.
 
 Each expected frame is computed END-TO-END IN DUCKDB (1x oracle minus
 LIMIT + a clone cross join + the query's own ORDER BY/LIMIT) and
@@ -103,20 +103,26 @@ def _strip_limit(oracle: str) -> str:
     return oracle[:i]
 
 
-def _compare(spark_df, duck_df) -> str:
-    import pandas as pd  # noqa: F401
+def _compare(spark_df, duck_res) -> str:
+    """Order-insensitive, canonically-normalized frame compare (the
+    repo's parity._normalize — floats 6dp, dates iso)."""
+    from glue_etl_pyspark_spark.parity import _normalize
 
-    sp = spark_df.toPandas()
-    du = duck_df
-    if sorted(sp.columns) != sorted(du.columns):
-        return f"SCHEMA DIFF {sorted(sp.columns)} vs {sorted(du.columns)}"
-    sp = sp[sorted(sp.columns)].astype(str).reset_index(drop=True)
-    du = du[sorted(du.columns)].astype(str).reset_index(drop=True)
-    if len(sp) != len(du):
-        return f"ROWS DIFF {len(sp)} vs {len(du)}"
-    if not sp.equals(du):
-        diff = (sp != du).any(axis=1)
-        return f"VALUE DIFF at rows {list(sp.index[diff])[:5]}"
+    srows = [tuple(r) for r in spark_df.collect()]
+    scols = list(spark_df.columns)
+    ocols = [d[0] for d in duck_res.description]
+    orows = [tuple(r) for r in duck_res.fetchall()]
+    if sorted(scols) != sorted(ocols):
+        return f"SCHEMA DIFF {sorted(scols)} vs {sorted(ocols)}"
+    if len(srows) != len(orows):
+        return f"ROWS DIFF {len(srows)} vs {len(orows)}"
+    if not srows:
+        return "VACUOUS (0 rows both sides)"
+    sn = _normalize(srows, scols)
+    on = _normalize(orows, ocols)
+    if sn != on:
+        d = [f"{a} vs {b}" for a, b in zip(sn, on) if a != b][:3]
+        return "VALUE DIFF " + "; ".join(d)
     return "MATCH"
 
 
@@ -144,7 +150,7 @@ def probe_kcore(spark, con) -> None:
         FROM base CROSS JOIN
           (SELECT unnest(generate_series(0, {FACTOR - 1})) AS c) c
         ORDER BY core_deg DESC, node LIMIT {_KCORE_TOPK}"""
-    ).df()
+    )
     verdict = _compare(sp100, exp)
     print(
         f"graph_kcore_peel: 1x {n1} rows/{anchor:.1f}s -> 100x {n100} rows/"
@@ -156,7 +162,25 @@ def probe_kcore(spark, con) -> None:
 
 
 def probe_lpa(spark, con) -> None:
-    from glue_etl_pyspark_spark.queries.graph import LPA_ORACLE, _LPA_TOPK
+    """LPA cannot use the replicate-the-1x-answer construction kcore
+    and RAKE use: the KNN cap's tie-break hash mixes ABSOLUTE node
+    ids, so an id-shifted clone selects a (deterministically)
+    DIFFERENT capped graph — clones are not isomorphic copies and
+    community sizes legitimately differ per clone (measured: max size
+    1648 in clone 0 vs 3349 in clone 1). Deterministic for any given
+    id space, so production semantics are fine; only the naive
+    derived-expected probe is invalid.
+
+    Instead, the VERDICT-r13-item-4 subset check: every community in
+    Spark's 100x top-20 belongs to an identifiable clone
+    (community DIV PART_SHIFT); for each such clone, run the FULL 1x
+    oracle in DuckDB over that clone's shifted lineitem (1x-scale
+    work — the 100x whole-graph oracle exhausts DuckDB temp) and
+    require the Spark row to appear EXACTLY (community, n_members,
+    min_node, max_node) in that clone's community table."""
+    import duckdb
+
+    from glue_etl_pyspark_spark.queries.graph import LPA_ORACLE
     from glue_etl_pyspark_spark.registry import load_all
 
     fn = load_all()["graph_label_propagation"].fn
@@ -164,29 +188,40 @@ def probe_lpa(spark, con) -> None:
     n1 = fn(spark, SF).count()
     anchor = time.time() - t0
     t0 = time.time()
-    sp100 = fn(spark, GRAPH_OUT)
-    sp100.persist()
-    n100 = sp100.count()
+    rows = fn(spark, GRAPH_OUT).collect()
     cold = time.time() - t0
     body = _strip_limit(LPA_ORACLE)
     t0 = time.time()
-    exp = con.execute(
-        f"""WITH base AS ({body})
-        SELECT community + c.c * {PART_SHIFT} AS community, n_members,
-               min_node + c.c * {PART_SHIFT} AS min_node,
-               max_node + c.c * {PART_SHIFT} AS max_node
-        FROM base CROSS JOIN
-          (SELECT unnest(generate_series(0, {FACTOR - 1})) AS c) c
-        ORDER BY n_members DESC, community LIMIT {_LPA_TOPK}"""
-    ).df()
-    verdict = _compare(sp100, exp)
+    clones = sorted({int(r.community) // PART_SHIFT for r in rows})
+    expected: set[tuple] = set()
+    for c in clones:
+        cc = duckdb.connect()
+        cc.execute(
+            f"""CREATE VIEW lineitem AS
+            SELECT l_orderkey + {c} * {ORDER_SHIFT} AS l_orderkey,
+                   l_partkey + {c} * {PART_SHIFT} AS l_partkey
+            FROM read_parquet('{SF}/lineitem.parquet')"""
+        )
+        for t in cc.execute(body).fetchall():
+            expected.add(tuple(t))
+        cc.close()
+    missing = [
+        r
+        for r in rows
+        if (r.community, r.n_members, r.min_node, r.max_node) not in expected
+    ]
+    verdict = (
+        f"MATCH (all {len(rows)} top-k rows exact in their clones' full "
+        f"1x-oracle community tables; {len(clones)} clones checked)"
+        if not missing
+        else f"FAIL: {len(missing)} rows absent, first {missing[:2]}"
+    )
     print(
         f"graph_label_propagation: 1x {n1} rows/{anchor:.1f}s -> 100x "
-        f"{n100} rows/{cold:.1f}s; derived-expected check @100x: {verdict} "
-        f"({time.time() - t0:.1f}s oracle side)",
+        f"{len(rows)} rows/{cold:.1f}s; per-clone subset check @100x: "
+        f"{verdict} ({time.time() - t0:.1f}s oracle side)",
         flush=True,
     )
-    sp100.unpersist()
 
 
 def probe_rake(spark, con) -> None:
@@ -212,7 +247,7 @@ def probe_rake(spark, con) -> None:
                score_ppm
         FROM base
         ORDER BY score_ppm DESC, phrase LIMIT {_RAKE_TOPK}"""
-    ).df()
+    )
     verdict = _compare(sp100, exp)
     print(
         f"text_rake_keywords: 1x {n1} rows/{anchor:.1f}s -> 100x {n100} "

@@ -128,3 +128,72 @@ def test_r13_additions_width_determinism(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", orig)
     for n in names:
         assert all(r == runs[n][0] for r in runs[n][1:]), f"{n} varies with width"
+
+
+def _cc_brute(edges: set[tuple[int, int]]) -> dict[int, int]:
+    """True component min-label per node, driver-side BFS."""
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    label: dict[int, int] = {}
+    for start in sorted(adj):
+        if start in label:
+            continue
+        comp, todo = [], [start]
+        seen = {start}
+        while todo:
+            n = todo.pop()
+            comp.append(n)
+            for nb in adj[n]:
+                if nb not in seen:
+                    seen.add(nb)
+                    todo.append(nb)
+        m = min(comp)
+        for n in comp:
+            label[n] = m
+    return label
+
+
+@pytest.mark.parametrize(
+    "edges,rounds",
+    [
+        ({(i, i + 1) for i in range(7)}, 3),                 # 8-path: needs the jump
+        ({(0, 1), (2, 3), (4, 5), (6, 7)}, 1),               # 4 disjoint pairs
+        ({(a, b) for a, b in combinations(range(5), 2)}, 1), # K5
+        ({(0, 1), (1, 2), (3, 4), (5, 6), (6, 7), (7, 8)}, 2),
+    ],
+)
+def test_cc_known_shapes(spark, edges, rounds):
+    """Hash-to-min + pointer jump reaches the true component min in
+    few rounds: 1 round covers radius ~2-3, the jump doubles it — an
+    8-node path converges in 3 rounds where pure min-propagation
+    needs 7."""
+    from glue_etl_pyspark_spark.queries.graph import cc_labels
+
+    df = spark.createDataFrame(sorted(edges), "u bigint, v bigint")
+    und = df.unionAll(df.selectExpr("v as u", "u as v"))
+    got = {r.node: r.label for r in cc_labels(und, rounds).collect()}
+    assert got == _cc_brute(edges)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.sets(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).map(
+            lambda t: (min(t), max(t))
+        ).filter(lambda t: t[0] < t[1]),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_cc_random_graphs(spark, edges):
+    """On ≤10-node graphs (diameter ≤ 9) 3 jump rounds always reach
+    the true components."""
+    from glue_etl_pyspark_spark.queries.graph import cc_labels
+
+    df = spark.createDataFrame(sorted(edges), "u bigint, v bigint")
+    und = df.unionAll(df.selectExpr("v as u", "u as v"))
+    got = {r.node: r.label for r in cc_labels(und, 3).collect()}
+    assert got == _cc_brute(edges)
