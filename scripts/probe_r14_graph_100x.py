@@ -258,14 +258,71 @@ def probe_rake(spark, con) -> None:
     sp100.unpersist()
 
 
+def probe_cc(spark) -> None:
+    """connected components shares LPA's non-isomorphic-clone property
+    (the SPARSIFIER hash mixes absolute ids), but its per-clone oracle
+    is so cheap (0.4 s at sf0.1) that the FULL expected 100x answer is
+    affordable: run the un-LIMITed 1x oracle over every clone's
+    shifted lineitem, take the global top-20 by (n_members DESC,
+    component), and sum the per-clone component counts for the exact
+    global n_components. Whole-answer external evidence at 100x."""
+    import duckdb
+
+    from glue_etl_pyspark_spark.queries.graph import CC_ORACLE, _CC_TOPK
+    from glue_etl_pyspark_spark.registry import load_all
+
+    fn = load_all()["graph_connected_components"].fn
+    t0 = time.time()
+    n1 = fn(spark, SF).count()
+    anchor = time.time() - t0
+    t0 = time.time()
+    rows = fn(spark, GRAPH_OUT).collect()
+    cold = time.time() - t0
+    body = _strip_limit(CC_ORACLE)
+    t0 = time.time()
+    all_comms: list[tuple] = []
+    n_total = 0
+    for c in range(FACTOR):
+        cc = duckdb.connect()
+        cc.execute(
+            f"""CREATE VIEW lineitem AS
+            SELECT l_orderkey + {c} * {ORDER_SHIFT} AS l_orderkey,
+                   l_partkey + {c} * {PART_SHIFT} AS l_partkey
+            FROM read_parquet('{SF}/lineitem.parquet')"""
+        )
+        clone_rows = cc.execute(body).fetchall()
+        cc.close()
+        # columns: component, n_members, min_node, max_node, n_components
+        # (per-clone count — replaced by the global total below)
+        n_total += clone_rows[0][4] if clone_rows else 0
+        all_comms.extend(r[:4] for r in clone_rows)
+    all_comms.sort(key=lambda r: (-r[1], r[0]))
+    expected = [r + (n_total,) for r in all_comms[:_CC_TOPK]]
+    got = [
+        (r.component, r.n_members, r.min_node, r.max_node, r.n_components)
+        for r in rows
+    ]
+    verdict = (
+        f"MATCH (exact whole answer incl global n_components={n_total})"
+        if got == expected
+        else f"FAIL: got {got[:2]} expected {expected[:2]}"
+    )
+    print(
+        f"graph_connected_components: 1x {n1} rows/{anchor:.1f}s -> 100x "
+        f"{len(rows)} rows/{cold:.1f}s; full per-clone expected @100x: "
+        f"{verdict} ({time.time() - t0:.1f}s oracle side)",
+        flush=True,
+    )
+
+
 def main() -> None:
     from glue_etl_pyspark_spark.parity import duckdb_connect
     from glue_etl_pyspark_spark.session import get_spark
 
-    which = set(sys.argv[1:]) or {"kcore", "lpa", "rake"}
+    which = set(sys.argv[1:]) or {"kcore", "lpa", "rake", "cc"}
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
-    if {"kcore", "lpa"} & which:
+    if {"kcore", "lpa", "cc"} & which:
         build_graph_clone()
     if "rake" in which:
         build_docs_clone()
@@ -276,6 +333,8 @@ def main() -> None:
         probe_lpa(spark, con)
     if "rake" in which:
         probe_rake(spark, con)
+    if "cc" in which:
+        probe_cc(spark)
 
 
 if __name__ == "__main__":

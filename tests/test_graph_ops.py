@@ -197,3 +197,22 @@ def test_cc_random_graphs(spark, edges):
     und = df.unionAll(df.selectExpr("v as u", "u as v"))
     got = {r.node: r.label for r in cc_labels(und, 3).collect()}
     assert got == _cc_brute(edges)
+
+
+def test_cc_width_determinism(spark, sf_dir):
+    """graph_connected_components (checkpointed jump rounds + adaptive
+    sparsifier threshold) must return identical rows at shuffle widths
+    2/32/200 (the r13 bit-stability gate, extended to the r14
+    addition)."""
+    from glue_etl_pyspark_spark.registry import load_all
+
+    fn = load_all()["graph_connected_components"].fn
+    runs = []
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for parts in ("2", "32", "200"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            runs.append(sorted(tuple(r) for r in fn(spark, sf_dir).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert all(r == runs[0] for r in runs[1:]), "CC varies with width"
