@@ -1105,3 +1105,239 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     und.unpersist()
     cpairs.unpersist()
     return out
+
+
+# --- Borůvka minimum spanning forest ---------------------------------
+
+# 2 synchronous Borůvka rounds over the sparsified weighted
+# co-purchase graph: every component selects its minimum-weight
+# outgoing edge under a GLOBALLY CONSISTENT total order on undirected
+# edges — (w, least(u,v), greatest(u,v)) — which is the classical
+# condition making the selected set cycle-free (the heaviest edge of
+# any would-be cycle cannot be either endpoint component's minimum);
+# mutual selections collapse in the normalized-DISTINCT forest.
+# Components then contract via the hash-to-min + pointer-jump
+# machinery (cc_labels) and the round repeats, roughly halving the
+# component count (Borůvka 1926; the MapReduce-MST shape of
+# Karloff-Suri-Vassilvitskii 2010). The scale lesson vs the rest of
+# the graph family: per-component edge selection is ONE map-side-
+# combinable min per component key (a row_number over candidate
+# edges partitioned by component), never a global edge sort — the
+# 100 TB MSF bottleneck is the candidate join, which stays linear in
+# edges per round while rounds go O(log n).
+_MSF_ROUNDS = 2
+_MSF_JUMPS = 3  # contraction reuses cc_labels' bounded jump rounds
+_MSF_TOPK = 20
+
+
+def _msf_oracle() -> str:
+    ctes = [
+        "L0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM und)"
+    ]
+    for b in range(1, _MSF_ROUNDS + 1):
+        ctes.append(
+            f"""cand{b} AS MATERIALIZED (
+  SELECT la.label AS cu, lb.label AS cv, e.w, e.u, e.v
+  FROM und e
+  JOIN L{b - 1} la ON la.node = e.u
+  JOIN L{b - 1} lb ON lb.node = e.v
+  WHERE la.label <> lb.label
+),
+sel{b} AS MATERIALIZED (
+  SELECT cu, cv, w, u, v FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY cu ORDER BY w, LEAST(u, v), GREATEST(u, v)) AS rn
+    FROM cand{b}
+  ) t WHERE rn = 1
+),
+se{b} AS MATERIALIZED (
+  SELECT cu AS u, cv AS v FROM sel{b} UNION SELECT cv, cu FROM sel{b}
+),
+s{b}r0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM se{b})"""
+        )
+        for j in range(1, _MSF_JUMPS + 1):
+            ctes.append(
+                f"""s{b}m{j} AS MATERIALIZED (
+  SELECT nd, MIN(label) AS label FROM (
+    SELECT e.u AS nd, p.label FROM se{b} e JOIN s{b}r{j - 1} p ON p.node = e.v
+    UNION ALL
+    SELECT node AS nd, label FROM s{b}r{j - 1}
+  ) s GROUP BY nd
+),
+s{b}r{j} AS MATERIALIZED (
+  SELECT a.nd AS node, b.label FROM s{b}m{j} a JOIN s{b}m{j} b ON b.nd = a.label
+)"""
+            )
+        ctes.append(
+            f"""L{b} AS MATERIALIZED (
+  SELECT p.node, COALESCE(c.label, p.label) AS label
+  FROM L{b - 1} p LEFT JOIN s{b}r{_MSF_JUMPS} c ON c.node = p.label
+)"""
+        )
+    sel_union = " UNION ALL ".join(
+        f"SELECT u, v, w FROM sel{b}" for b in range(1, _MSF_ROUNDS + 1)
+    )
+    return f"""
+WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+cpairs AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, CAST(COUNT(*) AS BIGINT) AS w
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+),
+keep AS MATERIALIZED (SELECT CAST({_CC_KEEP_T_SQL} AS BIGINT) AS t FROM cpairs),
+sparse AS MATERIALIZED (
+  SELECT u, v, w FROM cpairs WHERE (u * 31 + v) % 1000 < (SELECT t FROM keep)
+),
+und AS MATERIALIZED (
+  SELECT u, v, w FROM sparse UNION ALL SELECT v, u, w FROM sparse
+),
+{','.join(ctes)},
+forest AS MATERIALIZED (
+  SELECT DISTINCT LEAST(u, v) AS part_a, GREATEST(u, v) AS part_b, w
+  FROM ({sel_union}) s
+)
+SELECT CAST(part_a AS BIGINT) AS part_a, CAST(part_b AS BIGINT) AS part_b,
+  CAST(w AS BIGINT) AS w,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM forest) AS n_forest_edges,
+  (SELECT CAST(SUM(w) AS BIGINT) FROM forest) AS total_forest_w,
+  (SELECT CAST(COUNT(DISTINCT label) AS BIGINT) FROM L{_MSF_ROUNDS})
+    AS n_components_after
+FROM forest ORDER BY w DESC, part_a, part_b LIMIT {_MSF_TOPK}
+"""
+
+
+MSF_ORACLE = _msf_oracle()
+
+
+def boruvka_forest(
+    und: DataFrame, rounds: int, jumps: int
+) -> tuple[DataFrame, DataFrame]:
+    """(labels, forest) after ``rounds`` bounded Borůvka rounds over a
+    symmetric weighted edge frame (u, v, w). forest rows are
+    normalized undirected edges (part_a < part_b, w); labels map every
+    node to its component after the final bounded contraction.
+    Property-tested against a driver-side simulation of the identical
+    bounded algorithm AND the subset-of-Kruskal-MST invariant on
+    distinct-weight graphs in tests/test_graph_ops.py."""
+    from pyspark.sql.window import Window
+
+    labels = (
+        und.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    sels = []
+    wn = Window.partitionBy("cu").orderBy(
+        "w", F.least("u", "v"), F.greatest("u", "v")
+    )
+    for _ in range(rounds):
+        la = labels.select(F.col("node").alias("u"), F.col("label").alias("cu"))
+        lb = labels.select(F.col("node").alias("v"), F.col("label").alias("cv"))
+        cand = (
+            und.join(la, "u")
+            .join(lb, "v")
+            .filter(F.col("cu") != F.col("cv"))
+            .select("cu", "cv", "w", "u", "v")
+        )
+        sel = (
+            cand.withColumn("rn", F.row_number().over(wn))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+            .localCheckpoint(eager=True)
+        )
+        sels.append(sel)
+        sedges = (
+            sel.select(F.col("cu").alias("u"), F.col("cv").alias("v"))
+            .unionAll(sel.select(F.col("cv").alias("u"), F.col("cu").alias("v")))
+            .distinct()
+        )
+        supl = cc_labels(sedges, jumps).select(
+            F.col("node").alias("l"), F.col("label").alias("nl")
+        )
+        labels = (
+            labels.join(supl, labels["label"] == supl["l"], "left")
+            .select("node", F.coalesce("nl", "label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    forest = (
+        sels[0]
+        .unionAll(*sels[1:])
+        if len(sels) > 1
+        else sels[0]
+    ).select(
+        F.least("u", "v").alias("part_a"),
+        F.greatest("u", "v").alias("part_b"),
+        "w",
+    ).distinct()
+    return labels, forest
+
+
+@query("graph_boruvka_msf", oracle=MSF_ORACLE, category="graph")
+def graph_boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round Borůvka minimum spanning forest over the
+    sparsified weighted co-purchase graph (the backbone/clustering
+    primitive behind single-linkage clustering and network design):
+    2 rounds of per-component min-edge selection under the consistent
+    (w, least, greatest) total order, each followed by hash-to-min +
+    pointer-jump contraction (cc_labels). Output: top-20 heaviest
+    forest edges plus the forest size, total weight, and component
+    count after the bounded rounds — all pure integers, so the whole
+    iterative computation unrolls into the chained-CTE oracle and is
+    hash-checked.
+
+    Scale: the candidate join is edge-linear per round (two label
+    equi-joins — the Pregel step); selection is one row_number per
+    component key, map-side-combinable, never a global edge sort;
+    contraction is node-scaled (the CC jump lesson). Edge frame
+    DISK_ONLY (corpus-scaled, re-read per round); per-round frames
+    localCheckpoint (iterative-lineage rule)."""
+    from pyspark import StorageLevel
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    op = li.distinct()
+    a = op.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("v"))
+    cpairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("bigint").alias("w"))
+    )
+    cpairs = cpairs.persist(StorageLevel.DISK_ONLY)
+    keep = cpairs.agg(
+        F.expr(_CC_KEEP_T_SPARK).alias("t")
+    ).localCheckpoint(eager=True)
+    sparse = (
+        cpairs.crossJoin(keep)
+        .filter((F.col("u") * 31 + F.col("v")) % 1000 < F.col("t"))
+        .select("u", "v", "w")
+    )
+    und = (
+        sparse.unionAll(
+            sparse.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+        )
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    labels, forest = boruvka_forest(und, _MSF_ROUNDS, _MSF_JUMPS)
+    forest = forest.persist(StorageLevel.MEMORY_AND_DISK)
+    stats = forest.agg(
+        F.count("*").cast("bigint").alias("n_forest_edges"),
+        F.sum("w").cast("bigint").alias("total_forest_w"),
+    ).localCheckpoint(eager=True)
+    ncomp = labels.agg(
+        F.countDistinct("label").cast("bigint").alias("n_components_after")
+    ).localCheckpoint(eager=True)
+    out = (
+        forest.crossJoin(stats)
+        .crossJoin(ncomp)
+        .orderBy(F.desc("w"), "part_a", "part_b")
+        .limit(_MSF_TOPK)
+    )
+    out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    und.unpersist()
+    cpairs.unpersist()
+    forest.unpersist()
+    return out

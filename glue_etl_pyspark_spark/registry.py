@@ -59,8 +59,8 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 # remaining slots take one representative per r8-stale family (the 37
 # displaced, equally-r8-stale siblings move to DRIVER_DEFERRED and
 # lead the r15 window). After a clean r14 the oldest external evidence
-# moves r7 -> r8. The one r14 addition (connected components) is
-# never-checked and leads.
+# moves r7 -> r8. The two r14 additions (connected components,
+# Borůvka MSF) are never-checked and lead.
 DRIVER_REWORKED: tuple[str, ...] = ()
 
 # tests/test_registry.py asserts len(DRIVER_WINDOW) == 50 so the cutoff
@@ -72,6 +72,7 @@ DRIVER_REWORKED: tuple[str, ...] = ()
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- never-checked (registered r14) ---
     "graph_connected_components",
+    "graph_boruvka_msf",
     # --- last externally green in ROUND 7 (all 41, staged verbatim in
     #     the r13 DRIVER_DEFERRED) ---
     "agg_decimal_exact",
@@ -115,7 +116,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_stopword_topterms",
     "unpivot_stack",
     "window_analytic_extra",
-    # --- last externally green in ROUND 8 (8 of 46, one per family) ---
+    # --- last externally green in ROUND 8 (7 of 46, one per family) ---
     "agg_bitmap_distinct",
     "apply_mapping_orders",
     "func_string",
@@ -123,10 +124,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "knn_bruteforce_cosine",
     "stream_tumbling_rocksdb",
     "text_tfidf",
-    "udf_pandas_scalar",
 )
 
-# The 38 equally-r8-stale names displaced by the 50-slot width (each
+# The 39 equally-r8-stale names displaced by the 50-slot width (each
 # has an in-window sibling exercising the same machinery where one
 # exists: agg_collect_set/agg_salted_hotkey ride agg_bitmap_distinct,
 # resolve_choice_*/drop_null_fields/fill_missing ride
@@ -136,6 +136,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # text_tfidf, udf_* ride udf_pandas_scalar, window_*/topk ride
 # window_ranking). They lead the round-15 window.
 DRIVER_DEFERRED: tuple[str, ...] = (
+    "udf_pandas_scalar",
     "window_ranking",
     "agg_collect_set",
     "agg_salted_hotkey",

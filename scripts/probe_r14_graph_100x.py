@@ -315,14 +315,75 @@ def probe_cc(spark) -> None:
     )
 
 
+def probe_msf(spark) -> None:
+    """Borůvka MSF gets the CC treatment (its sparsifier and selection
+    keys hash/compare absolute ids, so clones are not isomorphic):
+    per-clone un-LIMITed 1x oracles build the exact global 100x
+    answer — forest top-20 by (w DESC, part_a, part_b) over the union,
+    with n_forest_edges / total_forest_w / n_components_after summed
+    across clones."""
+    import duckdb
+
+    from glue_etl_pyspark_spark.queries.graph import MSF_ORACLE, _MSF_TOPK
+    from glue_etl_pyspark_spark.registry import load_all
+
+    fn = load_all()["graph_boruvka_msf"].fn
+    t0 = time.time()
+    n1 = fn(spark, SF).count()
+    anchor = time.time() - t0
+    t0 = time.time()
+    rows = fn(spark, GRAPH_OUT).collect()
+    cold = time.time() - t0
+    body = _strip_limit(MSF_ORACLE)
+    t0 = time.time()
+    all_edges: list[tuple] = []
+    tot_edges = tot_w = tot_comp = 0
+    for c in range(FACTOR):
+        cc = duckdb.connect()
+        cc.execute(
+            f"""CREATE VIEW lineitem AS
+            SELECT l_orderkey + {c} * {ORDER_SHIFT} AS l_orderkey,
+                   l_partkey + {c} * {PART_SHIFT} AS l_partkey
+            FROM read_parquet('{SF}/lineitem.parquet')"""
+        )
+        clone_rows = cc.execute(body).fetchall()
+        cc.close()
+        # columns: part_a, part_b, w, n_forest_edges, total_forest_w,
+        # n_components_after (per-clone constants -> summed below)
+        if clone_rows:
+            tot_edges += clone_rows[0][3]
+            tot_w += clone_rows[0][4]
+            tot_comp += clone_rows[0][5]
+        all_edges.extend(r[:3] for r in clone_rows)
+    all_edges.sort(key=lambda r: (-r[2], r[0], r[1]))
+    expected = [r + (tot_edges, tot_w, tot_comp) for r in all_edges[:_MSF_TOPK]]
+    got = [
+        (r.part_a, r.part_b, r.w, r.n_forest_edges, r.total_forest_w,
+         r.n_components_after)
+        for r in rows
+    ]
+    verdict = (
+        f"MATCH (exact whole answer; forest {tot_edges} edges, total_w "
+        f"{tot_w}, components {tot_comp})"
+        if got == expected
+        else f"FAIL: got {got[:2]} expected {expected[:2]}"
+    )
+    print(
+        f"graph_boruvka_msf: 1x {n1} rows/{anchor:.1f}s -> 100x "
+        f"{len(rows)} rows/{cold:.1f}s; full per-clone expected @100x: "
+        f"{verdict} ({time.time() - t0:.1f}s oracle side)",
+        flush=True,
+    )
+
+
 def main() -> None:
     from glue_etl_pyspark_spark.parity import duckdb_connect
     from glue_etl_pyspark_spark.session import get_spark
 
-    which = set(sys.argv[1:]) or {"kcore", "lpa", "rake", "cc"}
+    which = set(sys.argv[1:]) or {"kcore", "lpa", "rake", "cc", "msf"}
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
-    if {"kcore", "lpa", "cc"} & which:
+    if {"kcore", "lpa", "cc", "msf"} & which:
         build_graph_clone()
     if "rake" in which:
         build_docs_clone()
@@ -335,6 +396,8 @@ def main() -> None:
         probe_rake(spark, con)
     if "cc" in which:
         probe_cc(spark)
+    if "msf" in which:
+        probe_msf(spark)
 
 
 if __name__ == "__main__":

@@ -199,20 +199,141 @@ def test_cc_random_graphs(spark, edges):
     assert got == _cc_brute(edges)
 
 
-def test_cc_width_determinism(spark, sf_dir):
-    """graph_connected_components (checkpointed jump rounds + adaptive
-    sparsifier threshold) must return identical rows at shuffle widths
-    2/32/200 (the r13 bit-stability gate, extended to the r14
-    addition)."""
+def test_r14_additions_width_determinism(spark, sf_dir):
+    """The r13 bit-stability gate extended to the r14 additions:
+    graph_connected_components (checkpointed jump rounds + adaptive
+    sparsifier threshold) and graph_boruvka_msf (per-component
+    row_number selection + jump contraction) must return identical
+    rows at shuffle widths 2/32/200."""
     from glue_etl_pyspark_spark.registry import load_all
 
-    fn = load_all()["graph_connected_components"].fn
-    runs = []
+    reg = load_all()
+    names = ("graph_connected_components", "graph_boruvka_msf")
+    runs: dict[str, list] = {n: [] for n in names}
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         for parts in ("2", "32", "200"):
             spark.conf.set("spark.sql.shuffle.partitions", parts)
-            runs.append(sorted(tuple(r) for r in fn(spark, sf_dir).collect()))
+            for n in names:
+                runs[n].append(
+                    sorted(tuple(r) for r in reg[n].fn(spark, sf_dir).collect())
+                )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
-    assert all(r == runs[0] for r in runs[1:]), "CC varies with width"
+    for n in names:
+        assert all(r == runs[n][0] for r in runs[n][1:]), f"{n} varies with width"
+
+
+def _sim_boruvka(edges_w: dict[tuple[int, int], int], rounds: int):
+    """Driver-side simulation of the IDENTICAL bounded algorithm:
+    per-component min edge under the (w, least, greatest) total
+    order, then full contraction (== the bounded pointer jumps on
+    toy-sized supernode graphs, diameter <= 9 < the 3-round radius
+    14)."""
+    nodes = sorted({n for e in edges_w for n in e})
+    label = {n: n for n in nodes}
+    forest: set[tuple[int, int, int]] = set()
+    for _ in range(rounds):
+        best: dict[int, tuple] = {}
+        for (u, v), w in edges_w.items():
+            for a, b in ((u, v), (v, u)):
+                cu, cv = label[a], label[b]
+                if cu == cv:
+                    continue
+                key = (w, min(a, b), max(a, b))
+                if cu not in best or key < best[cu][0]:
+                    best[cu] = (key, (a, b, w))
+        if not best:
+            break
+        sedges: set[tuple[int, int]] = set()
+        for _cu, (_key, (a, b, w)) in best.items():
+            forest.add((min(a, b), max(a, b), w))
+            sedges.add((label[a], label[b]))
+        adj: dict[int, set[int]] = {}
+        for x, y in sedges:
+            adj.setdefault(x, set()).add(y)
+            adj.setdefault(y, set()).add(x)
+        newl: dict[int, int] = {}
+        for start in sorted(adj):
+            if start in newl:
+                continue
+            comp, seen, todo = [start], {start}, [start]
+            while todo:
+                n = todo.pop()
+                for nb in adj[n]:
+                    if nb not in seen:
+                        seen.add(nb)
+                        todo.append(nb)
+                        comp.append(nb)
+            m = min(comp)
+            for n in comp:
+                newl[n] = m
+        label = {n: newl.get(label[n], label[n]) for n in nodes}
+    return label, forest
+
+
+def _kruskal_mst(edges_w: dict[tuple[int, int], int]) -> set:
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    mst = set()
+    for (u, v), w in sorted(edges_w.items(), key=lambda kv: (kv[1], kv[0])):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            mst.add((u, v, w))
+    return mst
+
+
+def _check_boruvka(spark, edges_w: dict[tuple[int, int], int], rounds: int = 2):
+    from glue_etl_pyspark_spark.queries.graph import boruvka_forest
+
+    rows = [(u, v, w) for (u, v), w in sorted(edges_w.items())]
+    df = spark.createDataFrame(rows, "u bigint, v bigint, w bigint")
+    und = df.unionAll(df.selectExpr("v as u", "u as v", "w"))
+    labels, forest = boruvka_forest(und, rounds, 3)
+    got_labels = {r.node: r.label for r in labels.collect()}
+    got_forest = {(r.part_a, r.part_b, r.w) for r in forest.collect()}
+    exp_labels, exp_forest = _sim_boruvka(edges_w, rounds)
+    assert got_forest == exp_forest
+    assert got_labels == exp_labels
+    # cycle-freedom + the cut property: with DISTINCT weights every
+    # Borůvka-selected edge belongs to the unique MST
+    if len(set(edges_w.values())) == len(edges_w):
+        assert got_forest <= _kruskal_mst(edges_w)
+
+
+@pytest.mark.parametrize(
+    "edges_w",
+    [
+        {(i, i + 1): 10 + i for i in range(7)},               # weighted path
+        {(0, 1): 5, (2, 3): 1, (4, 5): 9, (6, 7): 2},          # disjoint pairs
+        {e: 1 for e in combinations(range(5), 2)},             # K5, all ties
+        {(0, 1): 3, (1, 2): 1, (0, 2): 2,                      # two triangles
+         (2, 3): 7, (3, 4): 4, (2, 4): 6},
+        {(0, i): i for i in range(1, 8)},                      # star
+    ],
+)
+def test_boruvka_known_shapes(spark, edges_w):
+    _check_boruvka(spark, edges_w)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.dictionaries(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)).map(
+            lambda t: (min(t), max(t))
+        ).filter(lambda t: t[0] < t[1]),
+        st.integers(1, 9),
+        min_size=1,
+        max_size=14,
+    )
+)
+def test_boruvka_random_graphs(spark, edges_w):
+    _check_boruvka(spark, edges_w)
