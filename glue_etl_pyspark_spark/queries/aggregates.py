@@ -204,3 +204,133 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
     )
+
+
+# --- exact quantiles by domain bisection ------------------------------
+
+# Exact rank-k selection WITHOUT a sort: binary-search the VALUE
+# domain, one map-side-combinable conditional count per round — the
+# canonical 100 TB exact-quantile shape (a global sort shuffles the
+# corpus; percentile_approx is the approximate path; this is the exact
+# path at O(log domain) counting passes over one thin persisted
+# projection). Round count is bounded by the value-domain bit width
+# (price cents < 2^24 — a DOMAIN bound, never data volume, per the
+# recursion rule), padded to 26; once lo == hi further rounds are
+# no-ops. Both quantiles ride the SAME pass (two conditional sums), so
+# the scan count doesn't double.
+#
+# Rank semantics pinned to DuckDB's quantile_disc(q) = the ceil(q*n)-th
+# order statistic, expressed in pure integers on the Spark side:
+# k50 = (n+1) DIV 2, k90 = (9n+9) DIV 10 — verified identical for
+# n = 1..199 against DuckDB before shipping.
+_QB_ROUNDS = 26
+
+QB_ORACLE = """
+WITH v AS (
+  SELECT l_returnflag,
+    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem
+)
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(quantile_disc(cents, 0.5) AS BIGINT) AS median_cents,
+  CAST(quantile_disc(cents, 0.9) AS BIGINT) AS p90_cents
+FROM v GROUP BY l_returnflag
+"""
+
+
+@query("quantile_bisect_exact", oracle=QB_ORACLE, category="agg")
+def quantile_bisect_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median and p90 of l_extendedprice (cents) by
+    26-round binary search on the value domain: per round, broadcast
+    the constant-size (3-group) search state, one conditional-count
+    pass over the persisted thin (group, cents) projection, halve each
+    group's [lo, hi]. agg_quantiles is the sort-backed twin; THIS
+    plan's cost at 100 TB is log2(domain) map-side-combined counts —
+    no corpus shuffle, no sort. Oracle = DuckDB quantile_disc (a
+    different algorithm computing the same order statistic), so the
+    check is pure value equality."""
+    from pyspark import StorageLevel
+
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = (
+        li.select(
+            "l_returnflag",
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    state = (
+        vals.groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("cents").alias("lo50"),
+            F.max("cents").alias("hi50"),
+        )
+        .select(
+            "l_returnflag",
+            "n_rows",
+            F.expr("(n_rows + 1) DIV 2").alias("k50"),
+            F.expr("(9 * n_rows + 9) DIV 10").alias("k90"),
+            "lo50",
+            "hi50",
+            F.col("lo50").alias("lo90"),
+            F.col("hi50").alias("hi90"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_QB_ROUNDS):
+        mids = state.select(
+            "l_returnflag",
+            F.expr("(lo50 + hi50) DIV 2").alias("m50"),
+            F.expr("(lo90 + hi90) DIV 2").alias("m90"),
+        )
+        cnts = (
+            vals.join(F.broadcast(mids), "l_returnflag")
+            .groupBy("l_returnflag")
+            .agg(
+                F.sum((F.col("cents") <= F.col("m50")).cast("long")).alias("c50"),
+                F.sum((F.col("cents") <= F.col("m90")).cast("long")).alias("c90"),
+            )
+        )
+        # mids staged into their OWN columns first: the update select
+        # re-aliases "lo50"/"hi50", and a later expression mentioning
+        # lo50 would lateral-resolve to the NEW lo50 (the hard-won
+        # lateral-column-alias rule) — each CASE below references only
+        # input columns and the staged mids, never a name aliased
+        # earlier in the same list
+        state = (
+            state.join(cnts, "l_returnflag")
+            .withColumn("m50x", F.expr("(lo50 + hi50) DIV 2"))
+            .withColumn("m90x", F.expr("(lo90 + hi90) DIV 2"))
+            .select(
+                "l_returnflag",
+                "n_rows",
+                "k50",
+                "k90",
+                F.expr(
+                    "CASE WHEN c50 >= k50 THEN lo50 ELSE m50x + 1 END"
+                ).alias("lo50"),
+                F.expr(
+                    "CASE WHEN c50 >= k50 THEN m50x ELSE hi50 END"
+                ).alias("hi50"),
+                F.expr(
+                    "CASE WHEN c90 >= k90 THEN lo90 ELSE m90x + 1 END"
+                ).alias("lo90"),
+                F.expr(
+                    "CASE WHEN c90 >= k90 THEN m90x ELSE hi90 END"
+                ).alias("hi90"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = state.select(
+        "l_returnflag",
+        "n_rows",
+        F.col("lo50").alias("median_cents"),
+        F.col("lo90").alias("p90_cents"),
+    )
+    out = out.persist()
+    out.count()
+    vals.unpersist()
+    return out

@@ -59,8 +59,8 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 # remaining slots take one representative per r8-stale family (the 37
 # displaced, equally-r8-stale siblings move to DRIVER_DEFERRED and
 # lead the r15 window). After a clean r14 the oldest external evidence
-# moves r7 -> r8. The two r14 additions (connected components,
-# Borůvka MSF) are never-checked and lead.
+# moves r7 -> r8. The three r14 additions (connected components,
+# Borůvka MSF, bisection quantiles) are never-checked and lead.
 DRIVER_REWORKED: tuple[str, ...] = ()
 
 # tests/test_registry.py asserts len(DRIVER_WINDOW) == 50 so the cutoff
@@ -73,6 +73,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # --- never-checked (registered r14) ---
     "graph_connected_components",
     "graph_boruvka_msf",
+    "quantile_bisect_exact",
     # --- last externally green in ROUND 7 (all 41, staged verbatim in
     #     the r13 DRIVER_DEFERRED) ---
     "agg_decimal_exact",
@@ -116,17 +117,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_stopword_topterms",
     "unpivot_stack",
     "window_analytic_extra",
-    # --- last externally green in ROUND 8 (7 of 46, one per family) ---
+    # --- last externally green in ROUND 8 (6 of 46, one per family) ---
     "agg_bitmap_distinct",
     "apply_mapping_orders",
     "func_string",
     "join_interval_overlap",
     "knn_bruteforce_cosine",
     "stream_tumbling_rocksdb",
-    "text_tfidf",
 )
 
-# The 39 equally-r8-stale names displaced by the 50-slot width (each
+# The 40 equally-r8-stale names displaced by the 50-slot width (each
 # has an in-window sibling exercising the same machinery where one
 # exists: agg_collect_set/agg_salted_hotkey ride agg_bitmap_distinct,
 # resolve_choice_*/drop_null_fields/fill_missing ride
@@ -136,6 +136,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # text_tfidf, udf_* ride udf_pandas_scalar, window_*/topk ride
 # window_ranking). They lead the round-15 window.
 DRIVER_DEFERRED: tuple[str, ...] = (
+    "text_tfidf",
     "udf_pandas_scalar",
     "window_ranking",
     "agg_collect_set",

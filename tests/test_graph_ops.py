@@ -208,7 +208,13 @@ def test_r14_additions_width_determinism(spark, sf_dir):
     from glue_etl_pyspark_spark.registry import load_all
 
     reg = load_all()
-    names = ("graph_connected_components", "graph_boruvka_msf")
+    # quantile_bisect_exact lives here with the other r14 iterative
+    # checkpoint-loop additions — same gate, same round
+    names = (
+        "graph_connected_components",
+        "graph_boruvka_msf",
+        "quantile_bisect_exact",
+    )
     runs: dict[str, list] = {n: [] for n in names}
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:

@@ -726,6 +726,10 @@ _SF_SCALED_JOIN_QUERIES = [
 # here. Keyed by (file, first-arg prefix) with counts, so a second
 # broadcast of a same-named frame in the same file also trips it.
 _REVIEWED_BROADCAST_SITES = {
+    # r14: quantile_bisect_exact's per-round search state — one row per
+    # l_returnflag (domain 3 at EVERY SF; constant-size by the value
+    # domain, never data-scaled), rebroadcast each bisection round
+    ("queries/aggregates.py", "mids"): 1,
     ("operators/packing.py", "bases"): 1,
     ("operators/similarity.py", ""): 1,
     ("operators/similarity.py", "(cids"): 1,
