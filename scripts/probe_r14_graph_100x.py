@@ -28,7 +28,7 @@ compared dtype-strict (toPandas/.df + astype(str), never fetchall —
 the r4 HUGEINT rule) against Spark running the real query on the 100x
 clone. That is external value evidence AT 100x, not rows-stable.
 
-Usage: python scripts/probe_r14_graph_100x.py [kcore|lpa|rake ...]
+Usage: python scripts/probe_r14_graph_100x.py [kcore|lpa|rake|cc|msf ...]
 Derived data stays in /tmp; results land as rows in SCALING.md.
 """
 
