@@ -274,7 +274,11 @@ def dedup_clusters_minlabel(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _with_perturbed_copies(spark, sf_dir)
     pairs = ngram_jaccard_pairs(corpus, "doc_id", "text", n=4, threshold=0.6,
                                 prefix_filter=False)
-    return dedup_clusters(pairs)
+    # strict: an unconverged propagation must FAIL loudly, not warn —
+    # the closure oracle would (rightly) hash-mismatch a partial
+    # propagation, but only after a silent wrong answer existed
+    # (r15 convergence-certificate audit, VERDICT r14 item 3)
+    return dedup_clusters(pairs, strict=True)
 
 
 CURATION_ORACLE = f"""
@@ -376,7 +380,7 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(
         corpus, "doc_id", "text", n=4, threshold=0.6, prefix_filter=False
     )
-    assign = dedup_clusters(pairs)
+    assign = dedup_clusters(pairs, strict=True)  # loud non-convergence
     full_c = (
         corpus.select("doc_id", F.length("text").cast("bigint").alias("len"))
         .join(assign, corpus.doc_id == assign.id, "left")

@@ -261,11 +261,16 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval contamination check: the fraction of each eval doc's
     distinct 8-grams that also occur anywhere in the train split
     (deterministic hash-mod split on doc_id). One shuffle on the gram
-    value (xxhash64(gram) at real scale — string keys here so the
-    oracle shares them); the train side is aggregated to distinct
-    grams before the join, so hot boilerplate grams can't fan out.
-    Docs with fewer than 8 tokens have no grams and drop out
-    identically on both engines."""
+    key — xxhash64(gram), NOT the ~50-byte gram string (r15, VERDICT
+    r14 item 5: the string-key shuffle was the whole cost of the 391.8s
+    100x probe; the ngram_jaccard recipe). The oracle keeps STRING
+    keys, so every sf0.01/sf0.1 parity row doubles as the
+    hashed==string small-SF equality pin (a 64-bit collision inside
+    one doc's gram set or between ev and train grams would break the
+    hash match). The train side is aggregated to distinct hashes
+    before the join, so hot boilerplate grams can't fan out. Docs with
+    fewer than 8 tokens have no grams and drop out identically on
+    both engines."""
     d = load_table(spark, sf_dir, "documents").withColumn(
         "toks", tokenize_ws("text")
     )
@@ -276,15 +281,16 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev = grams.filter(F.col("doc_id") % 10 == 7).select(
         "doc_id", F.explode("g8").alias("gram")
-    )
+    ).select("doc_id", F.xxhash64("gram").alias("gh"))
     tr = (
         grams.filter(F.col("doc_id") % 10 != 7)
         .select(F.explode("g8").alias("gram"))
+        .select(F.xxhash64("gram").alias("gh"))
         .distinct()
         .withColumn("hit", F.lit(1))
     )
     return (
-        ev.join(tr, "gram", "left")
+        ev.join(tr, "gh", "left")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),

@@ -122,24 +122,11 @@ def build_docs_clone() -> None:
 
 
 def _compare(spark_df, duck_res) -> str:
-    from glue_etl_pyspark_spark.parity import _normalize
+    """Dtype-strict compare via parity.compare_pandas (toPandas/.df
+    + astype(str) — the r4 HUGEINT rule; ADVICE r14 fix)."""
+    from glue_etl_pyspark_spark.parity import compare_pandas
 
-    srows = [tuple(r) for r in spark_df.collect()]
-    scols = list(spark_df.columns)
-    ocols = [d[0] for d in duck_res.description]
-    orows = [tuple(r) for r in duck_res.fetchall()]
-    if sorted(scols) != sorted(ocols):
-        return f"SCHEMA DIFF {sorted(scols)} vs {sorted(ocols)}"
-    if len(srows) != len(orows):
-        return f"ROWS DIFF {len(srows)} vs {len(orows)}"
-    if not srows:
-        return "VACUOUS (0 rows both sides)"
-    sn = _normalize(srows, scols)
-    on = _normalize(orows, ocols)
-    if sn != on:
-        d = [f"{a} vs {b}" for a, b in zip(sn, on) if a != b][:3]
-        return "VALUE DIFF " + "; ".join(d)
-    return "MATCH"
+    return compare_pandas(spark_df, duck_res)
 
 
 def main() -> None:

@@ -104,26 +104,11 @@ def _strip_limit(oracle: str) -> str:
 
 
 def _compare(spark_df, duck_res) -> str:
-    """Order-insensitive, canonically-normalized frame compare (the
-    repo's parity._normalize — floats 6dp, dates iso)."""
-    from glue_etl_pyspark_spark.parity import _normalize
+    """Dtype-strict compare via parity.compare_pandas (toPandas/.df
+    + astype(str) — the r4 HUGEINT rule; ADVICE r14 fix)."""
+    from glue_etl_pyspark_spark.parity import compare_pandas
 
-    srows = [tuple(r) for r in spark_df.collect()]
-    scols = list(spark_df.columns)
-    ocols = [d[0] for d in duck_res.description]
-    orows = [tuple(r) for r in duck_res.fetchall()]
-    if sorted(scols) != sorted(ocols):
-        return f"SCHEMA DIFF {sorted(scols)} vs {sorted(ocols)}"
-    if len(srows) != len(orows):
-        return f"ROWS DIFF {len(srows)} vs {len(orows)}"
-    if not srows:
-        return "VACUOUS (0 rows both sides)"
-    sn = _normalize(srows, scols)
-    on = _normalize(orows, ocols)
-    if sn != on:
-        d = [f"{a} vs {b}" for a, b in zip(sn, on) if a != b][:3]
-        return "VALUE DIFF " + "; ".join(d)
-    return "MATCH"
+    return compare_pandas(spark_df, duck_res)
 
 
 def probe_kcore(spark, con) -> None:
@@ -268,6 +253,7 @@ def probe_cc(spark) -> None:
     global n_components. Whole-answer external evidence at 100x."""
     import duckdb
 
+    from glue_etl_pyspark_spark.parity import int_frame
     from glue_etl_pyspark_spark.queries.graph import CC_ORACLE, _CC_TOPK
     from glue_etl_pyspark_spark.registry import load_all
 
@@ -276,7 +262,7 @@ def probe_cc(spark) -> None:
     n1 = fn(spark, SF).count()
     anchor = time.time() - t0
     t0 = time.time()
-    rows = fn(spark, GRAPH_OUT).collect()
+    spark_pd = fn(spark, GRAPH_OUT).toPandas()
     cold = time.time() - t0
     body = _strip_limit(CC_ORACLE)
     t0 = time.time()
@@ -290,7 +276,7 @@ def probe_cc(spark) -> None:
                    l_partkey + {c} * {PART_SHIFT} AS l_partkey
             FROM read_parquet('{SF}/lineitem.parquet')"""
         )
-        clone_rows = cc.execute(body).fetchall()
+        clone_rows = int_frame(cc.execute(body).df(), f"cc clone {c}")
         cc.close()
         # columns: component, n_members, min_node, max_node, n_components
         # (per-clone count — replaced by the global total below)
@@ -298,10 +284,11 @@ def probe_cc(spark) -> None:
         all_comms.extend(r[:4] for r in clone_rows)
     all_comms.sort(key=lambda r: (-r[1], r[0]))
     expected = [r + (n_total,) for r in all_comms[:_CC_TOPK]]
-    got = [
-        (r.component, r.n_members, r.min_node, r.max_node, r.n_components)
-        for r in rows
-    ]
+    got = int_frame(
+        spark_pd[["component", "n_members", "min_node", "max_node",
+                  "n_components"]],
+        "cc spark 100x",
+    )
     verdict = (
         f"MATCH (exact whole answer incl global n_components={n_total})"
         if got == expected
@@ -309,7 +296,7 @@ def probe_cc(spark) -> None:
     )
     print(
         f"graph_connected_components: 1x {n1} rows/{anchor:.1f}s -> 100x "
-        f"{len(rows)} rows/{cold:.1f}s; full per-clone expected @100x: "
+        f"{len(got)} rows/{cold:.1f}s; full per-clone expected @100x: "
         f"{verdict} ({time.time() - t0:.1f}s oracle side)",
         flush=True,
     )
@@ -324,6 +311,7 @@ def probe_msf(spark) -> None:
     across clones."""
     import duckdb
 
+    from glue_etl_pyspark_spark.parity import int_frame
     from glue_etl_pyspark_spark.queries.graph import MSF_ORACLE, _MSF_TOPK
     from glue_etl_pyspark_spark.registry import load_all
 
@@ -332,7 +320,7 @@ def probe_msf(spark) -> None:
     n1 = fn(spark, SF).count()
     anchor = time.time() - t0
     t0 = time.time()
-    rows = fn(spark, GRAPH_OUT).collect()
+    spark_pd = fn(spark, GRAPH_OUT).toPandas()
     cold = time.time() - t0
     body = _strip_limit(MSF_ORACLE)
     t0 = time.time()
@@ -346,7 +334,7 @@ def probe_msf(spark) -> None:
                    l_partkey + {c} * {PART_SHIFT} AS l_partkey
             FROM read_parquet('{SF}/lineitem.parquet')"""
         )
-        clone_rows = cc.execute(body).fetchall()
+        clone_rows = int_frame(cc.execute(body).df(), f"msf clone {c}")
         cc.close()
         # columns: part_a, part_b, w, n_forest_edges, total_forest_w,
         # n_components_after (per-clone constants -> summed below)
@@ -357,11 +345,11 @@ def probe_msf(spark) -> None:
         all_edges.extend(r[:3] for r in clone_rows)
     all_edges.sort(key=lambda r: (-r[2], r[0], r[1]))
     expected = [r + (tot_edges, tot_w, tot_comp) for r in all_edges[:_MSF_TOPK]]
-    got = [
-        (r.part_a, r.part_b, r.w, r.n_forest_edges, r.total_forest_w,
-         r.n_components_after)
-        for r in rows
-    ]
+    got = int_frame(
+        spark_pd[["part_a", "part_b", "w", "n_forest_edges",
+                  "total_forest_w", "n_components_after"]],
+        "msf spark 100x",
+    )
     verdict = (
         f"MATCH (exact whole answer; forest {tot_edges} edges, total_w "
         f"{tot_w}, components {tot_comp})"
@@ -370,7 +358,7 @@ def probe_msf(spark) -> None:
     )
     print(
         f"graph_boruvka_msf: 1x {n1} rows/{anchor:.1f}s -> 100x "
-        f"{len(rows)} rows/{cold:.1f}s; full per-clone expected @100x: "
+        f"{len(got)} rows/{cold:.1f}s; full per-clone expected @100x: "
         f"{verdict} ({time.time() - t0:.1f}s oracle side)",
         flush=True,
     )
