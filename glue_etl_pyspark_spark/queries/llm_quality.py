@@ -260,32 +260,50 @@ GROUP BY ev.doc_id
 def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval contamination check: the fraction of each eval doc's
     distinct 8-grams that also occur anywhere in the train split
-    (deterministic hash-mod split on doc_id). One shuffle on the gram
-    key — xxhash64(gram), NOT the ~50-byte gram string (r15, VERDICT
-    r14 item 5: the string-key shuffle was the whole cost of the 391.8s
-    100x probe; the ngram_jaccard recipe). The oracle keeps STRING
-    keys, so every sf0.01/sf0.1 parity row doubles as the
-    hashed==string small-SF equality pin (a 64-bit collision inside
-    one doc's gram set or between ev and train grams would break the
-    hash match). The train side is aggregated to distinct hashes
-    before the join, so hot boilerplate grams can't fan out. Docs with
-    fewer than 8 tokens have no grams and drop out identically on
-    both engines."""
+    (deterministic hash-mod split on doc_id).
+
+    r15 rework (VERDICT r14 item 5 + stage timing): grams are built
+    with the winnowing window form — posexplode(toks), 7 lead()s over
+    (doc_id, pos), xxhash64 over the 8 token columns — and shuffled as
+    64-bit keys, never as ~50-byte gram strings. Stage timing on the
+    100x clone showed the old shingles-array + explode construction
+    was the real cost, for two reasons the repo already knew: the
+    generator-over-HOF-array trap re-evaluates the upstream tokenize
+    per element, and byte-based scan splits give a compute-heavy
+    short-text table almost no parallelism (2 tasks for 10M docs at
+    16m splits) — the window's partitionBy(doc_id) shuffle IS the
+    repartition-before-heavy-compute, at any scale. The oracle keeps
+    STRING gram keys, so every sf0.01/sf0.1 parity row doubles as the
+    hashed==string equality pin (' '-join on whitespace-free tokens is
+    injective, so tuple identity == gram identity; a 64-bit collision
+    would break the hash match). The train side is aggregated to
+    distinct hashes before the join, so hot boilerplate grams can't
+    fan out. Docs with fewer than 8 tokens have no grams and drop out
+    identically on both engines."""
+    from pyspark.sql import Window
+
     d = load_table(spark, sf_dir, "documents").withColumn(
         "toks", tokenize_ws("text")
     )
-    grams = (
-        d.filter(F.size("toks") >= 8)
-        .withColumn("g8", F.array_distinct(shingles("toks", 8)))
-        .select("doc_id", "g8")
+    pe = d.filter(F.size("toks") >= 8).select(
+        "doc_id", F.posexplode("toks").alias("pos", "t0")
     )
-    ev = grams.filter(F.col("doc_id") % 10 == 7).select(
-        "doc_id", F.explode("g8").alias("gram")
-    ).select("doc_id", F.xxhash64("gram").alias("gh"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cols = ["t0"] + [f"t{i}" for i in range(1, 8)]
+    gh = (
+        pe.select(
+            "doc_id",
+            "t0",
+            *[F.lead("t0", i).over(w).alias(f"t{i}") for i in range(1, 8)],
+        )
+        .filter(F.col("t7").isNotNull())
+        .select("doc_id", F.xxhash64(*cols).alias("gh"))
+        .dropDuplicates(["doc_id", "gh"])
+    )
+    ev = gh.filter(F.col("doc_id") % 10 == 7)
     tr = (
-        grams.filter(F.col("doc_id") % 10 != 7)
-        .select(F.explode("g8").alias("gram"))
-        .select(F.xxhash64("gram").alias("gh"))
+        gh.filter(F.col("doc_id") % 10 != 7)
+        .select("gh")
         .distinct()
         .withColumn("hit", F.lit(1))
     )
