@@ -31,6 +31,7 @@ from . import (  # noqa: F401
     sketches,
     setops,
     streamingq,
+    suffixes,
     tpch_like,
     udfs,
     windows,

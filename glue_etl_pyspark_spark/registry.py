@@ -59,9 +59,9 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 # bounded-round code), and contamination_ngram_overlap's shuffle key
 # changed (xxhash64 grams); all three must re-earn external rows, so
 # they lead. The 40 r8-stale names staged in the r14 DRIVER_DEFERRED
-# follow verbatim, and the last 7 slots take one representative per
+# follow verbatim, and the last slots take one representative per
 # r9-stale family (dedup_clusters_minlabel deliberately among them —
-# it now runs strict=True). The 33 displaced, equally-r9-stale
+# it now runs strict=True). The displaced, equally-r9-stale
 # siblings move to DRIVER_DEFERRED and lead the r16 window. After a
 # clean r15 the oldest external evidence moves r8 -> r9.
 DRIVER_REWORKED: tuple[str, ...] = (
@@ -77,6 +77,8 @@ DRIVER_REWORKED: tuple[str, ...] = (
 # and that no un-reworked name outside the window is staler than any
 # un-reworked name inside it.
 DRIVER_WINDOW: tuple[str, ...] = (
+    # --- never-checked (registered r15) ---
+    "text_repeated_substrings",
     # --- reworked round 15 (evidence predates implementation) ---
     "graph_connected_components",
     "graph_boruvka_msf",
@@ -130,10 +132,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "knn_ivf_clustered",
     "setops_union_all",
     "tpch_q4_order_priority",
-    "udf_grouped_zscore",
 )
 
-# The 33 equally-r9-stale names displaced by the 50-slot width (each
+# The 34 equally-r9-stale names displaced (udf_grouped_zscore was
+# displaced a second time by the r15 suffix-array addition) by the 50-slot width (each
 # has an in-window sibling exercising the same machinery where one
 # exists: the tpch_q* family rides tpch_q4_order_priority, func_* ride
 # func_math, setops_* ride setops_union_all, stream_*/pyds ride the
@@ -141,6 +143,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # knn_ivf_clustered/dedup_clusters_minlabel, windows ride the
 # in-window window block). They lead the round-16 window.
 DRIVER_DEFERRED: tuple[str, ...] = (
+    "udf_grouped_zscore",
     "dedup_minhash_lsh",
     "func_array_extra",
     "func_collation",
