@@ -25,8 +25,9 @@ Scale design, in this repo's established shapes:
   certificate: the per-shard distinct counts the ranking pass
   already collects sum to the number of distinct keys, and when that
   equals the suffix count every suffix rank is unique and further
-  doubling cannot change the order. Each round is one edge-linear
-  self-join (pos -> pos + 2^k) plus the sharded rank; label frames
+  doubling cannot change the order. Each round pairs (r[pos],
+  r[pos + 2^k]) via lead() over the per-doc position window — no
+  self-join anywhere — then runs the sharded rank; one
   localCheckpoint per round (iterative-lineage rule).
 
 Round 0 ranks single tokens via a global window over the DISTINCT
@@ -50,17 +51,16 @@ def dense_rank_shards(
     """Add ``out_col`` = global dense rank (1-based) of ``key_cols``,
     given that ``shard_col`` tiles the key space in key order (all
     rows of shard s sort before all rows of shard s+1, and equal keys
-    share a shard). Returns (frame, number of distinct keys) — the
-    distinct total falls out of the offsets pass for free and is the
-    caller's convergence certificate."""
-    w = Window.partitionBy(shard_col).orderBy(*key_cols)
-    # materialize: the counts pass below and the final join both read
-    # this window — without truncation it runs twice per round
-    local = df.withColumn("__lrk", F.dense_rank().over(w)).localCheckpoint(
-        eager=True
-    )
+    share a shard). ``df`` should be materialized (checkpointed) by
+    the caller — this runs two passes over it (a per-shard
+    DISTINCT-count collect, then the per-shard window + offset join).
+    Returns (frame, number of distinct keys) — the distinct total
+    falls out of the offsets pass for free and is the caller's
+    convergence certificate. The returned frame is LAZY (one window +
+    one broadcast join on top of ``df``); single-reference consumers
+    can chain it without materializing."""
     counts = sorted(
-        local.groupBy(shard_col)
+        df.groupBy(shard_col)
         .agg(F.countDistinct(*key_cols).alias("__d"))
         .collect(),
         key=lambda r: r[shard_col],
@@ -72,8 +72,10 @@ def dense_rank_shards(
     bases = df.sparkSession.createDataFrame(
         rows, f"{shard_col} bigint, __base bigint"
     )
+    w = Window.partitionBy(shard_col).orderBy(*key_cols)
     out = (
-        local.join(broadcast(bases), shard_col)
+        df.withColumn("__lrk", F.dense_rank().over(w))
+        .join(broadcast(bases), shard_col)
         .withColumn(out_col, (F.col("__base") + F.col("__lrk")).cast("bigint"))
         .drop("__lrk", "__base")
     )
@@ -89,9 +91,19 @@ def suffix_ranks(docs: DataFrame, max_rounds: int = 32) -> DataFrame:
     Prefix doubling: after round k, r orders suffixes by their first
     2^k tokens; the round-k+1 key is (r[pos], r[pos + 2^k] or 0) —
     the 0 placeholder sorts below every real rank, which is exactly
-    the shorter-suffix-is-a-prefix rule. Rounds stop at
-    ceil(log2(max_len)) (domain bound, asserted loudly) or earlier
-    when the certificate says every rank is unique."""
+    the shorter-suffix-is-a-prefix rule. The neighbor rank comes from
+    ``lead(r, 2^k)`` over the (doc_id, pos) window — positions are
+    consecutive per doc, so NO self-join exists anywhere in the loop
+    (the r15 100x probe measured the join+double-checkpoint variant
+    2.4x slower). One localCheckpoint per round (iterative-lineage
+    rule; the lazy ranked frame has exactly one consumer — next
+    round's keyed pass — so it needs no checkpoint of its own).
+    Shards for the global dense rank tile r-space with span sized by
+    the PREVIOUS round's distinct count — sizing by suffix count
+    collapses round 1 into a single task while ranks still span only
+    the vocabulary. Rounds stop at ceil(log2(max_len)) (domain bound,
+    asserted loudly) or earlier when the certificate (distinct total
+    == suffix count, i.e. every rank unique) fires."""
     toks = docs.select("doc_id", tokenize_ws("text").alias("toks"))
     pe = toks.select(
         "doc_id",
@@ -115,11 +127,11 @@ def suffix_ranks(docs: DataFrame, max_rounds: int = 32) -> DataFrame:
             "__r0",
             F.dense_rank().over(Window.orderBy("tok")).cast("bigint"),
         )
-    )
-    ranks = (
-        pe.join(broadcast(vocab), "tok")
-        .select("doc_id", "pos", "slen", F.col("__r0").alias("r"))
         .localCheckpoint(eager=True)
+    )
+    n_distinct = vocab.count()
+    ranks = pe.join(broadcast(vocab), "tok").select(
+        "doc_id", "pos", F.col("__r0").alias("r")
     )
 
     max_len = toks.agg(F.max(F.size("toks"))).collect()[0][0] or 0
@@ -130,25 +142,31 @@ def suffix_ranks(docs: DataFrame, max_rounds: int = 32) -> DataFrame:
             f"exceeds max_rounds={max_rounds} — raise it; this is a loud "
             "valve, not a truncation"
         )
-    span = 1 + n_suffix // 256
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
     for k in range(rounds):
         step = 1 << k
-        nxt = ranks.select(
-            "doc_id",
-            (F.col("pos") - step).alias("pos"),
-            F.col("r").alias("r2"),
-        )
+        span = 1 + n_distinct // 256
         keyed = (
-            ranks.join(nxt, ["doc_id", "pos"], "left")
-            .withColumn("r2", F.coalesce("r2", F.lit(0)))
+            ranks.select(
+                "doc_id",
+                "pos",
+                "r",
+                F.coalesce(F.lead("r", step).over(wdoc), F.lit(0)).alias(
+                    "r2"
+                ),
+            )
             .withColumn("__shard", F.expr(f"r div {span}"))
+            .localCheckpoint(eager=True)
         )
         ranked, n_distinct = dense_rank_shards(
             keyed, "__shard", ["r", "r2"], "__nr"
         )
-        ranks = ranked.select(
-            "doc_id", "pos", "slen", F.col("__nr").alias("r")
-        ).localCheckpoint(eager=True)
+        ranks = ranked.select("doc_id", "pos", F.col("__nr").alias("r"))
         if n_distinct == n_suffix:
             break  # certificate: every suffix rank unique — converged
-    return ranks
+    ranks = ranks.localCheckpoint(eager=True)
+    # corpus-scaled on both sides — merge hint (broadcast would build
+    # a suffix-count hash table on the driver)
+    return ranks.join(
+        pe.select("doc_id", "pos", "slen").hint("merge"), ["doc_id", "pos"]
+    )

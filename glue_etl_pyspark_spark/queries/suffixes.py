@@ -6,7 +6,7 @@ exactly, without any hashing or sketching.
 
 Spark side: Manber-Myers prefix doubling over (doc_id, pos) token
 suffixes (operators/ranks.py) — ceil(log2(max doc tokens)) rounds of
-one edge-linear self-join + a sharded global dense rank with
+a lead()-window rank pairing + a sharded global dense rank with
 driver-literal offsets, stopping early on the uniqueness certificate.
 Never a global sort of suffix strings. The classic suffix-array fact
 makes the top-k exact: the maximum common prefix between ANY two
@@ -105,7 +105,7 @@ def text_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: suffix ranking is log2(max doc len) prefix-doubling rounds
     (domain-bounded + uniqueness certificate — operators/ranks.py),
-    each one edge-linear self-join plus a sharded dense rank whose
+    each a lead()-window rank pairing plus a sharded dense rank whose
     offsets ship as driver literals (the packing-bases discipline; no
     repartitionByRange sampling, no single-partition window over the
     corpus). The LCP stage touches only rank-group representatives
@@ -126,7 +126,11 @@ def text_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # token arrays only for the representatives (rank-group count of
     # rows, not all suffixes x lengths)
-    wrep = rep.join(toks, "doc_id").select(
+    # every join below is group/corpus-scaled on BOTH sides — merge
+    # hints keep AQE from broadcast-converting on deceptively small
+    # compressed shuffle stats (the r15 100x probe OOM'd the 8g
+    # driver building a broadcast of 350k token-array rows)
+    wrep = rep.join(toks.hint("merge"), "doc_id").select(
         "r", "doc_id", "pos", "slen",
         F.expr("slice(toks, cast(pos + 1 as int), cast(slen as int))").alias("ta"),
     )
@@ -151,7 +155,7 @@ def text_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(False),
     )
-    adj = a.join(b, "r").select(
+    adj = a.join(b.hint("merge"), "r").select(
         "doc_a", "pos_a", "doc_b", "pos_b",
         F.when(mm > 0, mm - 1)
         .otherwise(F.least("la", "lb"))
@@ -169,7 +173,7 @@ def text_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
             sec.select(
                 "r",
                 F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"),
-            ),
+            ).hint("merge"),
             "r",
         )
         .select("doc_a", "pos_a", "doc_b", "pos_b",
