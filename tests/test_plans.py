@@ -763,6 +763,14 @@ _REVIEWED_BROADCAST_SITES = {
     ("queries/llm_knn.py", "q_labels"): 1,
     ("queries/llm_knn.py", "seeds"): 1,
     ("queries/llm_pack.py", "bases"): 1,
+    # r15 suffix ranking: bases = per-shard dense-rank offsets (<=257
+    # rows by construction — span sizing); vocab = distinct-token
+    # frame (vocabulary-scaled, the text_vocab_build class; the 100TB
+    # path swaps it for a hash-bucketed dense_rank_shards per the
+    # module docstring). Every corpus-scaled join in the op carries
+    # hint("merge") — reviewed r15 after the AQE broadcast-convert OOM.
+    ("operators/ranks.py", "bases"): 1,
+    ("operators/ranks.py", "vocab"): 1,
     ("queries/llm_pack.py", "fv_q"): 1,
     ("queries/llm_pack.py", "tot"): 1,
     ("queries/llm_quality.py", "boiler"): 1,
