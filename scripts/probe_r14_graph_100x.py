@@ -100,6 +100,13 @@ def _strip_limit(oracle: str) -> str:
     """Drop the trailing ORDER BY ... LIMIT k from an oracle (every
     graph/RAKE oracle ends with exactly one)."""
     i = oracle.rstrip().rfind("ORDER BY")
+    tail = oracle[i:]
+    # guard the textual assumption (ADVICE r14): the stripped tail must
+    # be the final ORDER BY ... LIMIT clause (no nested SELECT), or the
+    # probe would silently truncate mid-query after an oracle edit
+    assert "LIMIT" in tail and "SELECT" not in tail.upper(), (
+        f"_strip_limit tail looks wrong: {tail[:80]!r}"
+    )
     return oracle[:i]
 
 

@@ -67,6 +67,13 @@ CLONES = f"(SELECT unnest(generate_series(0, {FACTOR - 1})) AS c)"
 
 def _strip_limit(oracle: str) -> str:
     i = oracle.rstrip().rfind("ORDER BY")
+    tail = oracle[i:]
+    # guard the textual assumption (ADVICE r14): the stripped tail must
+    # be the final ORDER BY ... LIMIT clause (no nested SELECT), or the
+    # probe would silently truncate mid-query after an oracle edit
+    assert "LIMIT" in tail and "SELECT" not in tail.upper(), (
+        f"_strip_limit tail looks wrong: {tail[:80]!r}"
+    )
     return oracle[:i]
 
 
