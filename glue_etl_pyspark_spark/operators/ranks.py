@@ -30,10 +30,16 @@ Scale design, in this repo's established shapes:
   self-join anywhere — then runs the sharded rank; one
   localCheckpoint per round (iterative-lineage rule).
 
-Round 0 ranks single tokens via a global window over the DISTINCT
-vocabulary — vocabulary-sized, the text_vocab_build precedent; at
-100 TB vocabularies are ~1e7 and the same dense_rank_shards applies
-with a hash-bucketed pre-shard.
+Round 0 ranks the DISTINCT vocabulary through the same
+``dense_rank_shards``, pre-sharded by the first two character code
+points (``ascii(substr(tok,1,1)) * 0x110000 + ascii(substr(tok,2,1))``).
+UTF-8 byte order equals code-point order, and Spark's default
+UTF8_BINARY string comparison is byte order, so the leading-code-point
+shard tiles the token sort order exactly (a short token's missing
+second char reads as ascii('')=0, which sorts below every real char —
+matching "a" < "ab"); a HASH bucket would violate the shard contract.
+This kills the r15 single-task global vocabulary window: at a ~1e7-term
+100 TB vocabulary the sort now spreads over ~1e3 leading-pair shards.
 """
 
 from __future__ import annotations
@@ -41,6 +47,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.text import tokenize_ws
 
@@ -115,23 +122,32 @@ def suffix_ranks(docs: DataFrame, max_rounds: int = 32) -> DataFrame:
         (F.col("__n") - F.col("pos")).cast("bigint").alias("slen"),
         "tok",
     )
-    pe = pe.localCheckpoint(eager=True)
+    # corpus-scaled and reused across every round plus the final join —
+    # the winnow rule: persist(DISK_ONLY), never localCheckpoint (which
+    # pins blocks in unified memory and fights the rounds' sorts for
+    # heap at 500k+ docs).
+    pe = pe.persist(StorageLevel.DISK_ONLY)
     n_suffix = pe.count()
 
-    # round 0: vocabulary rank (global window over DISTINCT tokens —
-    # vocabulary-sized; the text_vocab_build precedent)
+    # round 0: vocabulary rank through dense_rank_shards, pre-sharded
+    # by the first two character code points (order-tiling — see module
+    # docstring). Vocabulary-sized input, scan-parallel sort.
     vocab = (
         toks.select(F.explode("toks").alias("tok"))
         .distinct()
         .withColumn(
-            "__r0",
-            F.dense_rank().over(Window.orderBy("tok")).cast("bigint"),
+            "__shard",
+            # ascii() is INT — promote before the multiply (ANSI rule:
+            # code point 0x65E5 * 0x110000 overflows int32)
+            F.ascii(F.substring("tok", 1, 1)).cast("bigint")
+            * F.lit(0x110000)
+            + F.ascii(F.substring("tok", 2, 1)).cast("bigint"),
         )
         .localCheckpoint(eager=True)
     )
-    n_distinct = vocab.count()
-    ranks = pe.join(broadcast(vocab), "tok").select(
-        "doc_id", "pos", F.col("__r0").alias("r")
+    vocab, n_distinct = dense_rank_shards(vocab, "__shard", ["tok"], "__r0")
+    ranks = pe.join(broadcast(vocab.select("tok", "__r0")), "tok").select(
+        "doc_id", "pos", F.col("__r0").cast("bigint").alias("r")
     )
 
     max_len = toks.agg(F.max(F.size("toks"))).collect()[0][0] or 0

@@ -119,7 +119,9 @@ def compare_pandas(spark_df, duck_res) -> str:
         df = df[sorted(df.columns)].copy()
         for c in df.columns:
             if getattr(df[c].dtype, "kind", "") == "f":
-                df[c] = df[c].round(6)
+                # + 0.0 normalizes signed zero: round(6) keeps -0.0,
+                # which astype(str) renders '-0.0' vs '0.0' (ADVICE r15)
+                df[c] = df[c].round(6) + 0.0
         return sorted(map(tuple, df.astype(str).values.tolist()))
 
     sn, on = canon(sp), canon(op)

@@ -34,6 +34,11 @@ from .llm_text import _DUCK_TOKS
 
 _SUF_TOPK = 20
 _SAMPLE_TOKS = 8
+# ExactSubstr cut threshold (tokens). Lee et al. 2022 use 50 BPE
+# tokens at web scale; these synthetic docs average ~54 whitespace
+# tokens, so 5 keeps the transform selective but non-vacuous
+# (sf0.01: 71/500 docs cut, ~9% of tokens).
+_CUT_K = 5
 
 REPEATED_SUBSTR_ORACLE = f"""
 WITH toks AS (
@@ -190,4 +195,296 @@ def text_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("lcp"), "doc_a", "pos_a", "doc_b", "pos_b")
         .limit(_SUF_TOPK)
+    )
+
+
+# Shared oracle prefix: per-suffix repeat lengths by direct suffix
+# sort. rep_len(p) = length of the longest prefix of suffix p that
+# occurs at some OTHER (doc, pos) — slen for duplicate-suffix groups,
+# else the max LCP with the rank-adjacent distinct suffixes (the
+# suffix-array adjacency fact again: the max LCP over ALL other
+# suffixes is achieved at an adjacent rank).
+_REPEAT_LEN_PREFIX = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+),
+pos0 AS (
+  SELECT doc_id,
+         unnest(generate_series(0, CAST(len(toks) AS BIGINT) - 1)) AS pos
+  FROM toks
+),
+suf AS (
+  SELECT p.doc_id, CAST(p.pos AS BIGINT) AS pos,
+         CAST(len(t.toks) - p.pos AS BIGINT) AS slen,
+         array_to_string(t.toks[CAST(p.pos + 1 AS BIGINT):], chr(1)) AS s
+  FROM pos0 p JOIN toks t USING (doc_id)
+),
+rk AS (
+  SELECT doc_id, pos, slen,
+         dense_rank() OVER (ORDER BY s) AS r,
+         count(*) OVER (PARTITION BY s) AS gsz,
+         row_number() OVER (PARTITION BY s ORDER BY doc_id, pos) AS m
+  FROM suf
+),
+wrep AS (
+  SELECT k.r, k.slen, t.toks[CAST(k.pos + 1 AS BIGINT):] AS ta
+  FROM rk k JOIN toks t USING (doc_id) WHERE k.m = 1
+),
+adj AS (
+  SELECT a.r,
+         COALESCE(NULLIF(list_position(list_transform(
+             generate_series(1, CAST(least(a.slen, b.slen) AS BIGINT)),
+             j -> a.ta[j] = b.ta[j]), false), 0) - 1,
+           least(a.slen, b.slen)) AS lcp
+  FROM wrep a JOIN wrep b ON b.r = a.r + 1
+),
+nbr AS (
+  SELECT r, max(lcp) AS nl
+  FROM (SELECT r, lcp FROM adj
+        UNION ALL SELECT r + 1 AS r, lcp FROM adj) u
+  GROUP BY r
+),
+per_suf AS (
+  SELECT k.doc_id, k.pos, k.slen,
+         CASE WHEN k.gsz >= 2 THEN k.slen
+              ELSE COALESCE(n.nl, 0) END AS rep_len
+  FROM rk k LEFT JOIN nbr n USING (r)
+)"""
+
+LONGEST_REPEAT_ORACLE = f"""{_REPEAT_LEN_PREFIX},
+best AS (
+  SELECT doc_id, pos, rep_len,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY rep_len DESC, pos) AS rn
+  FROM per_suf
+)
+SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(b.rep_len AS BIGINT) AS rep_len,
+       CAST(b.pos AS BIGINT) AS rep_pos,
+       COALESCE(array_to_string(
+         t.toks[CAST(b.pos + 1 AS BIGINT)
+                :CAST(b.pos + least(b.rep_len, {_SAMPLE_TOKS}) AS BIGINT)],
+         ' '), '') AS sample
+FROM best b JOIN toks t USING (doc_id)
+WHERE b.rn = 1
+ORDER BY doc_id
+"""
+
+EXACTSUBSTR_CUT_ORACLE = f"""{_REPEAT_LEN_PREFIX},
+flags AS (
+  SELECT doc_id, pos,
+         COALESCE(
+           max(CASE WHEN rep_len >= {_CUT_K} THEN pos + rep_len END)
+             OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           > pos, false) AS covered
+  FROM per_suf
+)
+SELECT CAST(f.doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN f.covered THEN 1 ELSE 0 END) AS BIGINT)
+         AS cut_tokens,
+       COALESCE(string_agg(t.toks[CAST(f.pos + 1 AS BIGINT)], ' '
+                           ORDER BY f.pos)
+                FILTER (WHERE NOT f.covered), '') AS kept_text
+FROM flags f JOIN toks t USING (doc_id)
+GROUP BY f.doc_id
+ORDER BY doc_id
+"""
+
+
+def _repeat_lengths(d: DataFrame):
+    """(toks, per) where per = (doc_id, pos, slen, rep_len): for every
+    corpus suffix, the length of its longest prefix that also occurs
+    at some other (doc, pos). Duplicate-suffix groups (gsz >= 2) get
+    slen; singletons get the max LCP with the rank-adjacent distinct
+    suffixes (which, by the suffix-array adjacency fact, equals the
+    max LCP over ALL other suffixes). Same merge-hint discipline as
+    text_repeated_substrings: every join is corpus-scaled on both
+    sides, and AQE's compressed-shuffle stats make token-array frames
+    look broadcastable (the r15 OOM). ``d`` is any (doc_id, text)
+    frame — queries pass the documents table, tests pass in-memory
+    corpora."""
+    from ..functions.text import tokenize_ws
+
+    toks = d.select("doc_id", tokenize_ws("text").alias("toks"))
+
+    ranks = suffix_ranks(d)
+    wr = Window.partitionBy("r")
+    wg = Window.partitionBy("r").orderBy("doc_id", "pos")
+    g = ranks.withColumn("gsz", F.count("*").over(wr)).withColumn(
+        "m", F.row_number().over(wg)
+    )
+    wrep = (
+        g.filter(F.col("m") == 1)
+        .join(toks.hint("merge"), "doc_id")
+        .select(
+            "r",
+            "slen",
+            F.expr(
+                "slice(toks, cast(pos + 1 as int), cast(slen as int))"
+            ).alias("ta"),
+        )
+    )
+    a = wrep.select("r", F.col("slen").alias("la"), "ta")
+    b = wrep.select(
+        (F.col("r") - 1).alias("r"),
+        F.col("slen").alias("lb"),
+        F.col("ta").alias("tb"),
+    )
+    # Spark array_position returns 0 (not NULL) when absent — map the
+    # prefix case (no mismatch) to min(la, lb) explicitly
+    mm = F.array_position(
+        F.zip_with(
+            F.slice("ta", 1, F.least("la", "lb").cast("int")),
+            F.slice("tb", 1, F.least("la", "lb").cast("int")),
+            lambda x, y: x == y,
+        ),
+        F.lit(False),
+    )
+    adj = a.join(b.hint("merge"), "r").select(
+        "r",
+        F.when(mm > 0, mm - 1)
+        .otherwise(F.least("la", "lb"))
+        .cast("bigint")
+        .alias("lcp"),
+    )
+    nbr = (
+        adj.select("r", "lcp")
+        .unionByName(adj.select((F.col("r") + 1).alias("r"), "lcp"))
+        .groupBy("r")
+        .agg(F.max("lcp").alias("nl"))
+    )
+    per = g.join(nbr.hint("merge"), "r", "left").select(
+        "doc_id",
+        "pos",
+        "slen",
+        F.when(F.col("gsz") >= 2, F.col("slen"))
+        .otherwise(F.coalesce(F.col("nl"), F.lit(0)))
+        .cast("bigint")
+        .alias("rep_len"),
+    )
+    return toks, per
+
+
+@query(
+    "text_longest_repeat_per_doc",
+    oracle=LONGEST_REPEAT_ORACLE,
+    category="llm-dedup",
+)
+def text_longest_repeat_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest exactly-repeated token span per document (see
+    ``longest_repeat_frame`` for semantics and scale design)."""
+    return longest_repeat_frame(load_table(spark, sf_dir, "documents"))
+
+
+def longest_repeat_frame(d: DataFrame) -> DataFrame:
+    """Per document: the length and start position of the longest
+    token span that also occurs at some other (doc, pos) in the
+    corpus (overlapping occurrences count, as in Lee et al. 2022),
+    plus an 8-token sample — the per-doc reduction of the ExactSubstr
+    witness structure. Tie-break: smallest start position.
+
+    Scale: one suffix-ranking pass (domain-bounded prefix doubling,
+    operators/ranks.py), rank-group windows, and a per-doc top-1
+    window ending in the unique (doc_id, pos) key. All joins are
+    corpus-scaled merge joins; nothing sorts strings globally."""
+    toks, per = _repeat_lengths(d)
+    wbest = Window.partitionBy("doc_id").orderBy(F.desc("rep_len"), "pos")
+    best = (
+        per.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        best.join(toks.hint("merge"), "doc_id")
+        .select(
+            "doc_id",
+            F.size("toks").cast("bigint").alias("n_tokens"),
+            F.col("rep_len"),
+            F.col("pos").cast("bigint").alias("rep_pos"),
+            F.array_join(
+                F.slice(
+                    "toks",
+                    F.col("pos").cast("int") + F.lit(1),
+                    F.least("rep_len", F.lit(_SAMPLE_TOKS)).cast("int"),
+                ),
+                " ",
+            ).alias("sample"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_exactsubstr_cut",
+    oracle=EXACTSUBSTR_CUT_ORACLE,
+    category="llm-dedup",
+)
+def text_exactsubstr_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span-removal transform (see
+    ``exactsubstr_cut_frame`` for semantics and scale design)."""
+    return exactsubstr_cut_frame(load_table(spark, sf_dir, "documents"))
+
+
+def exactsubstr_cut_frame(d: DataFrame, k: int = _CUT_K) -> DataFrame:
+    """The actual ExactSubstr span-removal transform of Lee et al.
+    2022: every token position covered by some repeated span of
+    >= _CUT_K tokens (a span [pos, pos+rep_len) with rep_len >= K
+    occurs verbatim elsewhere in the corpus) is cut; the kept tokens
+    are re-joined as the deduplicated text. Output per doc: token
+    count, cut count, and the cleaned text.
+
+    Coverage is an interval-union sweep, not a per-interval explode:
+    position p is covered iff the running max of span ends over
+    starts <= p exceeds p — one window over the per-suffix frame.
+    Scale: suffix ranking dominates; the sweep adds one doc-keyed
+    window and the token re-join one merge join."""
+    toks, per = _repeat_lengths(d)
+    wcov = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flags = (
+        per.withColumn(
+            "e",
+            F.when(
+                F.col("rep_len") >= k, F.col("pos") + F.col("rep_len")
+            ),
+        )
+        .withColumn("cm", F.max("e").over(wcov))
+        .withColumn(
+            "covered",
+            F.coalesce(F.col("cm") > F.col("pos"), F.lit(False)),
+        )
+    )
+    tokpos = toks.select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    ).select("doc_id", F.col("pos").cast("bigint").alias("pos"), "tok")
+    return (
+        flags.join(tokpos.hint("merge"), ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("covered").cast("int"))
+            .cast("bigint")
+            .alias("cut_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("covered"),
+                                F.struct("pos", "tok"),
+                            )
+                        )
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("kept_text"),
+        )
+        .orderBy("doc_id")
     )

@@ -58,7 +58,7 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 # dense_rank_shards and pe -> persist(DISK_ONLY) — change its plan, so
 # its r15 row predates the shipped code) and leads. The 34 r9-stale
 # names staged verbatim in the r15 DRIVER_DEFERRED follow, and the
-# last 15 slots take one representative per r10-stale family. The 27
+# last 13 slots take one representative per r10-stale family. The 29
 # displaced, equally-r10-stale siblings move to DRIVER_DEFERRED (each
 # rides an in-window sibling exercising the same machinery where one
 # exists: agg_approx_distinct/agg_count_min_topk ride agg_listagg,
@@ -78,6 +78,10 @@ DRIVER_REWORKED: tuple[str, ...] = (
 # and that no un-reworked name outside the window is staler than any
 # un-reworked name inside it.
 DRIVER_WINDOW: tuple[str, ...] = (
+    # --- never-checked (registered r16: the LCP-interval pair —
+    #     per-doc longest repeat + the ExactSubstr cut transform) ---
+    "text_longest_repeat_per_doc",
+    "text_exactsubstr_cut",
     # --- reworked round 16 (r15 evidence predates the scale fixes) ---
     "text_repeated_substrings",
     # --- last externally green in ROUND 9 (all 34, staged verbatim in
@@ -130,13 +134,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "scan_merge_schema",
     "scd2_dimension_history",
     "sql_recursive_cte",
-    "text_vocab_build",
-    "tpch_q2_min_cost_supplier",
 )
 
-# The 27 equally-r10-stale names displaced by the 50-slot width; they
-# lead the round-17 window.
+# The 29 equally-r10-stale names displaced by the 50-slot width (two
+# more than staged at round-16 open: the never-checked LCP-interval
+# pair took the last two slots); they lead the round-17 window.
 DRIVER_DEFERRED: tuple[str, ...] = (
+    "text_vocab_build",
+    "tpch_q2_min_cost_supplier",
     "agg_approx_distinct",
     "agg_count_min_topk",
     "doc_chunk_overlap",

@@ -100,6 +100,7 @@ def _strip_limit(oracle: str) -> str:
     """Drop the trailing ORDER BY ... LIMIT k from an oracle (every
     graph/RAKE oracle ends with exactly one)."""
     i = oracle.rstrip().rfind("ORDER BY")
+    assert i != -1, "_strip_limit: oracle has no ORDER BY clause to strip"
     tail = oracle[i:]
     # guard the textual assumption (ADVICE r14): the stripped tail must
     # be the final ORDER BY ... LIMIT clause (no nested SELECT), or the

@@ -765,12 +765,13 @@ _REVIEWED_BROADCAST_SITES = {
     ("queries/llm_pack.py", "bases"): 1,
     # r15 suffix ranking: bases = per-shard dense-rank offsets (<=257
     # rows by construction — span sizing); vocab = distinct-token
-    # frame (vocabulary-scaled, the text_vocab_build class; the 100TB
-    # path swaps it for a hash-bucketed dense_rank_shards per the
-    # module docstring). Every corpus-scaled join in the op carries
-    # hint("merge") — reviewed r15 after the AQE broadcast-convert OOM.
+    # frame (vocabulary-scaled, the text_vocab_build class — since r16
+    # ranked through the order-tiling leading-code-point shard, so the
+    # broadcast ships (tok, rank) pairs only). Every corpus-scaled
+    # join in the op carries hint("merge") — reviewed r15 after the
+    # AQE broadcast-convert OOM; re-reviewed r16 with the shard rework.
     ("operators/ranks.py", "bases"): 1,
-    ("operators/ranks.py", "vocab"): 1,
+    ("operators/ranks.py", 'vocab.select("tok"'): 1,
     ("queries/llm_pack.py", "fv_q"): 1,
     ("queries/llm_pack.py", "tot"): 1,
     ("queries/llm_quality.py", "boiler"): 1,

@@ -123,3 +123,147 @@ def test_repeated_substrings_width_determinism(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
     assert all(r == runs[0] for r in runs[1:]), "varies with width"
+
+
+# ---------------------------------------------------------------------------
+# Round 16: LCP-interval ops (per-doc longest repeat + ExactSubstr cut)
+
+
+def _py_rep_lengths(texts: list[tuple[int, str]]) -> dict[tuple[int, int], int]:
+    """Brute-force ALL-PAIRS per-suffix repeat length — a genuinely
+    different algorithm from both the Spark adjacency construction
+    and the DuckDB sorted-suffix oracle (the CC third-algorithm
+    discipline): max LCP of each suffix against every other suffix."""
+    sufs = []
+    for i, t in texts:
+        tk = _py_toks(t)
+        for p in range(len(tk)):
+            sufs.append((i, p, tuple(tk[p:])))
+    out = {}
+    for i, p, s in sufs:
+        best = 0
+        for j, q, s2 in sufs:
+            if (i, p) == (j, q):
+                continue
+            l = 0
+            m = min(len(s), len(s2))
+            while l < m and s[l] == s2[l]:
+                l += 1
+            best = max(best, l)
+        out[(i, p)] = best
+    return out
+
+
+def _py_rep_lengths_sorted(
+    texts: list[tuple[int, str]]
+) -> dict[tuple[int, int], int]:
+    """Per-suffix repeat length via Python suffix SORT + rank-adjacent
+    LCPs (group members get slen) — O(n log n), used at smoke scale
+    where all-pairs is infeasible. The hypothesis test cross-checks it
+    against the brute-force version on every tiny corpus."""
+    groups: dict[tuple, list[tuple[int, int]]] = {}
+    for i, t in texts:
+        tk = _py_toks(t)
+        for p in range(len(tk)):
+            groups.setdefault(tuple(tk[p:]), []).append((i, p))
+    order = sorted(groups)
+    nbr: dict[int, int] = {}
+    for j in range(len(order) - 1):
+        s, t2 = order[j], order[j + 1]
+        l = 0
+        m = min(len(s), len(t2))
+        while l < m and s[l] == t2[l]:
+            l += 1
+        nbr[j] = max(nbr.get(j, 0), l)
+        nbr[j + 1] = max(nbr.get(j + 1, 0), l)
+    out = {}
+    for j, s in enumerate(order):
+        mem = groups[s]
+        for k in mem:
+            out[k] = len(s) if len(mem) >= 2 else nbr.get(j, 0)
+    return out
+
+
+def _py_longest(texts: list[tuple[int, str]], rl=None):
+    rl = rl if rl is not None else _py_rep_lengths(texts)
+    rows = []
+    for i, t in sorted(texts):
+        tk = _py_toks(t)
+        if not tk:
+            continue
+        L, negp = max((rl[(i, p)], -p) for p in range(len(tk)))
+        p = -negp
+        rows.append((i, len(tk), L, p, " ".join(tk[p : p + min(L, 8)])))
+    return rows
+
+
+def _py_cut(texts: list[tuple[int, str]], k: int, rl=None):
+    rl = rl if rl is not None else _py_rep_lengths(texts)
+    rows = []
+    for i, t in sorted(texts):
+        tk = _py_toks(t)
+        if not tk:
+            continue
+        covered = [False] * len(tk)
+        for p in range(len(tk)):
+            if rl[(i, p)] >= k:
+                for q in range(p, p + rl[(i, p)]):
+                    covered[q] = True
+        kept = " ".join(tk[q] for q in range(len(tk)) if not covered[q])
+        rows.append((i, len(tk), sum(covered), kept))
+    return rows
+
+
+@settings(max_examples=_hyp_n(10), deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@example(texts=["a a a a a a", "a a a"])       # duplicate-heavy: full-cover
+@example(texts=["a b a b a", "b a b a b"])     # overlapping repeats
+@example(texts=["x"])                          # singleton: rep_len 0
+@example(texts=["a b x a b", "a b x a b"])     # exact dup docs: kept ''
+@given(st.lists(_TEXT, min_size=1, max_size=5))
+def test_lcp_interval_ops_random_corpora(spark, texts):
+    """Both LCP-interval queries vs brute-force all-pairs Python on
+    random corpora. k=2 (not the query's production _CUT_K=5) so the
+    cut path actually fires on <=10-token docs."""
+    from glue_etl_pyspark_spark.queries.suffixes import (
+        exactsubstr_cut_frame,
+        longest_repeat_frame,
+    )
+
+    docs = list(enumerate(texts))
+    # the fast sorted-adjacency Python ref must agree with brute force
+    assert _py_rep_lengths_sorted(docs) == _py_rep_lengths(docs)
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got_long = [
+        (r.doc_id, r.n_tokens, r.rep_len, r.rep_pos, r.sample)
+        for r in longest_repeat_frame(df).collect()
+    ]
+    assert got_long == _py_longest(docs)
+    got_cut = [
+        (r.doc_id, r.n_tokens, r.cut_tokens, r.kept_text)
+        for r in exactsubstr_cut_frame(df, k=2).collect()
+    ]
+    assert got_cut == _py_cut(docs, k=2)
+
+
+def test_exactsubstr_cut_smoke_exogenous(spark, smoke_dir):
+    """The registered cut query (production _CUT_K) vs the brute-force
+    Python reference on the smoke corpus, and the structural
+    invariants: cut_tokens + len(kept) == n_tokens, kept_text is a
+    subsequence of the doc tokens."""
+    import duckdb
+
+    from glue_etl_pyspark_spark.registry import load_all
+
+    texts = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM read_parquet('{smoke_dir}/documents.parquet')"
+    ).fetchall()
+    docs = [(int(i), t) for i, t in texts]
+    exp = _py_cut(docs, k=5, rl=_py_rep_lengths_sorted(docs))
+    got = [
+        (r.doc_id, r.n_tokens, r.cut_tokens, r.kept_text)
+        for r in load_all()["text_exactsubstr_cut"].fn(spark, smoke_dir).collect()
+    ]
+    assert got == exp
+    for _, n, cut, kept in got:
+        assert cut + len([w for w in kept.split(" ") if w]) == n
