@@ -172,7 +172,13 @@ def suffix_ranks(docs: DataFrame, max_rounds: int = 32) -> DataFrame:
                 ),
             )
             .withColumn("__shard", F.expr(f"r div {span}"))
-            .localCheckpoint(eager=True)
+            # corpus-scaled round frame: lineage must truncate each
+            # round (iterative rule) but the unroll must NOT go through
+            # the memory store — the default MEMORY_AND_DISK localCheckpoint
+            # hard-OOM'd the 8g JVM mid-unroll at 35M suffixes (r16)
+            # while 32 tasks unrolled concurrently. DISK_ONLY keeps the
+            # truncation and streams straight to disk.
+            .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
         )
         ranked, n_distinct = dense_rank_shards(
             keyed, "__shard", ["r", "r2"], "__nr"
@@ -180,7 +186,7 @@ def suffix_ranks(docs: DataFrame, max_rounds: int = 32) -> DataFrame:
         ranks = ranked.select("doc_id", "pos", F.col("__nr").alias("r"))
         if n_distinct == n_suffix:
             break  # certificate: every suffix rank unique — converged
-    ranks = ranks.localCheckpoint(eager=True)
+    ranks = ranks.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     # corpus-scaled on both sides — merge hint (broadcast would build
     # a suffix-count hash table on the driver)
     return ranks.join(
