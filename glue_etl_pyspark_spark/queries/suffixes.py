@@ -417,6 +417,165 @@ def longest_repeat_frame(d: DataFrame) -> DataFrame:
     )
 
 
+# --- cross-doc repeat families ---------------------------------------
+
+# Family gram width. Two documents share an exactly-repeated span of
+# >= K tokens IFF they share some K-token contiguous gram (any span of
+# length >= K contains a K-gram; a shared K-gram IS a shared K-span),
+# so K-gram co-occurrence edges + connected components give EXACTLY
+# the "repeat family" partition of the corpus — the cross-doc grouping
+# of the ExactSubstr witness structure. K matches contamination's
+# 8-gram width; measured sf0.1: 10,533 shared grams, max 4 docs/gram,
+# 247 star edges over 5,000 docs — sparse, so the closure oracle stays
+# linear.
+_FAM_K = 8
+_FAM_TOPK = 20
+
+_FAM_GRAMS_DUCK = f"""
+toks AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+),
+grams AS MATERIALIZED (
+  SELECT DISTINCT doc_id, array_to_string(toks[i : i + {_FAM_K - 1}], ' ') AS gram
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - {_FAM_K - 1})) AS i
+        FROM toks WHERE len(toks) >= {_FAM_K})
+),
+hubs AS MATERIALIZED (
+  SELECT gram, MIN(doc_id) AS hub, COUNT(*) AS n FROM grams GROUP BY gram
+),
+sedges AS MATERIALIZED (
+  SELECT DISTINCT h.hub AS u, g.doc_id AS v
+  FROM grams g JOIN hubs h USING (gram)
+  WHERE h.n >= 2 AND g.doc_id <> h.hub
+)"""
+
+REPEAT_FAMILIES_ORACLE = f"""
+WITH RECURSIVE {_FAM_GRAMS_DUCK},
+edges AS MATERIALIZED (
+  SELECT u, v FROM sedges UNION ALL SELECT v, u FROM sedges
+),
+nodes AS MATERIALIZED (SELECT DISTINCT doc_id AS node FROM documents),
+reach(node, lbl) AS (
+  SELECT node, node AS lbl FROM nodes
+  UNION
+  SELECT e.u AS node, r.lbl FROM edges e JOIN reach r ON r.node = e.v
+),
+comp AS MATERIALIZED (
+  SELECT node, MIN(lbl) AS label FROM reach GROUP BY node
+)
+SELECT CAST(label AS BIGINT) AS family,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(MIN(node) AS BIGINT) AS min_doc,
+  CAST(MAX(node) AS BIGINT) AS max_doc,
+  (SELECT CAST(COUNT(DISTINCT label) AS BIGINT) FROM comp) AS n_families
+FROM comp GROUP BY label
+ORDER BY n_docs DESC, family LIMIT {_FAM_TOPK}
+"""
+
+
+def repeat_families_frame(d: DataFrame, k: int = _FAM_K) -> DataFrame:
+    """(doc_id, family) — the repeat-family partition of a (doc_id,
+    text) corpus: docs in one family iff connected by "shares an
+    exactly-repeated span of >= k tokens" (equivalently, shares a
+    k-gram — see the _FAM_K note). Every doc appears; docs sharing no
+    span are singleton families labeled by their own id.
+
+    Scale shape: grams are built with the contamination window-lead
+    form (posexplode + K-1 lead()s, shuffled as xxhash64 keys — never
+    ~50-byte strings; the string==hash identity is pinned by every
+    parity row against the string-keyed oracle). Per gram group only
+    STAR edges to the min doc ship (linear in gram occurrences, never
+    the quadratic within-group pair set — same components), and the
+    fixpoint iteration is the certified ``cc_labels``. Both the
+    per-doc gram frame (read twice: hub agg + edge join) and the edge
+    frame (re-read every fixpoint round) are corpus-scaled reuse
+    frames — persist(DISK_ONLY) per the winnow rule, released once
+    the node-scaled labels are materialized (cc_labels checkpoints
+    per round, so the returned plan no longer references them)."""
+    from pyspark import StorageLevel
+
+    from .graph import cc_labels
+
+    from ..functions.text import tokenize_ws
+
+    toks = d.select("doc_id", tokenize_ws("text").alias("toks"))
+    pe = toks.filter(F.size("toks") >= k).select(
+        "doc_id", F.posexplode("toks").alias("pos", "t0")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cols = ["t0"] + [f"t{i}" for i in range(1, k)]
+    dg = (
+        pe.select(
+            "doc_id",
+            "t0",
+            *[F.lead("t0", i).over(w).alias(f"t{i}") for i in range(1, k)],
+        )
+        .filter(F.col(f"t{k - 1}").isNotNull())
+        .select("doc_id", F.xxhash64(*cols).alias("gh"))
+        .dropDuplicates(["doc_id", "gh"])
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    hubs = dg.groupBy("gh").agg(
+        F.min("doc_id").alias("hub"), F.count("*").alias("n")
+    )
+    sedges = (
+        dg.join(hubs.filter(F.col("n") >= 2), "gh")
+        .filter(F.col("doc_id") != F.col("hub"))
+        .select(F.col("hub").alias("u"), F.col("doc_id").alias("v"))
+        .distinct()
+    )
+    und = sedges.unionAll(
+        sedges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist(StorageLevel.DISK_ONLY)
+    labels = cc_labels(und)
+    und.unpersist()
+    dg.unpersist()
+    return (
+        d.select("doc_id")
+        .join(labels, d["doc_id"] == labels["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", "doc_id").cast("bigint").alias("family"),
+        )
+    )
+
+
+@query(
+    "text_repeat_families",
+    oracle=REPEAT_FAMILIES_ORACLE,
+    category="llm-dedup",
+)
+def text_repeat_families(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc repeat families: connected components of the
+    "documents share an exactly-repeated >= 8-token span" relation
+    (the doc-level grouping of the ExactSubstr witness structure —
+    the consolidation step a dedup pipeline runs before choosing
+    which family member to keep). Top-20 families by size plus the
+    total family count; singleton docs count as their own family.
+
+    Oracle: a genuinely different algorithm — string-keyed K-gram
+    star edges + a recursive-CTE transitive closure (the CC closure
+    discipline), against Spark's hash-keyed grams + certified
+    ``cc_labels`` fixpoint (see ``repeat_families_frame`` for the
+    scale shape)."""
+    fam = repeat_families_frame(load_table(spark, sf_dir, "documents"))
+    nfam = fam.agg(
+        F.countDistinct("family").cast("bigint").alias("n_families")
+    ).localCheckpoint(eager=True)
+    return (
+        fam.groupBy("family")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+        )
+        .crossJoin(nfam)
+        .orderBy(F.desc("n_docs"), "family")
+        .limit(_FAM_TOPK)
+    )
+
+
 @query(
     "text_exactsubstr_cut",
     oracle=EXACTSUBSTR_CUT_ORACLE,

@@ -58,15 +58,17 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 # dense_rank_shards and pe -> persist(DISK_ONLY) — change its plan, so
 # its r15 row predates the shipped code) and leads. The 34 r9-stale
 # names staged verbatim in the r15 DRIVER_DEFERRED follow, and the
-# last 13 slots take one representative per r10-stale family. The 29
+# last slots take one representative per r10-stale family. The
 # displaced, equally-r10-stale siblings move to DRIVER_DEFERRED (each
 # rides an in-window sibling exercising the same machinery where one
 # exists: agg_approx_distinct/agg_count_min_topk ride agg_listagg,
 # the stream_* block rides the in-window r9 stream quartet,
 # sample_*/scan_* ride scan_merge_schema, knn_label_purity rides
-# knn_int8_rerank, tpch_q20 rides tpch_q2) and lead the round-17
-# window. After a clean r16 the oldest external evidence moves
-# r9 -> r10.
+# knn_int8_rerank, tpch_q20 rides tpch_q2, retention_cohort rides
+# events_funnel) and lead the round-17 window. After a clean r16 the
+# oldest external evidence moves r9 -> r10. Late-r16 addition:
+# text_repeat_families (never-checked) takes the window head,
+# displacing retention_cohort into DRIVER_DEFERRED.
 DRIVER_REWORKED: tuple[str, ...] = (
     "text_repeated_substrings",
 )
@@ -78,8 +80,10 @@ DRIVER_REWORKED: tuple[str, ...] = (
 # and that no un-reworked name outside the window is staler than any
 # un-reworked name inside it.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- never-checked (registered r16: the LCP-interval pair —
-    #     per-doc longest repeat + the ExactSubstr cut transform) ---
+    # --- never-checked (registered r16: cross-doc repeat families +
+    #     the LCP-interval pair — per-doc longest repeat + the
+    #     ExactSubstr cut transform) ---
+    "text_repeat_families",
     "text_longest_repeat_per_doc",
     "text_exactsubstr_cut",
     # --- reworked round 16 (r15 evidence predates the scale fixes) ---
@@ -120,7 +124,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "unbox_props",
     "window_session_batch",
     "window_sliding_batch",
-    # --- last externally green in ROUND 10 (15 of 42, one per family) ---
+    # --- last externally green in ROUND 10 (12 of 42, one per family;
+    #     retention_cohort displaced by text_repeat_families — it rides
+    #     in-window events_funnel) ---
     "agg_listagg",
     "cooccurrence_part_pairs",
     "doc_pack_greedy",
@@ -130,16 +136,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "knn_int8_rerank",
     "line_dedup_corpus",
     "observe_metrics",
-    "retention_cohort",
     "scan_merge_schema",
     "scd2_dimension_history",
     "sql_recursive_cte",
 )
 
-# The 29 equally-r10-stale names displaced by the 50-slot width (two
-# more than staged at round-16 open: the never-checked LCP-interval
-# pair took the last two slots); they lead the round-17 window.
+# The 30 equally-r10-stale names displaced by the 50-slot width
+# (three more than staged at round-16 open: the never-checked
+# LCP-interval pair took the last two slots, then the late-r16
+# text_repeat_families displaced retention_cohort); they lead the
+# round-17 window.
 DRIVER_DEFERRED: tuple[str, ...] = (
+    "retention_cohort",
     "text_vocab_build",
     "tpch_q2_min_cost_supplier",
     "agg_approx_distinct",

@@ -246,6 +246,112 @@ def test_lcp_interval_ops_random_corpora(spark, texts):
     assert got_cut == _py_cut(docs, k=2)
 
 
+# ---------------------------------------------------------------------------
+# Round 16: cross-doc repeat families
+
+
+def _py_families(texts: list[tuple[int, str]], k: int) -> dict[int, int]:
+    """doc_id -> min-doc family label via UNION-FIND over 'docs share a
+    k-gram' — a third algorithm sharing no code with either the Spark
+    cc_labels fixpoint or the DuckDB recursive-closure oracle (the CC
+    gate discipline)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    gram_docs: dict[tuple, list[int]] = {}
+    for i, t in texts:
+        parent[i] = i
+        tk = _py_toks(t)
+        for p in range(len(tk) - k + 1):
+            gram_docs.setdefault(tuple(tk[p : p + k]), []).append(i)
+    for docs in gram_docs.values():
+        for d in docs[1:]:
+            union(docs[0], d)
+    return {i: find(i) for i, _ in texts}
+
+
+@settings(max_examples=_hyp_n(10), deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@example(texts=["a b c", "a b c", "c a b"])      # chained families
+@example(texts=["x", "x", "a b"])                # 1-token docs: k=2 singletons
+@example(texts=["a a a", "a a b", "b a a"])      # hub != smallest sometimes
+@given(st.lists(_TEXT, min_size=1, max_size=6))
+def test_repeat_families_random_corpora(spark, texts):
+    """repeat_families_frame (k=2 so <=10-token docs actually connect)
+    vs Python union-find on random corpora; also pins the span<=>gram
+    equivalence by checking a k=3 run against 3-gram union-find."""
+    from glue_etl_pyspark_spark.queries.suffixes import repeat_families_frame
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    for k in (2, 3):
+        got = {
+            r.doc_id: r.family
+            for r in repeat_families_frame(df, k=k).collect()
+        }
+        assert got == _py_families(docs, k)
+
+
+def test_repeat_families_smoke_exogenous(spark, smoke_dir):
+    """The registered query (production _FAM_K) vs union-find on the
+    smoke corpus, plus structural invariants: families partition the
+    docs, every family label is its own min member, n_families is the
+    partition size."""
+    import duckdb
+
+    from glue_etl_pyspark_spark.queries.suffixes import _FAM_K
+    from glue_etl_pyspark_spark.registry import load_all
+
+    texts = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM read_parquet('{smoke_dir}/documents.parquet')"
+    ).fetchall()
+    docs = [(int(i), t) for i, t in texts]
+    lab = _py_families(docs, _FAM_K)
+    fams: dict[int, list[int]] = {}
+    for d, f in lab.items():
+        fams.setdefault(f, []).append(d)
+    exp = sorted(
+        ((f, len(m), min(m), max(m), len(fams)) for f, m in fams.items()),
+        key=lambda r: (-r[1], r[0]),
+    )[:20]
+    got = [
+        (r.family, r.n_docs, r.min_doc, r.max_doc, r.n_families)
+        for r in load_all()["text_repeat_families"].fn(spark, smoke_dir).collect()
+    ]
+    assert got == exp
+    for f, n, mn, mx, _ in got:
+        assert f == mn and mn <= mx and n >= 1
+
+
+def test_repeat_families_width_determinism(spark, sf_dir):
+    """Bit-stability across shuffle widths 2/32/200 — the persisted
+    gram/edge frames plus the cc_labels fixpoint must make the family
+    table independent of partitioning (the repeated-run stress the
+    repo requires of every persist-using query)."""
+    from glue_etl_pyspark_spark.registry import load_all
+
+    fn = load_all()["text_repeat_families"].fn
+    runs = []
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for parts in ("2", "32", "200"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            runs.append([tuple(r) for r in fn(spark, sf_dir).collect()])
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert all(r == runs[0] for r in runs[1:]), "varies with width"
+
+
 def test_exactsubstr_cut_smoke_exogenous(spark, smoke_dir):
     """The registered cut query (production _CUT_K) vs the brute-force
     Python reference on the smoke corpus, and the structural
