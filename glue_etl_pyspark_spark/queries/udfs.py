@@ -336,3 +336,120 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.filter((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 400000))
         .select("o_orderkey", fn("o_totalprice").alias("cents_bucket"))
     )
+
+
+COGROUPED_ORACLE = """
+WITH p AS (
+  SELECT user_id, COUNT(*) AS n_p,
+         SUM(CAST(floor(value * 1e6) AS BIGINT)) AS pm
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), c AS (
+  SELECT user_id, COUNT(*) AS n_c,
+         SUM(CAST(floor(value * 1e6) AS BIGINT)) AS cm
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+)
+SELECT COALESCE(p.user_id, c.user_id) AS user_id,
+       CAST(COALESCE(p.n_p, 0) AS BIGINT) AS n_purchase,
+       CAST(COALESCE(c.n_c, 0) AS BIGINT) AS n_click,
+       CAST(COALESCE(p.pm, 0) AS BIGINT) AS purchase_micro,
+       CAST(COALESCE(c.cm, 0) AS BIGINT) AS click_micro
+FROM p FULL OUTER JOIN c ON p.user_id = c.user_id
+"""
+
+
+@query("udf_cogrouped_stats", oracle=COGROUPED_ORACLE, category="udf")
+def udf_cogrouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map pandas UDF (``GroupedData.cogroup(...)
+    .applyInPandas``, the last §2.11 grouping surface): purchase and
+    click events cogrouped per user; BOTH groups arrive as pandas
+    frames in one Python call — the shape for per-key reconciliation
+    / merge_asof-style alignment that a join can't express row-wise.
+    A key present on only one side still fires the function (the
+    other frame arrives empty) — that outer semantics is the real
+    machinery test and is additionally pinned on constructed
+    one-sided keys in tests/test_udf_surfaces.py. Money sums are
+    floor-scaled to integer micro-units inside the worker (numpy
+    int64 — order-independent, exact vs the SQL twin; CLAUDE.md money
+    rule). Scale shape: one shuffle per side on the cogroup key, no
+    driver collect; group state is bounded by per-user event counts."""
+    import numpy as np
+    import pandas as pd
+
+    def reconcile(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        def micro(pdf):
+            if len(pdf) == 0:
+                return 0
+            return int(np.floor(pdf["value"].to_numpy() * 1e6).astype("int64").sum())
+
+        return pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_purchase": [len(left)],
+                "n_click": [len(right)],
+                "purchase_micro": [micro(left)],
+                "click_micro": [micro(right)],
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events")
+    pur = ev.filter(F.col("event_type") == "purchase").select("user_id", "value")
+    clk = ev.filter(F.col("event_type") == "click").select("user_id", "value")
+    return pur.groupBy("user_id").cogroup(clk.groupBy("user_id")).applyInPandas(
+        reconcile,
+        schema=(
+            "user_id bigint, n_purchase bigint, n_click bigint, "
+            "purchase_micro bigint, click_micro bigint"
+        ),
+    )
+
+
+GROUPED_ARROW_ORACLE = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS value_micro,
+       CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+       CAST(MAX(event_id) AS BIGINT) AS max_event_id
+FROM events GROUP BY user_id
+"""
+
+
+@query("udf_grouped_applyinarrow", oracle=GROUPED_ARROW_ORACLE, category="udf")
+def udf_grouped_applyinarrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map in raw Arrow (``GroupedData.applyInArrow``, Spark
+    4.x): the whole group arrives as one ``pyarrow.Table`` with no
+    pandas conversion — the zero-copy leg of the grouped-map matrix
+    (applyInPandas pays the Arrow→pandas→Arrow round trip per group).
+    Per-user event stats; micro-unit money accumulation in int64
+    (pc.sum over a cast column — exact, order-independent), so the
+    SQL oracle checks the Arrow machinery end-to-end. Scale shape:
+    one hash shuffle on user_id; group memory bounded by the largest
+    single user."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    # NOTE: no type annotations on `stats` — under `from __future__ import
+    # annotations` the stringified hints make pyspark's
+    # infer_group_arrow_eval_type_from_func raise (and group_ops then
+    # trips an UnboundLocalError, Spark 4.1.2). Un-annotated functions
+    # take the clean default path; key-passing is decided by arity.
+    def stats(key, tbl):
+        micro = pc.cast(pc.floor(pc.multiply(tbl.column("value"), 1e6)), pa.int64())
+        mm = pc.min_max(tbl.column("event_id"))
+        return pa.table(
+            {
+                "user_id": pa.array([key[0].as_py()], pa.int64()),
+                "n_events": pa.array([tbl.num_rows], pa.int64()),
+                "value_micro": pa.array([pc.sum(micro).as_py()], pa.int64()),
+                "min_event_id": pa.array([mm["min"].as_py()], pa.int64()),
+                "max_event_id": pa.array([mm["max"].as_py()], pa.int64()),
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    return ev.groupBy("user_id").applyInArrow(
+        stats,
+        schema=(
+            "user_id bigint, n_events bigint, value_micro bigint, "
+            "min_event_id bigint, max_event_id bigint"
+        ),
+    )

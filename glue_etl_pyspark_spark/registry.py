@@ -68,7 +68,14 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 # events_funnel) and lead the round-17 window. After a clean r16 the
 # oldest external evidence moves r9 -> r10. Late-r16 addition:
 # text_repeat_families (never-checked) takes the window head,
-# displacing retention_cohort into DRIVER_DEFERRED.
+# displacing retention_cohort into DRIVER_DEFERRED. Later-r16
+# addition: the three new §2.11/relational API-surface queries
+# (cogrouped applyInPandas, grouped applyInArrow, DataFrame.transpose)
+# join the never-checked head, displacing embedding_quantize_int8
+# (rides in-window knn_int8_rerank — same int8 machinery),
+# line_dedup_corpus (rides in-window dedup_minhash_lsh — llm-dedup
+# family) and cooccurrence_part_pairs (rides in-window events_funnel —
+# analytics family) into DRIVER_DEFERRED.
 DRIVER_REWORKED: tuple[str, ...] = (
     "text_repeated_substrings",
 )
@@ -86,6 +93,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_repeat_families",
     "text_longest_repeat_per_doc",
     "text_exactsubstr_cut",
+    # --- never-checked (registered later in r16: the remaining §2.11
+    #     grouping surfaces + Spark-4 transpose) ---
+    "udf_cogrouped_stats",
+    "udf_grouped_applyinarrow",
+    "relational_transpose",
     # --- reworked round 16 (r15 evidence predates the scale fixes) ---
     "text_repeated_substrings",
     # --- last externally green in ROUND 9 (all 34, staged verbatim in
@@ -128,26 +140,28 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #     retention_cohort displaced by text_repeat_families — it rides
     #     in-window events_funnel) ---
     "agg_listagg",
-    "cooccurrence_part_pairs",
     "doc_pack_greedy",
-    "embedding_quantize_int8",
     "events_funnel",
     "join_salted_skew",
     "knn_int8_rerank",
-    "line_dedup_corpus",
     "observe_metrics",
     "scan_merge_schema",
     "scd2_dimension_history",
     "sql_recursive_cte",
 )
 
-# The 30 equally-r10-stale names displaced by the 50-slot width
-# (three more than staged at round-16 open: the never-checked
-# LCP-interval pair took the last two slots, then the late-r16
-# text_repeat_families displaced retention_cohort); they lead the
+# The 33 equally-r10-stale names displaced by the 50-slot width
+# (six more than staged at round-16 open: the never-checked
+# LCP-interval pair took the last two slots, the late-r16
+# text_repeat_families displaced retention_cohort, then the three
+# later-r16 API-surface queries displaced embedding_quantize_int8,
+# line_dedup_corpus and cooccurrence_part_pairs); they lead the
 # round-17 window.
 DRIVER_DEFERRED: tuple[str, ...] = (
     "retention_cohort",
+    "embedding_quantize_int8",
+    "line_dedup_corpus",
+    "cooccurrence_part_pairs",
     "text_vocab_build",
     "tpch_q2_min_cost_supplier",
     "agg_approx_distinct",
