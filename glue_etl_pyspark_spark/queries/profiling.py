@@ -396,3 +396,32 @@ def cdc_extract_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "old_status",
         "old_cents",
     )
+
+
+CROSSTAB_ORACLE = """
+SELECT o_orderstatus AS o_orderstatus_o_orderpriority,
+  CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS "1-URGENT",
+  CAST(COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS BIGINT) AS "2-HIGH",
+  CAST(COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS BIGINT) AS "3-MEDIUM",
+  CAST(COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS BIGINT)
+    AS "4-NOT SPECIFIED",
+  CAST(COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS BIGINT) AS "5-LOW"
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@query("profile_crosstab", oracle=CROSSTAB_ORACLE, category="profiling")
+def profile_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``df.stat.crosstab`` (pair-wise frequency / contingency table):
+    order-status × order-priority counts. Exact and deterministic —
+    unlike freqItems/sampleBy, crosstab is a plain pivoted COUNT, so
+    the oracle is the FILTER-pivot of the same GROUP BY (first output
+    column is Spark's joined "col1_col2" name; value columns are named
+    by the observed o_orderpriority domain, fixed by TPC-H at every
+    SF). Scale shape: one partial-aggregated shuffle on the pair key,
+    then a pivot over |priority domain| = 5 columns — output is
+    |status domain| = 3 rows at any SF. Crosstab collects the DISTINCT
+    col2 values to name columns, so it is for fixed-domain pairs only
+    (a data-scaled column domain would make a data-wide row)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.stat.crosstab("o_orderstatus", "o_orderpriority")

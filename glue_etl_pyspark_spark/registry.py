@@ -75,7 +75,8 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 # (rides in-window knn_int8_rerank — same int8 machinery),
 # line_dedup_corpus (rides in-window dedup_minhash_lsh — llm-dedup
 # family) and cooccurrence_part_pairs (rides in-window events_funnel —
-# analytics family) into DRIVER_DEFERRED.
+# analytics family) into DRIVER_DEFERRED; profile_crosstab
+# (df.stat.crosstab) follows, displacing observe_metrics.
 DRIVER_REWORKED: tuple[str, ...] = (
     "text_repeated_substrings",
 )
@@ -98,6 +99,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "udf_cogrouped_stats",
     "udf_grouped_applyinarrow",
     "relational_transpose",
+    "profile_crosstab",
     # --- reworked round 16 (r15 evidence predates the scale fixes) ---
     "text_repeated_substrings",
     # --- last externally green in ROUND 9 (all 34, staged verbatim in
@@ -144,24 +146,24 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_funnel",
     "join_salted_skew",
     "knn_int8_rerank",
-    "observe_metrics",
     "scan_merge_schema",
     "scd2_dimension_history",
     "sql_recursive_cte",
 )
 
-# The 33 equally-r10-stale names displaced by the 50-slot width
-# (six more than staged at round-16 open: the never-checked
+# The 34 equally-r10-stale names displaced by the 50-slot width
+# (seven more than staged at round-16 open: the never-checked
 # LCP-interval pair took the last two slots, the late-r16
-# text_repeat_families displaced retention_cohort, then the three
+# text_repeat_families displaced retention_cohort, then the four
 # later-r16 API-surface queries displaced embedding_quantize_int8,
-# line_dedup_corpus and cooccurrence_part_pairs); they lead the
-# round-17 window.
+# line_dedup_corpus, cooccurrence_part_pairs and observe_metrics);
+# they lead the round-17 window.
 DRIVER_DEFERRED: tuple[str, ...] = (
     "retention_cohort",
     "embedding_quantize_int8",
     "line_dedup_corpus",
     "cooccurrence_part_pairs",
+    "observe_metrics",
     "text_vocab_build",
     "tpch_q2_min_cost_supplier",
     "agg_approx_distinct",
