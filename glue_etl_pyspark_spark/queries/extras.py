@@ -580,7 +580,7 @@ TRANSPOSE_ORACLE = """
 WITH s AS (
   SELECT o_orderstatus AS st,
          CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(CAST(floor(o_totalprice * 1e6) AS BIGINT)) AS BIGINT) AS m
+         CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS m
   FROM orders GROUP BY o_orderstatus
 )
 SELECT 'n_orders' AS key,
@@ -589,7 +589,7 @@ SELECT 'n_orders' AS key,
        CAST(MAX(CASE WHEN st = 'P' THEN n END) AS BIGINT) AS "P"
 FROM s
 UNION ALL
-SELECT 'total_micro' AS key,
+SELECT 'total_cents' AS key,
        CAST(MAX(CASE WHEN st = 'F' THEN m END) AS BIGINT) AS "F",
        CAST(MAX(CASE WHEN st = 'O' THEN m END) AS BIGINT) AS "O",
        CAST(MAX(CASE WHEN st = 'P' THEN m END) AS BIGINT) AS "P"
@@ -603,23 +603,32 @@ def relational_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
     CONSTANT-cardinality aggregate — order-status metrics become
     columns named by the index-column values (TPC-H o_orderstatus
     domain is fixed {F,O,P} at every SF, so the output schema is
-    stable). Money pre-aggregated to integer micro-units (floor-scale
-    long; CLAUDE.md money rule) so both metric rows share one exact
-    BIGINT type — transpose requires a least-common type across the
+    stable). Money pre-aggregated to integer CENTS (floor-scale;
+    CLAUDE.md money rule) so both metric rows share one exact BIGINT
+    type — transpose requires a least-common type across the
     transposed columns, and mixing exact counts with drifting double
-    sums would poison both. Oracle = the manual CASE-pivot of the
-    same aggregate. Scale shape: the aggregate reduces to |domain|
-    rows before transpose, so the pivot itself is constant-size at
-    any SF; transpose is for metric-sheet shaped frames only — never
-    on a data-scaled axis (column count = row count)."""
+    sums would poison both. The per-status sum is CORPUS-scaled, so
+    the accumulation is DECIMAL(38,0) (DuckDB's SUM(BIGINT) is
+    HUGEINT — same discipline) with only the final cast back to
+    BIGINT: cents keep that cast safe through ~5e10 rows/status
+    (~100 TB), where micro-units would overflow at ~sf1000. Oracle =
+    the manual CASE-pivot of the same aggregate. Scale shape: the
+    aggregate reduces to |domain| rows before transpose, so the pivot
+    itself is constant-size at any SF; transpose is for metric-sheet
+    shaped frames only — never on a data-scaled axis (column count =
+    row count)."""
     orders = load_table(spark, sf_dir, "orders")
     agg = (
         orders.groupBy("o_orderstatus")
         .agg(
             F.count("*").cast("long").alias("n_orders"),
             F.sum(
-                F.floor(F.col("o_totalprice") * F.lit(1e6)).cast("long")
-            ).alias("total_micro"),
+                F.floor(F.col("o_totalprice") * F.lit(100))
+                .cast("long")
+                .cast("decimal(38,0)")
+            )
+            .cast("long")
+            .alias("total_cents"),
         )
         .orderBy("o_orderstatus")
     )

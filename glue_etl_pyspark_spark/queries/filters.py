@@ -70,3 +70,36 @@ def filter_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+SUBQUERY_API_ORACLE = """
+SELECT c.c_custkey, c.c_mktsegment,
+       (SELECT MAX(o_totalprice) FROM orders) AS global_max_total
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+"""
+
+
+@query("filter_subquery_api", oracle=SUBQUERY_API_ORACLE, category="filter")
+def filter_subquery_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.exists()`` + ``DataFrame.scalar()`` (Spark 4.0
+    subquery-expression APIs): customers with >= 1 urgent order
+    (correlated EXISTS — Catalyst plans the same left-semi join as the
+    SQL form in tpch_q4) carrying an uncorrelated scalar subquery
+    (global max order value — planned as a broadcast one-row
+    aggregate, evaluated ONCE at any SF, not per row). Both doubles
+    are projected verbatim — exact cross-engine."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.where(
+        (F.col("o_custkey") == F.col("c_custkey").outer())
+        & (F.col("o_orderpriority") == "1-URGENT")
+    )
+    return customer.where(urgent.exists()).select(
+        "c_custkey",
+        "c_mktsegment",
+        orders.select(F.max("o_totalprice")).scalar().alias("global_max_total"),
+    )

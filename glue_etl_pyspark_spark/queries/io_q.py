@@ -753,3 +753,42 @@ def scan_manifest_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         msum(F.col("o_totalprice")).alias("sum_total"),
     )
+
+
+SCAN_METADATA_ORACLE = """
+SELECT 'orders.parquet' AS file_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_orderkey,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_orderkey,
+       CAST(COUNT(*) - 1 AS BIGINT) AS max_row_index,
+       CAST(SUM((rn - 1) % 997) AS BIGINT) AS row_index_mod_sum
+FROM (SELECT o_orderkey, row_number() OVER () AS rn FROM orders)
+"""
+
+
+@query("scan_file_metadata", oracle=SCAN_METADATA_ORACLE, category="source-sink")
+def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden ``_metadata`` file columns on file scans (Spark 3.5/4):
+    per-file audit of the orders scan — file_name plus the per-file
+    0-based ``row_index`` (the stable within-file row numbering that
+    replaces zipWithIndex for file sources; correct even when one file
+    splits into many 16 MB input partitions). The row_index column is
+    proven two ways: max == n-1, and an order-independent mod-997
+    digest (sum over {0..n-1} % 997 — any enumeration gives the same
+    multiset, and the DuckDB twin's unordered row_number()-1 hits the
+    identical set; bounded by 997·n so no overflow at any tested
+    scale). The oracle pins file_name to the single-file fixture
+    layout; a real deployment groups per file, so every aggregate
+    here is per-file-bounded (~1e7 rows/file), never corpus-scaled."""
+    df = load_table(spark, sf_dir, "orders").select(
+        F.col("_metadata.file_name").alias("file_name"),
+        F.col("_metadata.row_index").alias("row_index"),
+        "o_orderkey",
+    )
+    return df.groupBy("file_name").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("o_orderkey").cast("long").alias("min_orderkey"),
+        F.max("o_orderkey").cast("long").alias("max_orderkey"),
+        F.max("row_index").cast("long").alias("max_row_index"),
+        F.sum(F.col("row_index") % 997).cast("long").alias("row_index_mod_sum"),
+    )

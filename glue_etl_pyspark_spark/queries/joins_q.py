@@ -591,3 +591,38 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
         F.sum("osec").cast("bigint").alias("overlap_sec"),
     )
+
+
+LATERAL_API_ORACLE = """
+SELECT n_nationkey, n_name, s_suppkey, s_acctbal
+FROM (
+  SELECT n.n_nationkey, n.n_name, s.s_suppkey, s.s_acctbal,
+         row_number() OVER (
+           PARTITION BY n.n_nationkey
+           ORDER BY s.s_acctbal DESC, s.s_suppkey
+         ) AS rk
+  FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey
+) WHERE rk <= 2
+"""
+
+
+@query("join_lateral_api", oracle=LATERAL_API_ORACLE, category="join")
+def join_lateral_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.lateralJoin`` (Spark 4.0) — the DataFrame-API twin
+    of SQL LATERAL (lateral_top_orders): top-2 suppliers per nation,
+    the correlated subquery referencing the outer row via
+    ``F.col(...).outer()``. Catalyst rewrites correlated LIMIT-per-key
+    to the same WindowGroupLimit shape as the window form, so this is
+    API surface, not a new physical plan. Determinism: the inner
+    ORDER BY ends in the unique s_suppkey (house top-k rule). Inner
+    lateral semantics — supplier-less nations drop — matches the
+    oracle's plain JOIN. Acctbal is projected verbatim (no
+    arithmetic), so doubles compare exactly."""
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return nation.select("n_nationkey", "n_name").lateralJoin(
+        supplier.where(F.col("s_nationkey") == F.col("n_nationkey").outer())
+        .orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+        .limit(2)
+        .select("s_suppkey", "s_acctbal")
+    )

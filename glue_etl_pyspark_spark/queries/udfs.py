@@ -371,29 +371,44 @@ def udf_cogrouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor-scaled to integer micro-units inside the worker (numpy
     int64 — order-independent, exact vs the SQL twin; CLAUDE.md money
     rule). Scale shape: one shuffle per side on the cogroup key, no
-    driver collect; group state is bounded by per-user event counts."""
+    driver collect; group state is bounded by per-user event counts.
+
+    SELF-COGROUP TRAP (caught by the 100x probe, reproduced at sf0.1
+    under the repo session): when BOTH cogroup sides derive from the
+    SAME scan and share column NAMES, the non-key column can arrive
+    COLUMN-PRUNED on one side (right frame = 13 rows, ['user_id']
+    only — same-name attribute resolution across the shared subplan),
+    plan-sensitively: sf0.01/8-partition runs were green, the default
+    session at sf0.1 failed every run. Fix: give each side DISTINCT
+    value column names before the cogroup — collision becomes
+    impossible and the pruning resolves per side. Pinned in
+    tests/test_udf_surfaces.py::test_self_cogroup_distinct_names."""
     import numpy as np
     import pandas as pd
 
     def reconcile(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        def micro(pdf):
+        def micro(pdf, col):
             if len(pdf) == 0:
                 return 0
-            return int(np.floor(pdf["value"].to_numpy() * 1e6).astype("int64").sum())
+            return int(np.floor(pdf[col].to_numpy() * 1e6).astype("int64").sum())
 
         return pd.DataFrame(
             {
                 "user_id": [int(key[0])],
                 "n_purchase": [len(left)],
                 "n_click": [len(right)],
-                "purchase_micro": [micro(left)],
-                "click_micro": [micro(right)],
+                "purchase_micro": [micro(left, "purchase_value")],
+                "click_micro": [micro(right, "click_value")],
             }
         )
 
     ev = load_table(spark, sf_dir, "events")
-    pur = ev.filter(F.col("event_type") == "purchase").select("user_id", "value")
-    clk = ev.filter(F.col("event_type") == "click").select("user_id", "value")
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("value").alias("purchase_value")
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("value").alias("click_value")
+    )
     return pur.groupBy("user_id").cogroup(clk.groupBy("user_id")).applyInPandas(
         reconcile,
         schema=(

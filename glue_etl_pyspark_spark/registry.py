@@ -76,7 +76,9 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 # line_dedup_corpus (rides in-window dedup_minhash_lsh — llm-dedup
 # family) and cooccurrence_part_pairs (rides in-window events_funnel —
 # analytics family) into DRIVER_DEFERRED; profile_crosstab
-# (df.stat.crosstab) follows, displacing observe_metrics.
+# (df.stat.crosstab) follows, displacing observe_metrics; then the
+# Spark-4 subquery-API pair (lateralJoin; exists+scalar) displaces
+# doc_pack_greedy and join_salted_skew.
 DRIVER_REWORKED: tuple[str, ...] = (
     "text_repeated_substrings",
 )
@@ -100,6 +102,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "udf_grouped_applyinarrow",
     "relational_transpose",
     "profile_crosstab",
+    "join_lateral_api",
+    "filter_subquery_api",
+    "scan_file_metadata",
     # --- reworked round 16 (r15 evidence predates the scale fixes) ---
     "text_repeated_substrings",
     # --- last externally green in ROUND 9 (all 34, staged verbatim in
@@ -142,21 +147,19 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #     retention_cohort displaced by text_repeat_families — it rides
     #     in-window events_funnel) ---
     "agg_listagg",
-    "doc_pack_greedy",
     "events_funnel",
-    "join_salted_skew",
     "knn_int8_rerank",
     "scan_merge_schema",
-    "scd2_dimension_history",
     "sql_recursive_cte",
 )
 
-# The 34 equally-r10-stale names displaced by the 50-slot width
-# (seven more than staged at round-16 open: the never-checked
+# The 37 equally-r10-stale names displaced by the 50-slot width
+# (ten more than staged at round-16 open: the never-checked
 # LCP-interval pair took the last two slots, the late-r16
-# text_repeat_families displaced retention_cohort, then the four
+# text_repeat_families displaced retention_cohort, then the seven
 # later-r16 API-surface queries displaced embedding_quantize_int8,
-# line_dedup_corpus, cooccurrence_part_pairs and observe_metrics);
+# line_dedup_corpus, cooccurrence_part_pairs, observe_metrics,
+# doc_pack_greedy, join_salted_skew and scd2_dimension_history);
 # they lead the round-17 window.
 DRIVER_DEFERRED: tuple[str, ...] = (
     "retention_cohort",
@@ -164,6 +167,9 @@ DRIVER_DEFERRED: tuple[str, ...] = (
     "line_dedup_corpus",
     "cooccurrence_part_pairs",
     "observe_metrics",
+    "doc_pack_greedy",
+    "join_salted_skew",
+    "scd2_dimension_history",
     "text_vocab_build",
     "tpch_q2_min_cost_supplier",
     "agg_approx_distinct",

@@ -864,3 +864,21 @@ def test_winnow_fingerprints_single_shuffle_and_pruned(spark, sf_dir):
     assert n_ex == 1, f"expected exactly 1 exchange, got {n_ex}: {ops}"
     [schema] = read_schemas(df)
     assert "text" in schema and "lang" not in schema and "source" not in schema
+
+
+def test_lateral_join_api_decorrelates_to_window_group_limit(spark, sf_dir):
+    """join_lateral_api's correlated LIMIT-per-key subquery must
+    decorrelate to WindowGroupLimit + an equi join — never a nested
+    loop (the plan that survives 100x; docstring claim, pinned)."""
+    plan = explain_str(_df(spark, sf_dir, "join_lateral_api"))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_subquery_api_plans_semi_join_and_single_scalar(spark, sf_dir):
+    """filter_subquery_api: the DataFrame EXISTS must plan a (left)
+    semi join, and the uncorrelated scalar subquery must appear as a
+    one-row subquery/aggregate — not a per-row join blowup."""
+    plan = explain_str(_df(spark, sf_dir, "filter_subquery_api"))
+    assert "Semi" in plan, plan[:800]
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan

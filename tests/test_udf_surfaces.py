@@ -142,3 +142,30 @@ def test_duplicate_index_values_make_duplicate_columns(spark):
     df = spark.createDataFrame([("F", 1), ("F", 2)], "status string, n long")
     t = df.transpose()
     assert t.columns == ["key", "F", "F"]
+
+
+def test_self_cogroup_distinct_names(spark, sf_dir):
+    """Regression pin for the self-cogroup column-pruning trap: both
+    sides derived from ONE events scan, cogrouped per user. With
+    same-name value columns the right frame plan-sensitively arrived
+    with its value column pruned (['user_id'] only) at sf0.1 under
+    the default 32-partition session; distinct per-side names make
+    the collision impossible. The query-shaped counts must equal the
+    plain filtered GROUP BY."""
+    from pyspark.sql import functions as F
+
+    from glue_etl_pyspark_spark.io import load_table
+    from glue_etl_pyspark_spark.queries.udfs import udf_cogrouped_stats
+
+    out = udf_cogrouped_stats(spark, sf_dir).select(
+        "user_id", "n_purchase", "n_click"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    exp = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias("n_purchase"),
+            F.sum((F.col("event_type") == "click").cast("long")).alias("n_click"),
+        )
+    )
+    assert out.exceptAll(exp).count() == 0 and exp.exceptAll(out).count() == 0
