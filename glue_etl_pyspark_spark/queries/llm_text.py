@@ -154,16 +154,30 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure-SQL TF-IDF (tf x ln(N/df) via joins — oracle-checkable,
     unlike HashingTF+IDF): top-3 terms per doc for doc_id < 100.
     N arrives by broadcast cross join of a 1-row aggregate — no
-    driver-side collect. df derives FROM the tf aggregate (one row
-    per (doc, token) already exists there, so COUNT(*) by token ==
-    COUNT(DISTINCT doc_id) over raw tokens): the corpus is tokenized
-    and exploded once instead of twice, and the (doc_id, token)
-    exchange is identical in both branches so Spark reuses it —
-    measured 0.98-1.28 s -> 0.76-0.78 s at sf0.1."""
+    driver-side collect.
+
+    df is its own branch — explode(array_distinct(toks)) then a plain
+    count by token. The r7 shape derived df FROM the tf aggregate to
+    reuse the (doc_id, token) exchange, but the doc_id < 100 pushdown
+    splits the subtree: Catalyst pushes the filter into the tf copy
+    only, and the df copy silently re-tokenizes the FULL corpus and
+    shuffles every distinct (doc_id, token) pair — a corpus-sized
+    exchange (plans/r16/text_tfidf_before.txt ops 7-14). Per-doc
+    dedup via array_distinct moves the distinct MAP-SIDE: the only
+    exchange left in the df branch carries per-task per-token partial
+    counts (vocabulary-sized at any corpus size — guide §2.3
+    "aggregate before you shuffle"). Values are identical: one
+    exploded row per (doc, distinct token) is exactly what COUNT per
+    token needs."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(tokenize_ws("text")).alias("token"))
+    toks_arr = d.select("doc_id", tokenize_ws("text").alias("toks"))
+    toks = toks_arr.select("doc_id", F.explode("toks").alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    df_ = (
+        toks_arr.select(F.explode(F.array_distinct("toks")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(df_, "token")
