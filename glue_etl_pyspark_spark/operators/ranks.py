@@ -127,7 +127,15 @@ def suffix_ranks(docs: DataFrame, max_rounds: int = 32) -> DataFrame:
     # pins blocks in unified memory and fights the rounds' sorts for
     # heap at 500k+ docs).
     pe = pe.persist(StorageLevel.DISK_ONLY)
-    n_suffix = pe.count()
+    # one materialization job yields BOTH loop bounds: the suffix count
+    # (certificate target) and max doc length (round bound). max(slen)
+    # == max token count, so the former separate toks.agg(max(size))
+    # pass — a full re-tokenize of the corpus — is folded in (r16).
+    stats = pe.agg(
+        F.count(F.lit(1)).alias("__c"), F.max("slen").alias("__m")
+    ).collect()[0]
+    n_suffix = int(stats["__c"])
+    max_len = int(stats["__m"] or 0)
 
     # round 0: vocabulary rank through dense_rank_shards, pre-sharded
     # by the first two character code points (order-tiling — see module
@@ -150,7 +158,6 @@ def suffix_ranks(docs: DataFrame, max_rounds: int = 32) -> DataFrame:
         "doc_id", "pos", F.col("__r0").cast("bigint").alias("r")
     )
 
-    max_len = toks.agg(F.max(F.size("toks"))).collect()[0][0] or 0
     rounds = max(1, (max_len - 1).bit_length())  # ceil(log2(max_len))
     if rounds > max_rounds:
         raise RuntimeError(
@@ -162,7 +169,8 @@ def suffix_ranks(docs: DataFrame, max_rounds: int = 32) -> DataFrame:
     for k in range(rounds):
         step = 1 << k
         span = 1 + n_distinct // 256
-        keyed = (
+        wsh = Window.partitionBy("__shard").orderBy("r", "r2")
+        lrk = (
             ranks.select(
                 "doc_id",
                 "pos",
@@ -172,6 +180,20 @@ def suffix_ranks(docs: DataFrame, max_rounds: int = 32) -> DataFrame:
                 ),
             )
             .withColumn("__shard", F.expr(f"r div {span}"))
+            # Fused round (r16): the per-shard dense_rank runs in the
+            # SAME job as the lead() pairing and the checkpoint stores
+            # the already-ranked rows. The per-shard distinct count is
+            # then just max(__lrk) — dense_rank's ceiling — collected
+            # from the checkpoint, so the former dense_rank_shards
+            # groupBy(shard).countDistinct(r, r2) pass (a second
+            # corpus-sized exchange + sort-distinct per round) is gone:
+            # 3 corpus-sized exchanges per round -> 2. Values are
+            # unchanged by construction — base + local dense rank with
+            # base = sum of lower shards' distinct counts, exactly what
+            # dense_rank_shards computed (equality pinned in
+            # tests/test_suffixes.py).
+            .withColumn("__lrk", F.dense_rank().over(wsh))
+            .select("doc_id", "pos", "__shard", "__lrk")
             # corpus-scaled round frame: lineage must truncate each
             # round (iterative rule) but the unroll must NOT go through
             # the memory store — the default MEMORY_AND_DISK localCheckpoint
@@ -180,10 +202,26 @@ def suffix_ranks(docs: DataFrame, max_rounds: int = 32) -> DataFrame:
             # truncation and streams straight to disk.
             .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
         )
-        ranked, n_distinct = dense_rank_shards(
-            keyed, "__shard", ["r", "r2"], "__nr"
+        counts = sorted(
+            lrk.groupBy("__shard").agg(F.max("__lrk").alias("__d")).collect(),
+            key=lambda row: row["__shard"],
         )
-        ranks = ranked.select("doc_id", "pos", F.col("__nr").alias("r"))
+        rows, running = [], 0
+        for row in counts:
+            rows.append((int(row["__shard"]), running))
+            running += int(row["__d"])
+        bases = lrk.sparkSession.createDataFrame(
+            rows, "__shard bigint, __base bigint"
+        )
+        n_distinct = running
+        ranks = (
+            lrk.join(broadcast(bases), "__shard")
+            .select(
+                "doc_id",
+                "pos",
+                (F.col("__base") + F.col("__lrk")).cast("bigint").alias("r"),
+            )
+        )
         if n_distinct == n_suffix:
             break  # certificate: every suffix rank unique — converged
     ranks = ranks.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
