@@ -770,7 +770,13 @@ _REVIEWED_BROADCAST_SITES = {
     # broadcast ships (tok, rank) pairs only). Every corpus-scaled
     # join in the op carries hint("merge") — reviewed r15 after the
     # AQE broadcast-convert OOM; re-reviewed r16 with the shard rework.
-    ("operators/ranks.py", "bases"): 1,
+    # TWO bases sites since the r16-opt fused round: dense_rank_shards'
+    # offsets join (round 0 vocab) and suffix_ranks' in-loop offsets
+    # join — both ship the per-shard rank bases, <= ~257 rows by
+    # construction (shard span = 1 + n_distinct // 256, so the shard
+    # count is algorithm-bounded at EVERY data scale), the endorsed
+    # driver-literal constant-size re-ship.
+    ("operators/ranks.py", "bases"): 2,
     ("operators/ranks.py", 'vocab.select("tok"'): 1,
     ("queries/llm_pack.py", "fv_q"): 1,
     ("queries/llm_pack.py", "tot"): 1,
