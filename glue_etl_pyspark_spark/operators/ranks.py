@@ -30,16 +30,26 @@ Scale design, in this repo's established shapes:
   self-join anywhere — then runs the sharded rank; one
   localCheckpoint per round (iterative-lineage rule).
 
-Round 0 ranks the DISTINCT vocabulary through the same
-``dense_rank_shards``, pre-sharded by the first two character code
-points (``ascii(substr(tok,1,1)) * 0x110000 + ascii(substr(tok,2,1))``).
-UTF-8 byte order equals code-point order, and Spark's default
-UTF8_BINARY string comparison is byte order, so the leading-code-point
-shard tiles the token sort order exactly (a short token's missing
+Round 0 ranks the DISTINCT token BIGRAMS (tok, next-tok-or-'') through
+the same ``dense_rank_shards``, pre-sharded by the first two character
+code points of the FIRST token (``ascii(substr(tok,1,1)) * 0x110000 +
+ascii(substr(tok,2,1))``). UTF-8 byte order equals code-point order,
+and Spark's default UTF8_BINARY string comparison is byte order, so
+the leading-code-point shard tiles the (tok, tok2) sort order exactly
+(equal pairs share a tok, hence a shard; a short token's missing
 second char reads as ascii('')=0, which sorts below every real char —
-matching "a" < "ab"); a HASH bucket would violate the shard contract.
-This kills the r15 single-task global vocabulary window: at a ~1e7-term
-100 TB vocabulary the sort now spreads over ~1e3 leading-pair shards.
+matching "a" < "ab"; a missing NEXT token reads as tok2='', which
+sorts below every real token — the shorter-suffix-is-a-prefix rule);
+a HASH bucket would violate the shard contract. Ranking bigrams means
+round 0 already orders suffixes by their first TWO tokens, so the
+doubling loop starts at step 2 — one full corpus-scaled round deleted
+from every caller (r17; bit-identical final ranks by construction:
+the doubling invariant only needs round k to order by the first 2^k
+tokens, and both paths end at coverage 2^ceil(log2(max_len))). This
+also kills the r15 single-task global vocabulary window: at 100 TB
+the pair sort spreads over ~1e3 leading-pair shards, and the
+rank-attach join falls back from broadcast to merge above a fixed
+row budget (memory bound, not a data-selectivity constant).
 """
 
 from __future__ import annotations
@@ -98,7 +108,12 @@ def suffix_ranks(docs: DataFrame, max_rounds: int = 32) -> DataFrame:
     Prefix doubling: after round k, r orders suffixes by their first
     2^k tokens; the round-k+1 key is (r[pos], r[pos + 2^k] or 0) —
     the 0 placeholder sorts below every real rank, which is exactly
-    the shorter-suffix-is-a-prefix rule. The neighbor rank comes from
+    the shorter-suffix-is-a-prefix rule. Round 0 ranks token BIGRAMS
+    (module docstring), so it already provides the k=0 coverage and
+    the loop starts at step 2 — one corpus-scaled round deleted; the
+    final ranks are bit-identical because each round's invariant
+    (order by first 2^k tokens) and the terminal coverage
+    2^ceil(log2(max_len)) are unchanged. The neighbor rank comes from
     ``lead(r, 2^k)`` over the (doc_id, pos) window — positions are
     consecutive per doc, so NO self-join exists anywhere in the loop
     (the r15 100x probe measured the join+double-checkpoint variant
@@ -112,15 +127,30 @@ def suffix_ranks(docs: DataFrame, max_rounds: int = 32) -> DataFrame:
     asserted loudly) or earlier when the certificate (distinct total
     == suffix count, i.e. every rank unique) fires."""
     toks = docs.select("doc_id", tokenize_ws("text").alias("toks"))
+    # Each position's (tok, next-tok) pair is built by zip_with against
+    # the 1-shifted token array (inputs evaluate once — the HOF capture
+    # rule), so the bigram key needs NO window and no exchange: pe stays
+    # a map-only projection of the scan. zip_with pads the shorter
+    # (shifted) side with NULL at the last position -> tok2 = '', which
+    # sorts below every real token (tokenize_ws drops empties), i.e.
+    # exactly the shorter-suffix-is-a-prefix placeholder round 0 needs.
+    bigrams = F.zip_with(
+        "toks",
+        F.slice("toks", 2, F.size("toks")),
+        lambda x, y: F.struct(
+            x.alias("t1"), F.coalesce(y, F.lit("")).alias("t2")
+        ),
+    )
     pe = toks.select(
         "doc_id",
         F.size("toks").alias("__n"),
-        F.posexplode("toks").alias("pos", "tok"),
+        F.posexplode(bigrams).alias("pos", "bg"),
     ).select(
         "doc_id",
         F.col("pos").cast("bigint").alias("pos"),
         (F.col("__n") - F.col("pos")).cast("bigint").alias("slen"),
-        "tok",
+        F.col("bg.t1").alias("tok"),
+        F.col("bg.t2").alias("tok2"),
     )
     # corpus-scaled and reused across every round plus the final join —
     # the winnow rule: persist(DISK_ONLY), never localCheckpoint (which
@@ -137,11 +167,16 @@ def suffix_ranks(docs: DataFrame, max_rounds: int = 32) -> DataFrame:
     n_suffix = int(stats["__c"])
     max_len = int(stats["__m"] or 0)
 
-    # round 0: vocabulary rank through dense_rank_shards, pre-sharded
-    # by the first two character code points (order-tiling — see module
-    # docstring). Vocabulary-sized input, scan-parallel sort.
+    # round 0: BIGRAM vocabulary rank through dense_rank_shards,
+    # pre-sharded by the first token's first two character code points
+    # (order-tiling — see module docstring). The distinct pass reads
+    # the persisted pe (map-side partial distinct: the exchange carries
+    # per-task distinct pairs, bigram-vocabulary-sized output), so the
+    # former separate re-tokenize scan for the unigram vocab is gone
+    # too. DISK_ONLY: the bigram vocabulary is corpus-bounded, not
+    # constant-size — the winnow localCheckpoint rule.
     vocab = (
-        toks.select(F.explode("toks").alias("tok"))
+        pe.select("tok", "tok2")
         .distinct()
         .withColumn(
             "__shard",
@@ -151,10 +186,22 @@ def suffix_ranks(docs: DataFrame, max_rounds: int = 32) -> DataFrame:
             * F.lit(0x110000)
             + F.ascii(F.substring("tok", 2, 1)).cast("bigint"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
-    vocab, n_distinct = dense_rank_shards(vocab, "__shard", ["tok"], "__r0")
-    ranks = pe.join(broadcast(vocab.select("tok", "__r0")), "tok").select(
+    vocab, n_distinct = dense_rank_shards(
+        vocab, "__shard", ["tok", "tok2"], "__r0"
+    )
+    vr = vocab.select("tok", "tok2", "__r0")
+    # rank-attach join: broadcast while the bigram vocabulary fits the
+    # endorsed driver-literal/broadcast budget; above it (a 100 TB-class
+    # pair vocabulary) fall back to a merge join — one vocabulary-keyed
+    # corpus exchange, still strictly cheaper than the full doubling
+    # round this bigram round replaces (2 corpus exchanges + checkpoint)
+    if n_distinct <= 2_000_000:
+        ranks = pe.join(broadcast(vr), ["tok", "tok2"])
+    else:
+        ranks = pe.join(vr.hint("merge"), ["tok", "tok2"])
+    ranks = ranks.select(
         "doc_id", "pos", F.col("__r0").cast("bigint").alias("r")
     )
 
@@ -166,7 +213,13 @@ def suffix_ranks(docs: DataFrame, max_rounds: int = 32) -> DataFrame:
             "valve, not a truncation"
         )
     wdoc = Window.partitionBy("doc_id").orderBy("pos")
-    for k in range(rounds):
+    # round 0 already covers 2 tokens (= the k=0 doubling round), so
+    # the loop starts at k=1: one corpus-scaled round deleted (r17).
+    # The certificate check moves to the loop TOP so a bigram round
+    # that already separated every suffix skips the loop entirely.
+    for k in range(1, rounds):
+        if n_distinct == n_suffix:
+            break  # certificate: every suffix rank unique — converged
         step = 1 << k
         span = 1 + n_distinct // 256
         wsh = Window.partitionBy("__shard").orderBy("r", "r2")
@@ -222,8 +275,6 @@ def suffix_ranks(docs: DataFrame, max_rounds: int = 32) -> DataFrame:
                 (F.col("__base") + F.col("__lrk")).cast("bigint").alias("r"),
             )
         )
-        if n_distinct == n_suffix:
-            break  # certificate: every suffix rank unique — converged
     ranks = ranks.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     # corpus-scaled on both sides — merge hint (broadcast would build
     # a suffix-count hash table on the driver)

@@ -764,12 +764,15 @@ _REVIEWED_BROADCAST_SITES = {
     ("queries/llm_knn.py", "seeds"): 1,
     ("queries/llm_pack.py", "bases"): 1,
     # r15 suffix ranking: bases = per-shard dense-rank offsets (<=257
-    # rows by construction — span sizing); vocab = distinct-token
-    # frame (vocabulary-scaled, the text_vocab_build class — since r16
-    # ranked through the order-tiling leading-code-point shard, so the
-    # broadcast ships (tok, rank) pairs only). Every corpus-scaled
-    # join in the op carries hint("merge") — reviewed r15 after the
-    # AQE broadcast-convert OOM; re-reviewed r16 with the shard rework.
+    # rows by construction — span sizing); vr = the round-0 BIGRAM
+    # vocabulary (tok, tok2, rank) since the r17 bigram round-0 —
+    # broadcast ONLY while its measured distinct count stays under the
+    # explicit 2M-row budget (the code itself branches: above the
+    # budget the attach join is hint("merge"), so a 100 TB-class pair
+    # vocabulary can never be forced through a broadcast). Every
+    # corpus-scaled join in the op carries hint("merge") — reviewed
+    # r15 after the AQE broadcast-convert OOM; re-reviewed r16 with
+    # the shard rework, r17 with the bigram round-0.
     # TWO bases sites since the r16-opt fused round: dense_rank_shards'
     # offsets join (round 0 vocab) and suffix_ranks' in-loop offsets
     # join — both ship the per-shard rank bases, <= ~257 rows by
@@ -777,7 +780,7 @@ _REVIEWED_BROADCAST_SITES = {
     # count is algorithm-bounded at EVERY data scale), the endorsed
     # driver-literal constant-size re-ship.
     ("operators/ranks.py", "bases"): 2,
-    ("operators/ranks.py", 'vocab.select("tok"'): 1,
+    ("operators/ranks.py", "vr"): 1,
     ("queries/llm_pack.py", "fv_q"): 1,
     ("queries/llm_pack.py", "tot"): 1,
     ("queries/llm_quality.py", "boiler"): 1,
