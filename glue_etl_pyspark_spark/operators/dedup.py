@@ -481,23 +481,32 @@ def minhash_lsh_pairs(
     # approxSimilarityJoin(feats, feats) plans the tokenize + shingle +
     # HashingTF subtree TWICE (self-join); persist makes the transform
     # physical once (r16: interleaved sf0.1 A/B min 10.90 -> 6.76 s,
-    # median 14.60 -> 10.53 s, identical 6024 pairs). Same persist
-    # stance as ngram_jaccard_pairs: blocks live until the caller's
-    # session clears the cache (bench.py does per run).
+    # median 14.60 -> 10.53 s, identical 6024 pairs).
     feats = tf.transform(sh).persist(StorageLevel.MEMORY_AND_DISK)
-    lsh = MinHashLSH(
-        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed
-    )
-    model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, max_jaccard_distance, distCol="jaccard_dist")
-    return (
-        pairs.filter(F.col("datasetA.id") < F.col("datasetB.id"))
-        .select(
+    try:
+        lsh = MinHashLSH(
+            inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed
+        )
+        model = lsh.fit(feats)
+        pairs = model.approxSimilarityJoin(
+            feats, feats, max_jaccard_distance, distCol="jaccard_dist"
+        )
+        out = pairs.filter(F.col("datasetA.id") < F.col("datasetB.id")).select(
             F.col("datasetA.id").alias("id_a"),
             F.col("datasetB.id").alias("id_b"),
             "jaccard_dist",
         )
-    )
+        # Persist hygiene (r17, VERDICT r16 item 9): materialize the
+        # pair set (near-dup-pair-sized, orders of magnitude below the
+        # feature blocks) via DISK_ONLY localCheckpoint so the features
+        # cache can be released HERE instead of leaking one
+        # MEMORY_AND_DISK copy per call into long-lived sessions —
+        # checkpoint blocks are ContextCleaner-managed (freed when the
+        # caller drops the frame), CacheManager entries are not. All
+        # work still happens inside the caller's timed region.
+        return out.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    finally:
+        feats.unpersist()
 
 
 def dedup_clusters(

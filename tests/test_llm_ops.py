@@ -27,6 +27,28 @@ def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.9, f"MinHash-LSH recall {recall:.2f} < 0.9"
 
 
+def test_minhash_lsh_pinned_pairs_sf01(spark):
+    """r17 (VERDICT r16 item 7): dedup_minhash_lsh sits in the
+    no-oracle class, so its r16 persist rework (and any future plan
+    change) must stay falsifiable driver-visibly — pin the EXACT
+    seeded candidate-pair set at sf0.1, not just recall. MinHashLSH
+    hash functions are seed-derived and the candidate set is a
+    partitioning-independent value, so the digest is stable across
+    widths/machines (the r16 A/B observed the identical 6024 pairs
+    across all variants)."""
+    import hashlib
+
+    rows = (
+        load_all()["dedup_minhash_lsh"].fn(spark, "/root/testdata/sf0.1").collect()
+    )
+    pairs = sorted((int(r.id_a), int(r.id_b)) for r in rows)
+    assert len(pairs) == 6024, f"candidate count moved: {len(pairs)}"
+    digest = hashlib.sha256(repr(pairs).encode()).hexdigest()
+    assert digest == (
+        "087fe75cfab9531d1147edecf627739034d60e806ad11d7704d427ec3a512dd3"
+    ), f"seeded candidate set moved: {digest}"
+
+
 def test_simhash_pairs_recover_planted_twins(spark, sf_dir):
     pairs = _run(spark, sf_dir, "dedup_simhash_pairs")
     planted = pairs.filter(F.col("id_b") == F.col("id_a") + _TWIN_OFF)
