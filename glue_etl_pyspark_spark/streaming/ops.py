@@ -48,13 +48,23 @@ def _default_state_partitions() -> int:
     replays' STATE VOLUME (all bounded fixtures here carry <= tens of
     thousands of state rows, where per-batch store open/commit
     overhead dominates — measured min 1.033 s @ 8 vs 0.837 s @ 4 vs
-    0.874 s @ 2 on the sf0.1 tumbling drain, r16), not to the core
-    count. Externalized for bigger replays / real state volumes."""
+    0.874 s @ 2 on the sf0.1 tumbling drain, r16; re-proven under
+    driver conditions r17 — fresh-process cold-JVM median-of-3), not
+    to the core count. Externalized for bigger replays / real state
+    volumes. Read at CALL time (not import) so tests / mid-session
+    env changes take effect (ADVICE r16)."""
     return int(os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "4"))
 
 
-# evaluated once at import (env is set before process launch)
-STATE_PARTITIONS_DEFAULT = _default_state_partitions()
+def _resolve_state_partitions(state_partitions: int | None) -> int | None:
+    """Drain-arg convention: None -> the env-resolved default (at call
+    time); 0 or negative -> inherit the session's shuffle conf (the
+    old ``None`` spelling — no current caller uses it); positive ->
+    pin exactly that many state stores."""
+    if state_partitions is None:
+        return _default_state_partitions()
+    return state_partitions if state_partitions > 0 else None
+
 
 STAGE_ROOT = "/tmp/glue_etl_pyspark_spark_stream_stage"
 
@@ -220,7 +230,7 @@ def drain_to_memory(
     df: DataFrame,
     mode: str = "append",
     await_seconds: int = 120,
-    state_partitions: int | None = STATE_PARTITIONS_DEFAULT,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Run a bounded streaming query to completion (availableNow) into
     a memory sink and return the sink's contents as a batch DataFrame.
@@ -231,11 +241,13 @@ def drain_to_memory(
     upstream plan. Memory sink is driver-local by design; only use it
     on aggregated/bounded outputs. ``state_partitions`` sizes the
     state-store count for the bounded replay (see
-    _state_partitions_conf); pass None to inherit the session conf.
+    _state_partitions_conf); None (the default) resolves
+    SPARK_GRAFT_STATE_PARTITIONS at call time, 0 inherits the session
+    conf (see _resolve_state_partitions).
     """
     name = f"mem_sink_{os.getpid()}_{next(_MEM_COUNTER)}"
     spark = df.sparkSession
-    with _state_partitions_conf(spark, state_partitions):
+    with _state_partitions_conf(spark, _resolve_state_partitions(state_partitions)):
         q = (
             df.writeStream.format("memory")
             .queryName(name)
@@ -258,7 +270,7 @@ def drain_micro_batches(
     mode: str = "complete",
     total_input: int | None = None,
     await_seconds: int = 120,
-    state_partitions: int | None = STATE_PARTITIONS_DEFAULT,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drain a stream whose source does NOT support availableNow (e.g.
     Python SimpleDataSourceStreamReader sources fall back to
@@ -278,7 +290,7 @@ def drain_micro_batches(
     name = f"mem_sink_{os.getpid()}_{next(_MEM_COUNTER)}"
     # conf stays pinned until the query stops: micro-batches keep
     # planning (and reading the conf) for the query's whole life
-    with _state_partitions_conf(df.sparkSession, state_partitions):
+    with _state_partitions_conf(df.sparkSession, _resolve_state_partitions(state_partitions)):
         q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
         deadline = time.time() + await_seconds
         done = False
@@ -309,7 +321,7 @@ def drain_micro_batches(
 
 
 def foreach_batch_collect(
-    df: DataFrame, await_seconds: int = 120, state_partitions: int | None = STATE_PARTITIONS_DEFAULT
+    df: DataFrame, await_seconds: int = 120, state_partitions: int | None = None
 ) -> DataFrame:
     """TEST-ONLY demo drain: run a stream through ``foreachBatch``
     (the Glue streaming-sink hook), appending each micro-batch's rows
@@ -330,7 +342,7 @@ def foreach_batch_collect(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batches.extend(batch_df.collect())
 
-    with _state_partitions_conf(spark, state_partitions):
+    with _state_partitions_conf(spark, _resolve_state_partitions(state_partitions)):
         q = (
             df.writeStream.foreachBatch(sink)
             .outputMode("update")
@@ -352,7 +364,7 @@ def foreach_batch_to_parquet(
     path: str,
     partition_by: list[str] | None = None,
     await_seconds: int = 120,
-    state_partitions: int | None = STATE_PARTITIONS_DEFAULT,
+    state_partitions: int | None = None,
 ) -> None:
     """Production-shape foreachBatch sink: every micro-batch is
     written DISTRIBUTED as partitioned parquet under
@@ -374,7 +386,7 @@ def foreach_batch_to_parquet(
             w = w.partitionBy(*part)
         w.parquet(f"{path}/batch_id={batch_id}")
 
-    with _state_partitions_conf(df.sparkSession, state_partitions):
+    with _state_partitions_conf(df.sparkSession, _resolve_state_partitions(state_partitions)):
         q = (
             df.writeStream.foreachBatch(sink)
             .outputMode("append")
