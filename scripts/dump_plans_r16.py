@@ -2,8 +2,11 @@
 """Dump .explain("formatted") for named queries to plans/r16/<name>_<tag>.txt.
 
 Usage: python scripts/dump_plans_r16.py <tag> [names...]
-Default names = bench.py HEADLINE. Plan-only (no job runs) except for
-streaming queries, which are skipped (no batch plan to format).
+Default names = bench.py HEADLINE. Mostly plan-only, but queries with
+in-function collects / driver-orchestrated loops (e.g.
+quantile_bisect_exact's radix passes) execute real jobs while the
+frame is built — only the FINAL frame's plan is dumped (ADVICE r16).
+Streaming queries are skipped (no batch plan to format).
 """
 from __future__ import annotations
 

@@ -56,9 +56,12 @@ def main() -> int:
     run_suite = "--no-suite" not in sys.argv
 
     if run_suite:
-        print("== preflight: pytest tests/ ==", flush=True)
+        # BOTH tiers: the bare run deselects `slow` (pyproject addopts,
+        # the driver-facing fast tier); round closes must run everything
+        print("== preflight: pytest tests/ (fast + slow tiers) ==", flush=True)
         rc = subprocess.run(
-            [sys.executable, "-m", "pytest", "tests/", "-x", "-q"]
+            [sys.executable, "-m", "pytest", "tests/", "-x", "-q",
+             "-m", "slow or not slow"]
         ).returncode
         if rc != 0:
             print("PREFLIGHT FAIL: suite red — do not commit")
