@@ -52,35 +52,31 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
 # The driver checks the FIRST 50 queries in ``queries()`` dict-insertion
 # order (confirmed rounds 1-13; every round checked exactly 50 names).
 #
-# ROUND-16 WINDOW (VERDICT r15 item 1 — the staged freshness
-# rotation): text_repeated_substrings is REWORKED this round (the two
-# r15 watch items — hash-bucketed round-0 vocabulary rank through
-# dense_rank_shards and pe -> persist(DISK_ONLY) — change its plan, so
-# its r15 row predates the shipped code) and leads. The 34 r9-stale
-# names staged verbatim in the r15 DRIVER_DEFERRED follow, and the
-# last slots take one representative per r10-stale family. The
-# displaced, equally-r10-stale siblings move to DRIVER_DEFERRED (each
-# rides an in-window sibling exercising the same machinery where one
-# exists: agg_approx_distinct/agg_count_min_topk ride agg_listagg,
-# the stream_* block rides the in-window r9 stream quartet,
-# sample_*/scan_* ride scan_merge_schema, knn_label_purity rides
-# knn_int8_rerank, tpch_q20 rides tpch_q2, retention_cohort rides
-# events_funnel) and lead the round-17 window. After a clean r16 the
-# oldest external evidence moves r9 -> r10. Late-r16 addition:
-# text_repeat_families (never-checked) takes the window head,
-# displacing retention_cohort into DRIVER_DEFERRED. Later-r16
-# addition: the three new §2.11/relational API-surface queries
-# (cogrouped applyInPandas, grouped applyInArrow, DataFrame.transpose)
-# join the never-checked head, displacing embedding_quantize_int8
-# (rides in-window knn_int8_rerank — same int8 machinery),
-# line_dedup_corpus (rides in-window dedup_minhash_lsh — llm-dedup
-# family) and cooccurrence_part_pairs (rides in-window events_funnel —
-# analytics family) into DRIVER_DEFERRED; profile_crosstab
-# (df.stat.crosstab) follows, displacing observe_metrics; then the
-# Spark-4 subquery-API pair (lateralJoin; exists+scalar) displaces
-# doc_pack_greedy and join_salted_skew.
+# ROUND-17 WINDOW (the staged freshness rotation, r15 VERDICT item 1).
+# Head: the seven queries REWORKED by this optimization round — their
+# r15/r16 external rows predate the shipped code, so they must re-earn
+# evidence (test_registry pins this): the four suffix-family queries
+# (bigram round-0 vocabulary deletes one doubling round; ranks
+# bit-identity asserted in-session), the two cc_labels fixpoint riders
+# (observe()-fused certificate round, jobs/round 2 -> 1), and
+# dedup_minhash_lsh (persist-hygiene localCheckpoint changes the
+# returned plan; its exact 6024-pair sf0.1 candidate set is now pinned
+# in tests/test_llm_ops.py). text_repeat_families rides BOTH reworks
+# (bigram grams untouched, but cc fusion changes its fixpoint jobs).
+# Then the 37 r10-stale names staged verbatim in the r16
+# DRIVER_DEFERRED, and the last slots take one representative per
+# r11-stale family (q1/events/graph/text/dedup/knn). The displaced,
+# equally-r11-stale siblings move to DRIVER_DEFERRED and lead the
+# round-18 window. After a clean r17 the oldest external evidence
+# moves r10 -> r11.
 DRIVER_REWORKED: tuple[str, ...] = (
     "text_repeated_substrings",
+    "text_longest_repeat_per_doc",
+    "text_exactsubstr_cut",
+    "text_repeat_families",
+    "graph_connected_components",
+    "graph_boruvka_msf",
+    "dedup_minhash_lsh",
 )
 
 # tests/test_registry.py asserts len(DRIVER_WINDOW) == 50 so the cutoff
@@ -90,78 +86,17 @@ DRIVER_REWORKED: tuple[str, ...] = (
 # and that no un-reworked name outside the window is staler than any
 # un-reworked name inside it.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- never-checked (registered r16: cross-doc repeat families +
-    #     the LCP-interval pair — per-doc longest repeat + the
-    #     ExactSubstr cut transform) ---
-    "text_repeat_families",
+    # --- reworked round 17 (r15/r16 evidence predates the bigram
+    #     round-0 / fused-certificate / persist-hygiene code) ---
+    "text_repeated_substrings",
     "text_longest_repeat_per_doc",
     "text_exactsubstr_cut",
-    # --- never-checked (registered later in r16: the remaining §2.11
-    #     grouping surfaces + Spark-4 transpose) ---
-    "udf_cogrouped_stats",
-    "udf_grouped_applyinarrow",
-    "relational_transpose",
-    "profile_crosstab",
-    "join_lateral_api",
-    "filter_subquery_api",
-    "scan_file_metadata",
-    # --- reworked round 16 (r15 evidence predates the scale fixes) ---
-    "text_repeated_substrings",
-    # --- last externally green in ROUND 9 (all 34, staged verbatim in
-    #     the r15 DRIVER_DEFERRED) ---
-    "udf_grouped_zscore",
+    "text_repeat_families",
+    "graph_connected_components",
+    "graph_boruvka_msf",
     "dedup_minhash_lsh",
-    "func_array_extra",
-    "func_collation",
-    "func_conditional",
-    "func_hash",
-    "func_variant",
-    "incremental_bookmark",
-    "knn_lsh",
-    "lateral_top_orders",
-    "llm_corpus_curation",
-    "multimodal_fingerprint",
-    "pyds_stream_sequence",
-    "relationalize_words",
-    "setops_intersect_except",
-    "setops_union_by_name",
-    "sink_xml_roundtrip",
-    "stream_foreachbatch_parquet",
-    "stream_stream_join_batch",
-    "stream_tumbling",
-    "text_fingerprint",
-    "tpch_q13_order_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_counts",
-    "tpch_q17_small_qty",
-    "tpch_q18_large_orders",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_global_sales_opp",
-    "tpch_q6_forecast_revenue",
-    "udf_mapinpandas",
-    "udf_table_function",
-    "unbox_props",
-    "window_session_batch",
-    "window_sliding_batch",
-    # --- last externally green in ROUND 10 (12 of 42, one per family;
-    #     retention_cohort displaced by text_repeat_families — it rides
-    #     in-window events_funnel) ---
-    "agg_listagg",
-    "events_funnel",
-    "knn_int8_rerank",
-    "scan_merge_schema",
-    "sql_recursive_cte",
-)
-
-# The 37 equally-r10-stale names displaced by the 50-slot width
-# (ten more than staged at round-16 open: the never-checked
-# LCP-interval pair took the last two slots, the late-r16
-# text_repeat_families displaced retention_cohort, then the seven
-# later-r16 API-surface queries displaced embedding_quantize_int8,
-# line_dedup_corpus, cooccurrence_part_pairs, observe_metrics,
-# doc_pack_greedy, join_salted_skew and scd2_dimension_history);
-# they lead the round-17 window.
-DRIVER_DEFERRED: tuple[str, ...] = (
+    # --- last externally green in ROUND 10 (all 37, staged verbatim
+    #     in the r16 DRIVER_DEFERRED) ---
     "retention_cohort",
     "embedding_quantize_int8",
     "line_dedup_corpus",
@@ -199,6 +134,62 @@ DRIVER_DEFERRED: tuple[str, ...] = (
     "tpch_q20_promotion_stock",
     "udaf_grouped_agg",
     "zorder_layout",
+    # --- last externally green in ROUND 11 (6 of 49, one per family;
+    #     the displaced siblings lead the round-18 window) ---
+    "q1_pricing_summary",
+    "events_rolling_hourly",
+    "graph_triangles_topk",
+    "text_bm25_topk",
+    "dedup_minhash_portable",
+    "knn_pq_adc",
+)
+
+# The 43 equally-r11-stale names displaced by the 50-slot width; they
+# lead the round-18 window.
+DRIVER_DEFERRED: tuple[str, ...] = (
+    "agg_histogram",
+    "agg_hll_portable",
+    "agg_incremental_merge",
+    "agg_quantiles_sampled",
+    "agg_rollup",
+    "corpus_mix_resample",
+    "corpus_split_assign",
+    "curation_quality_gate",
+    "curation_source_cap",
+    "curation_token_budget",
+    "dedup_cluster_canonical",
+    "dedup_incremental_batch",
+    "dedup_semantic_clusters",
+    "doc_pack_sequences",
+    "dq_fk_orphans",
+    "dq_outliers_mad",
+    "embedding_lsh_portable",
+    "events_gap_fill_hourly",
+    "events_markov_transitions",
+    "events_seasonal_baseline",
+    "events_winsorize_bounds",
+    "func_bitwise",
+    "func_datename",
+    "func_interval",
+    "func_regexp",
+    "func_try_safe",
+    "func_url",
+    "length_bucket_packing",
+    "llm_training_manifest",
+    "profile_table_stats",
+    "sample_weighted_noreplace",
+    "scan_zonemap_prune",
+    "sink_avro_roundtrip",
+    "sink_jdbc_roundtrip",
+    "snapshot_diff",
+    "text_bigram_lm_score",
+    "text_boilerplate_strip",
+    "text_entropy_gate",
+    "text_idf_quality",
+    "text_oov_rate",
+    "text_tokenize_to_ids",
+    "udtf_analyze_dynamic",
+    "vocab_bpe_merges",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = DRIVER_WINDOW + DRIVER_DEFERRED
