@@ -255,29 +255,68 @@ def events_winsorize_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     max(1, n div 100) and n - that + 1 — picked order statistics, not
     interpolated, so no cross-engine float interpolation drift) plus
     the count of rows each tail would clip — the outlier-clipping
-    prelude to feature normalization. One rank window per event-type
-    group (groups are few and the rank parallelizes across them),
-    then a map-side-combined conditional aggregate; ties broken by
-    event_id so the picked statistic is unique."""
+    prelude to feature normalization. Ties broken by event_id so the
+    picked statistic is unique.
+
+    Scale (r17 rework): the old shape ranked EVERY row through one
+    window per event_type — a 5-value domain that capped the stage at
+    5 tasks and shuffled the full table at every scale (the r17 100x
+    labeled-stage probe measured a 118 MB / 4-task window stage). The
+    targets are just two order statistics per type, so: (1) per-type
+    counts collect as a driver literal (domain-bounded, 5 rows — the
+    packing-bases discipline); (2) ascending and descending rank
+    windows are pruned map-side by the LITERAL bound B = max(lo_r)
+    (filter rn <= B compiles to partial WindowGroupLimit, the
+    topk_per_group shape), so each window shuffles <= B rows per type
+    per task instead of the whole table; (3) the asc rank lo_r row is
+    p01, the desc rank lo_r row is p99 (rank-from-top of asc-rank
+    hi_r = n - hi_r + 1 = lo_r — the exact inverse permutation, ties
+    inverted too); (4) n_below = n_above = lo_r - 1 are identities of
+    dense row_number ranks, emitted from the literal frame. Values
+    identical by construction; the oracle keeps the full-rank shape
+    as a genuinely different evaluation."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    ranked = ev.select("event_type", "value", "event_id").withColumn(
-        "r", F.row_number().over(w)
-    ).withColumn(
-        "n", F.count("*").over(Window.partitionBy("event_type")).cast("bigint")
+    base = ev.select("event_type", "value", "event_id")
+    cnts = base.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    ).collect()
+    rows = [
+        (r["event_type"], int(r["n"]), max(1, int(r["n"]) // 100))
+        for r in cnts
+    ]
+    bound = max((lo for _, _, lo in rows), default=1)
+    lit = spark.createDataFrame(
+        rows, "event_type string, n bigint, lo_r bigint"
     )
-    ranked = ranked.withColumn(
-        "lo_r", F.greatest(F.lit(1).cast("bigint"), F.expr("n div 100"))
-    ).withColumn("hi_r", F.col("n") - F.col("lo_r") + 1)
-    return ranked.groupBy("event_type", "n").agg(
-        F.max(F.when(F.col("r") == F.col("lo_r"), F.col("value"))).alias("p01"),
-        F.max(F.when(F.col("r") == F.col("hi_r"), F.col("value"))).alias("p99"),
-        F.sum(F.when(F.col("r") < F.col("lo_r"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_below"),
-        F.sum(F.when(F.col("r") > F.col("hi_r"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_above"),
+    wa = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wd = Window.partitionBy("event_type").orderBy(
+        F.desc("value"), F.desc("event_id")
+    )
+    lo = (
+        base.withColumn("r", F.row_number().over(wa))
+        .filter(F.col("r") <= bound)
+        .join(F.broadcast(lit.select("event_type", "lo_r")), "event_type")
+        .filter(F.col("r") == F.col("lo_r"))
+        .select("event_type", F.col("value").alias("p01"))
+    )
+    hi = (
+        base.withColumn("r", F.row_number().over(wd))
+        .filter(F.col("r") <= bound)
+        .join(F.broadcast(lit.select("event_type", "lo_r")), "event_type")
+        .filter(F.col("r") == F.col("lo_r"))
+        .select("event_type", F.col("value").alias("p99"))
+    )
+    return (
+        lit.join(lo, "event_type")
+        .join(hi, "event_type")
+        .select(
+            "event_type",
+            "n",
+            "p01",
+            "p99",
+            (F.col("lo_r") - 1).cast("bigint").alias("n_below"),
+            (F.col("lo_r") - 1).cast("bigint").alias("n_above"),
+        )
     )
 
 

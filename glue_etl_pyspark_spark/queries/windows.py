@@ -188,6 +188,17 @@ FROM events
 """
 
 
+# Time-block shard width for the rolling window (seconds). Must be
+# >= the 3600 s frame span: a row's whole trailing-hour frame then
+# lives in its own block plus the previous block's last hour, which
+# is replicated forward as context rows. 1 day => parallelism =
+# types x days (measured 4-task cap before: the r17 100x labeled-stage
+# probe clocked the old per-type window stage at 49.9 s runtime on 4
+# tasks — event_type has 5 values at EVERY scale, so the stage could
+# never use more cores no matter the data size).
+_ROLL_BLOCK = 86400
+
+
 @query("events_rolling_hourly", oracle=ROLLING_HOURLY_ORACLE, category="window")
 def events_rolling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-interval rolling window: each event's trailing-1-hour value
@@ -198,20 +209,51 @@ def events_rolling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     as exact integer cents (floor(v*100+0.5) — the msum discipline),
     so the windowed sum is order-invariant bigint arithmetic; RANGE
     frames are peer-inclusive SETS, deterministic without a
-    tie-break. One shuffle per event_type partition; at 100 TB the
-    window parallelizes across types and a single hot type shards by
-    time range (the length_bucket_packing playbook)."""
+    tie-break.
+
+    Scale (r17 rework — the length_bucket_packing playbook the r16
+    docstring only promised): the window partitions by (event_type,
+    time block) instead of bare event_type, whose 5-value domain
+    capped the stage at 5 tasks at EVERY scale (measured 4 tasks /
+    49.9 s runtime on the 100x probe). Each row's trailing-hour frame
+    is fully contained in its own 1-day block once the previous
+    block's last hour is replicated forward as context rows (emitted
+    for frame membership only, filtered from output), so the values
+    are IDENTICAL by construction — the oracle keeps the bare
+    per-type window as a genuinely different evaluation. ~4 % row
+    replication buys types x days parallelism."""
     ev = load_table(spark, sf_dir, "events")
     # ntz won't cast straight to long; to_unix_timestamp under the UTC
     # session matches DuckDB's epoch() on the same ntz values
-    sec = F.expr("to_unix_timestamp(ts)")
-    frame = (
-        Window.partitionBy("event_type").orderBy(sec).rangeBetween(-3600, 0)
-    )
-    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
-    return ev.select(
+    base = ev.select(
         "event_id",
         "event_type",
-        F.sum(cents).over(frame).cast("bigint").alias("roll_cents"),
-        F.count(F.lit(1)).over(frame).cast("bigint").alias("roll_n"),
+        "value",
+        F.expr("to_unix_timestamp(ts)").alias("sec"),
+    )
+    home = base.withColumn("blk", F.expr(f"sec div {_ROLL_BLOCK}")).withColumn(
+        "ctx", F.lit(False)
+    )
+    spill = (
+        base.filter(F.col("sec") % _ROLL_BLOCK >= _ROLL_BLOCK - 3600)
+        .withColumn("blk", F.expr(f"sec div {_ROLL_BLOCK}") + 1)
+        .withColumn("ctx", F.lit(True))
+    )
+    u = home.unionByName(spill)
+    frame = (
+        Window.partitionBy("event_type", "blk")
+        .orderBy("sec")
+        .rangeBetween(-3600, 0)
+    )
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    return (
+        u.select(
+            "event_id",
+            "event_type",
+            "ctx",
+            F.sum(cents).over(frame).cast("bigint").alias("roll_cents"),
+            F.count(F.lit(1)).over(frame).cast("bigint").alias("roll_n"),
+        )
+        .filter(~F.col("ctx"))
+        .drop("ctx")
     )

@@ -38,3 +38,32 @@ def test_quantile_bisect_matches_order_statistics(spark, tmp_path):
         s, n = sorted(vs), len(vs)
         k50, k90 = (n + 1) // 2, (9 * n + 9) // 10
         assert out[g] == (n, s[k50 - 1], s[k90 - 1]), g
+
+
+def test_r17_events_width_determinism(spark, sf_dir):
+    """The r13 bit-stability gate extended to the r17 events-family
+    reworks: events_rolling_hourly (time-block sharded range window
+    with forward-replicated context rows) and events_winsorize_bounds
+    (driver-literal per-type counts + WindowGroupLimit-pruned rank
+    picks) must return identical rows at shuffle widths 2/32/200 —
+    the repeated-run stress the repo requires of every driver-literal
+    re-ship and partitioning rework."""
+    from glue_etl_pyspark_spark.registry import load_all
+
+    reg = load_all()
+    names = ("events_rolling_hourly", "events_winsorize_bounds")
+    runs: dict[str, list] = {n: [] for n in names}
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for parts in ("2", "32", "200"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            for n in names:
+                runs[n].append(
+                    sorted(tuple(r) for r in reg[n].fn(spark, sf_dir).collect())
+                )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    for n in names:
+        assert runs[n][0] and all(r == runs[n][0] for r in runs[n][1:]), (
+            f"{n} varies with shuffle width"
+        )

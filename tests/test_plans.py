@@ -735,6 +735,10 @@ _REVIEWED_BROADCAST_SITES = {
     ("operators/similarity.py", "(cids"): 1,
     ("operators/similarity.py", "(qids"): 1,
     ("operators/similarity.py", "q"): 2,
+    # r17: events_winsorize_bounds driver-literal per-type counts
+    # (domain-bounded, 5 rows at every SF) broadcast into the asc and
+    # desc rank-pick joins
+    ("queries/analytics.py", 'lit.select("event_type"'): 2,
     ("queries/analytics.py", "base_df"): 1,
     ("queries/analytics.py", "mx"): 1,
     ("queries/analytics.py", "n"): 1,
